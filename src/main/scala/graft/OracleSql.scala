@@ -1,0 +1,396 @@
+package graft
+
+import graft.functions.TextFunctions.{LangMarkers, StopEn}
+
+/** DuckDB oracle SQL — the exact relational mirror of every
+  * SparkEntry.queries entry (driver runs these via DuckDB at sf0.01 and
+  * hash-compares against the Spark parquet output).
+  *
+  * Parity rules (SURVEY.md §6):
+  *  - identical output column aliases and integer widths (BIGINT),
+  *  - `floor(x*1e6+0.5)/1e6` rounding (bit-exact in both engines,
+  *    unlike `round`),
+  *  - per-row integerization before double sums (order-independent),
+  *  - sequential left-to-right `list_reduce` folds mirroring Spark's
+  *    `aggregate` HOF for vector math,
+  *  - explicit `floor` before every double→int cast (DuckDB casts
+  *    round, Spark casts truncate),
+  *  - explicit tiebreaks in every top-k / window.
+  */
+object OracleSql {
+
+  private def r6(e: String) = s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+  private def cents(e: String, scale: String) = s"CAST(floor(($e) * $scale + 0.5) AS BIGINT)"
+  private val toks = "string_split_regex(trim(text), '\\s+')"
+  private def dot(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+  private def dist2(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)), (x, y) -> x + y)"
+  private def nrm(a: String) = s"sqrt(${dot(a, a)})"
+
+  // ---- E. relational core ----------------------------------------------
+
+  val q1Agg: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  sum(${cents("l_quantity", "100.0")}) / 100.0 AS sum_qty,
+       |  sum(${cents("l_extendedprice", "100.0")}) / 100.0 AS sum_base_price,
+       |  sum(${cents("l_extendedprice * (1.0 - l_discount)", "10000.0")}) / 10000.0 AS sum_disc_price,
+       |  (sum(${cents("l_quantity", "100.0")}) / 100.0) / count(*) AS avg_qty,
+       |  count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY 1, 2""".stripMargin
+
+  val q3Join: String =
+    s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, revenue FROM (
+       |  SELECT l_orderkey, o_orderdate,
+       |    sum(${cents("l_extendedprice * (1.0 - l_discount)", "10000.0")}) / 10000.0 AS revenue
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  WHERE c_mktsegment = 'BUILDING'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01'
+       |    AND l_shipdate > TIMESTAMP '1998-01-01'
+       |  GROUP BY 1, 2
+       |) ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  val qWindow: String =
+    s"""SELECT o_custkey, o_orderkey,
+       |  CAST(row_number() OVER w AS BIGINT) AS rn,
+       |  lag(o_totalprice, 1) OVER w AS prev_price,
+       |  sum(${cents("o_totalprice", "100.0")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total
+       |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  val qTopnGroup: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders
+      |) WHERE rn <= 2""".stripMargin
+
+  val qRollup: String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       |  coalesce(l_linestatus, 'ALL') AS linestatus,
+       |  sum(${cents("l_quantity", "100.0")}) / 100.0 AS sum_qty,
+       |  count(*) AS n
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  val qEventsSessionize: String =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+       |l AS (SELECT user_id, event_id, us,
+       |  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+       |n AS (SELECT user_id, event_id, us,
+       |  CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+       |s AS (SELECT user_id, us,
+       |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       |  min(us) AS start_us, max(us) AS end_us,
+       |  ${r6("(max(us) - min(us)) / 1000000.0")} AS duration_s
+       |FROM s GROUP BY 1, 2""".stripMargin
+
+  val qEventsFunnel: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |v AS (SELECT user_id, min(us) AS view_us FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(us) AS click_us FROM e JOIN v USING(user_id)
+      |  WHERE event_type = 'click' AND us > view_us GROUP BY 1),
+      |p AS (SELECT e.user_id, min(us) AS purchase_us FROM e JOIN c USING(user_id)
+      |  WHERE event_type = 'purchase' AND us > click_us GROUP BY 1)
+      |SELECT u.user_id, view_us, click_us, purchase_us
+      |FROM u LEFT JOIN v USING(user_id) LEFT JOIN c USING(user_id) LEFT JOIN p USING(user_id)""".stripMargin
+
+  val qJson: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
+       |  ${r6("sum(k) / (1.0 * count(*))")} AS avg_k
+       |FROM (SELECT event_type, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events)
+       |GROUP BY 1""".stripMargin
+
+  // ---- B. document pipeline --------------------------------------------
+
+  private val chunkCte =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |c AS (SELECT doc_id, tk,
+       |  unnest(generate_series(0, CAST(ceil(len(tk) / 20.0) AS BIGINT) - 1)) AS chunk_idx FROM t),
+       |ch AS (SELECT doc_id, chunk_idx,
+       |  md5(array_to_string(list_slice(tk, chunk_idx * 20 + 1, chunk_idx * 20 + 20), ' ')) AS chunk_hash,
+       |  CAST(len(list_slice(tk, chunk_idx * 20 + 1, chunk_idx * 20 + 20)) AS BIGINT) AS n_words FROM c)""".stripMargin
+
+  val docChunk: String =
+    s"""$chunkCte
+       |SELECT doc_id, chunk_idx, chunk_hash, n_words FROM ch""".stripMargin
+
+  val docParse: String =
+    s"""WITH t AS (SELECT doc_id, source, lang, ($toks)[1] AS first_tok FROM documents),
+       |n AS (SELECT doc_id, source, lang,
+       |  strpos('0123456789abcdef', substr(md5(first_tok), 1, 1)) - 1 AS nib FROM t),
+       |cat AS (SELECT doc_id, source, lang,
+       |  CASE nib % 3 WHEN 0 THEN 'idea' WHEN 1 THEN 'quote' ELSE 'question' END AS category FROM n)
+       |SELECT doc_id, category,
+       |  CAST(row_number() OVER (PARTITION BY category ORDER BY doc_id) AS BIGINT) AS cat_idx,
+       |  source, lang
+       |FROM cat""".stripMargin
+
+  private val cleanExpr =
+    """trim(regexp_replace(regexp_replace(text, '\[([^\]]*)\]\([^)]*\)', '\1', 'g'), '\s+', ' ', 'g'))"""
+
+  val docClean: String =
+    s"""SELECT doc_id, md5($cleanExpr) AS clean_hash,
+       |  CAST(length($cleanExpr) AS BIGINT) AS n_chars_clean
+       |FROM documents""".stripMargin
+
+  val docStats: String =
+    s"""WITH t AS (SELECT source, lang, n_chars, len($toks) AS n_toks FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+       |  ${r6("sum(n_chars) / (1.0 * count(*))")} AS avg_chars,
+       |  ${r6("sum(n_toks) / (1.0 * count(*))")} AS avg_toks
+       |FROM t GROUP BY 1""".stripMargin
+
+  // ---- D. text analysis ------------------------------------------------
+
+  private val markerValues =
+    LangMarkers.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+
+  val textLangid: String =
+    s"""WITH m(cand, word) AS (VALUES $markerValues),
+       |langs AS (SELECT DISTINCT cand FROM m),
+       |d AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+       |h AS (SELECT doc_id, cand, count(*) AS score FROM d JOIN m USING(word) GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, lang, cand, coalesce(score, 0) AS score
+       |  FROM (SELECT doc_id, lang FROM documents) CROSS JOIN langs LEFT JOIN h USING(doc_id, cand)),
+       |best AS (SELECT doc_id, lang, cand FROM (
+       |  SELECT doc_id, lang, cand,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM sc)
+       |  WHERE rn = 1)
+       |SELECT lang, cand AS pred_lang, count(*) AS n_docs FROM best GROUP BY 1, 2""".stripMargin
+
+  private val stopList = StopEn.map(w => s"'$w'").mkString(", ")
+
+  val textQuality: String =
+    s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+       |q AS (SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_t,
+       |  CAST(len(tk) AS BIGINT) AS n_toks,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |  CAST(len(list_filter(tk, w -> w IN ($stopList))) AS BIGINT) AS n_stop,
+       |  CAST(list_reduce(list_transform(tk, w -> CAST(length(w) AS BIGINT)), (x, y) -> x + y) AS BIGINT) AS sum_wlen
+       |FROM t)
+       |SELECT doc_id, n_chars_t, n_toks,
+       |  ${r6("n_punct / (1.0 * n_chars_t)")} AS punct_ratio,
+       |  ${r6("n_stop / (1.0 * n_toks)")} AS stop_ratio,
+       |  ${r6("sum_wlen / (1.0 * n_toks)")} AS mean_wlen,
+       |  ${r6("1.0 / (1.0 + exp(-(0.02 * n_toks + 4.0 * (n_stop / (1.0 * n_toks)) - 8.0 * (n_punct / (1.0 * n_chars_t)) - 1.0)))")} AS quality
+       |FROM q""".stripMargin
+
+  val textTokens: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_t,
+       |  CAST(len($toks) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_re_tokens,
+       |  ${r6(s"length(text) / (1.0 * len($toks))")} AS chars_per_token
+       |FROM documents""".stripMargin
+
+  val textFingerprint: String =
+    s"""WITH f AS (SELECT doc_id,
+       |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fingerprint FROM documents)
+       |SELECT doc_id, fingerprint,
+       |  CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_same
+       |FROM f""".stripMargin
+
+  // ---- A. vector search ------------------------------------------------
+
+  val vsNorm: String =
+    s"""WITH n AS (SELECT vec_id, embedding AS a, ${nrm("embedding")} AS nv FROM embeddings)
+       |SELECT vec_id, ${r6("nv")} AS l2_norm,
+       |  ${r6("list_reduce(list_transform(a, x -> x::DOUBLE / nv), (x, y) -> x + y)")} AS checksum,
+       |  ${r6("a[1]::DOUBLE / nv")} AS c0
+       |FROM n""".stripMargin
+
+  private val qVec0 = "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
+  private val scoredAll =
+    s"s AS (SELECT vec_id, ${dot("embedding", "qv")} AS sc FROM embeddings, q)"
+
+  val vsKnnTopk: String =
+    s"""WITH $qVec0, $scoredAll
+       |SELECT vec_id, ${r6("sc")} AS score FROM s ORDER BY sc DESC, vec_id LIMIT 10""".stripMargin
+
+  private val qSet =
+    "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0)"
+  private val scoredSet =
+    s"s AS (SELECT query_id, e.vec_id, ${dot("e.embedding", "qv")} AS sc FROM embeddings e, q)"
+
+  val vsKnnJoin: String =
+    s"""WITH $qSet, $scoredSet,
+       |r AS (SELECT query_id, vec_id, sc,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id) AS BIGINT) AS rnk FROM s)
+       |SELECT query_id, vec_id, rnk, ${r6("sc")} AS score FROM r WHERE rnk <= 5""".stripMargin
+
+  val vsRangeSearch: String =
+    s"""WITH $qSet, $scoredSet
+       |SELECT query_id, vec_id, ${r6("sc")} AS score FROM s WHERE sc >= 0.25""".stripMargin
+
+  private val logitExpr = "8.0 * sc - 1.0 + n_chars / 1000.0"
+  private val labelExpr =
+    "CASE WHEN logit >= 2.0 THEN 'green' WHEN logit >= 0.5 THEN 'yellow' ELSE 'red' END"
+
+  val vsRerank: String =
+    s"""WITH $qVec0, $scoredAll,
+       |top AS (SELECT vec_id, sc FROM s ORDER BY sc DESC, vec_id LIMIT 20),
+       |j AS (SELECT d.doc_id, t.sc, $logitExpr AS logit
+       |  FROM top t JOIN documents d ON d.doc_id = t.vec_id)
+       |SELECT doc_id, ${r6("sc")} AS retrieve_score, ${r6("logit")} AS logit,
+       |  ${r6("1.0 / (1.0 + exp(-logit))")} AS prob,
+       |  $labelExpr AS label,
+       |  CAST(row_number() OVER (ORDER BY logit DESC, doc_id) AS BIGINT) AS rerank_rank
+       |FROM j""".stripMargin
+
+  val vsFilteredSearch: String =
+    s"""WITH $qVec0, $scoredAll,
+       |top AS (SELECT vec_id, sc FROM s ORDER BY sc DESC, vec_id LIMIT 50),
+       |j AS (SELECT d.doc_id, d.lang, d.n_chars, $logitExpr AS logit
+       |  FROM top t JOIN documents d ON d.doc_id = t.vec_id)
+       |SELECT doc_id, lang, n_chars, ${r6("logit")} AS logit, $labelExpr AS label
+       |FROM j WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400 AND logit >= 0.5
+       |ORDER BY logit DESC, doc_id LIMIT 10""".stripMargin
+
+  private val ivfCtes =
+    s"""cent AS (SELECT vec_id AS cluster_id, embedding AS cvec FROM embeddings WHERE vec_id % 53 = 0),
+       |ad AS (SELECT e.vec_id, c.cluster_id, ${dist2("e.embedding", "c.cvec")} AS d2
+       |  FROM embeddings e CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, cluster_id, d2 FROM (
+       |  SELECT vec_id, cluster_id, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn FROM ad)
+       |  WHERE rn = 1)""".stripMargin
+
+  val vsCentroids: String =
+    s"""WITH $ivfCtes
+       |SELECT cluster_id, count(*) AS n,
+       |  ${r6(s"sum(${cents("d2", "1000000000.0")}) / (1000000000.0 * count(*))")} AS avg_d2
+       |FROM asg GROUP BY 1""".stripMargin
+
+  val vsIvfAnn: String =
+    s"""WITH $ivfCtes,
+       |$qVec0,
+       |probe AS (SELECT cluster_id FROM (
+       |  SELECT cluster_id, ${dist2("cvec", "qv")} AS cd2 FROM cent, q)
+       |  ORDER BY cd2, cluster_id LIMIT 3),
+       |cand AS (SELECT e.vec_id, e.embedding, a.cluster_id FROM embeddings e
+       |  JOIN asg a USING(vec_id)
+       |  WHERE a.cluster_id IN (SELECT cluster_id FROM probe)),
+       |sc AS (SELECT cluster_id, vec_id, ${dot("embedding", "qv")} AS s FROM cand, q)
+       |SELECT cluster_id, vec_id, ${r6("s")} AS score FROM sc ORDER BY s DESC, vec_id LIMIT 10""".stripMargin
+
+  // ---- C. dedup --------------------------------------------------------
+
+  val dedupExact: String =
+    s"""$chunkCte
+       |SELECT chunk_hash, count(*) AS n_copies,
+       |  CAST(min(doc_id * 100000 + chunk_idx) AS BIGINT) AS keeper
+       |FROM ch GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
+  private val shingleCte =
+    s"""t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |  CASE WHEN len(tk) >= 3
+       |    THEN list_transform(generate_series(1, len(tk) - 2),
+       |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+       |    ELSE CAST([] AS VARCHAR[]) END)) AS shingle FROM t)""".stripMargin
+
+  private val pivotCols = (0 until 16).map(j =>
+    s"min(CASE WHEN j = $j THEN m END) AS m$j").mkString(", ")
+  private val bandArms = (0 until 8).map(b =>
+    if (b < 7) s"WHEN $b THEN md5(m${2 * b} || m${2 * b + 1})"
+    else s"ELSE md5(m${2 * b} || m${2 * b + 1})").mkString(" ")
+
+  private val bandCtes =
+    s"""$shingleCte,
+       |mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS m
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) pj GROUP BY 1, 2),
+       |piv AS (SELECT doc_id, $pivotCols FROM mh GROUP BY 1),
+       |bands AS (SELECT doc_id, band, CASE band $bandArms END AS sig
+       |  FROM piv CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) pb),
+       |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_bands
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val dedupMinhash: String =
+    s"""WITH $bandCtes
+       |SELECT doc_a, doc_b, n_bands FROM cand""".stripMargin
+
+  val dedupNgram: String =
+    s"""WITH $bandCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       |  ${r6("coalesce(i.n_inter, 0) / (1.0 * (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)))")} AS jaccard
+       |FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes za ON za.doc_id = c.doc_a
+       |JOIN sizes zb ON zb.doc_id = c.doc_b""".stripMargin
+
+  val dedupSimhash: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+       |bb AS (SELECT unnest(generate_series(0, 31)) AS b),
+       |v AS (SELECT doc_id, b,
+       |  CASE WHEN CAST(floor((strpos('0123456789abcdef', substr(md5(w), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
+       |      / (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS INT) % 2 = 1
+       |    THEN 1 ELSE -1 END AS vt
+       |  FROM tok CROSS JOIN bb),
+       |sb AS (SELECT doc_id, b, sum(vt) AS s FROM v GROUP BY 1, 2),
+       |sg AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM sb GROUP BY 1),
+       |m AS (SELECT doc_id, lang, sig FROM sg JOIN documents USING(doc_id))
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.lang AS lang,
+       |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+       |FROM m x JOIN m y ON x.lang = y.lang AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sig, y.sig)) <= 8""".stripMargin
+
+  val dedupEmbed: String =
+    s"""WITH $ivfCtes,
+       |e AS (SELECT a.vec_id, a.embedding, g.cluster_id
+       |  FROM embeddings a JOIN asg g USING(vec_id))
+       |SELECT x.cluster_id, x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |  ${r6(s"${dot("x.embedding", "y.embedding")} / (${nrm("x.embedding")} * ${nrm("y.embedding")})")} AS cos_sim
+       |FROM e x JOIN e y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+       |WHERE ${dot("x.embedding", "y.embedding")} / (${nrm("x.embedding")} * ${nrm("y.embedding")}) >= 0.35""".stripMargin
+
+  /** name → oracle SQL for every SQL-expressible query. */
+  val all: Map[String, String] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_join" -> q3Join,
+    "q_window" -> qWindow,
+    "q_topn_group" -> qTopnGroup,
+    "q_rollup" -> qRollup,
+    "q_events_sessionize" -> qEventsSessionize,
+    "q_events_funnel" -> qEventsFunnel,
+    "q_json" -> qJson,
+    "doc_chunk" -> docChunk,
+    "doc_parse" -> docParse,
+    "doc_clean" -> docClean,
+    "doc_stats" -> docStats,
+    "text_langid" -> textLangid,
+    "text_quality" -> textQuality,
+    "text_tokens" -> textTokens,
+    "text_fingerprint" -> textFingerprint,
+    "vs_norm" -> vsNorm,
+    "vs_knn_topk" -> vsKnnTopk,
+    "vs_knn_join" -> vsKnnJoin,
+    "vs_range_search" -> vsRangeSearch,
+    "vs_rerank" -> vsRerank,
+    "vs_filtered_search" -> vsFilteredSearch,
+    "vs_centroids" -> vsCentroids,
+    "vs_ivf_ann" -> vsIvfAnn,
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_ngram" -> dedupNgram,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embed" -> dedupEmbed,
+  )
+}

@@ -1,13 +1,63 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.multimodal.Multimodal
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every implemented operator has a `queries` entry; every
+  * SQL-expressible one has a matching DuckDB mirror in [[OracleSql]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * batch k-NN (the reference's core retrieve, app.py:84-86).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    KnnSearch.knnJoin(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E. relational / analytics core
+    "q1_agg" -> ((s, d) => Relational.q1(s, d)),
+    "q3_join" -> ((s, d) => Relational.q3(s, d)),
+    "q_window" -> ((s, d) => Relational.windowFuncs(s, d)),
+    "q_topn_group" -> ((s, d) => Relational.topNPerGroup(s, d)),
+    "q_rollup" -> ((s, d) => Relational.rollupAgg(s, d)),
+    "q_events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
+    "q_events_funnel" -> ((s, d) => EventOps.funnel(s, d)),
+    "q_json" -> ((s, d) => EventOps.jsonAgg(s, d)),
+    // B. document pipeline
+    "doc_chunk" -> ((s, d) => Chunker.chunk(s, d)),
+    "doc_parse" -> ((s, d) => Chunker.parse(s, d)),
+    "doc_clean" -> ((s, d) => Chunker.clean(s, d)),
+    "doc_stats" -> ((s, d) => Chunker.stats(s, d)),
+    // D. text analysis
+    "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    // A. vector search
+    "vs_norm" -> ((s, d) => KnnSearch.normalize(s, d)),
+    "vs_knn_topk" -> ((s, d) => KnnSearch.topK(s, d)),
+    "vs_knn_join" -> ((s, d) => KnnSearch.knnJoin(s, d)),
+    "vs_range_search" -> ((s, d) => KnnSearch.rangeSearch(s, d)),
+    "vs_rerank" -> ((s, d) => KnnSearch.rerank(s, d)),
+    "vs_filtered_search" -> ((s, d) => KnnSearch.filteredSearch(s, d)),
+    "vs_centroids" -> ((s, d) => IvfIndex.centroidStats(s, d)),
+    "vs_ivf_ann" -> ((s, d) => IvfIndex.search(s, d)),
+    // C. dedup
+    "dedup_exact" -> ((s, d) => Dedup.exactChunks(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_embed" -> ((s, d) => Dedup.embedCosine(s, d)),
+    // G. multimodal plumbing (no SQL oracle — rows-only check)
+    "mm_binary" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
+  )
+
+  /** DuckDB mirrors (see OracleSql). `mm_binary` is intentionally
+    * omitted (stubbed model decode — not SQL-expressible).
+    */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

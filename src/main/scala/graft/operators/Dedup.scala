@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication family for LLM training-data pipelines
+  * (SURVEY.md §2-C): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine.
+  *
+  * Scale design: every variant is candidate-generation-first — no
+  * all-pairs O(N²) stage ever touches the full corpus. MinHash bands,
+  * SimHash language blocks and IVF clusters each bound the pair space,
+  * and the expensive exact measure (Jaccard / cosine) runs only on
+  * candidates.
+  */
+object Dedup {
+
+  val NumPerms = 16
+  val NumBands = 8 // 8 bands × 2 rows over the 16 permutations
+
+  /** (doc_id, shingle) — distinct 3-word shingles, exploded. */
+  def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("shingle"))
+
+  /** Exact dedup at the training-unit (chunk) level: md5-hash-groupBy,
+    * keep the minimum (doc_id, chunk_idx), report duplicated groups.
+    * One shuffle on the hash; with hash-bucketed storage it would be
+    * shuffle-free.
+    */
+  def exactChunks(spark: SparkSession, dir: String): DataFrame =
+    Chunker.chunkedText(Tables.documents(spark, dir))
+      .select(md5(col("chunk_text")).as("chunk_hash"),
+        (col("doc_id") * 100000 + col("chunk_idx")).as("chunk_key"))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("chunk_key")).as("keeper"))
+      .filter(col("n_copies") > 1)
+
+  /** Per-doc minhash signatures pivoted wide: doc_id, m0..m15.
+    * Portable hashing: permutation j of shingle s is md5(j||':'||s), and
+    * the minhash is the lexicographic minimum hex string (SURVEY.md §6).
+    * Relational shape (explode → groupBy min) so both engines agree and
+    * the heavy step is a map-side partial min.
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perms = broadcast((0 until NumPerms).toDF("j"))
+    val mh = docShingles(spark, dir).crossJoin(perms)
+      .select(col("doc_id"), col("j"),
+        md5(concat(col("j").cast("string"), lit(":"), col("shingle"))).as("h"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(col("h")).as("m"))
+    mh.groupBy(col("doc_id"))
+      .agg(min(when(col("j") === 0, col("m"))).as("m0"),
+        (1 until NumPerms).map(j =>
+          min(when(col("j") === j, col("m"))).as(s"m$j")): _*)
+  }
+
+  /** (doc_id, band, sig): LSH band signatures (2 minhashes per band). */
+  def bandSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val bandStructs = array((0 until NumBands).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("sig"))): _*)
+    minhashSignatures(spark, dir)
+      .select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing ≥1 band signature, with
+    * the shared-band count. The join key is (band, sig) — candidate
+    * generation is linear-ish in corpus size, never all-pairs.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandSignatures(spark, dir)
+    bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard, computed only on the LSH
+    * candidate pairs (the verify step of the MinHash pipeline).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val cand = minhashLsh(spark, dir).select("doc_a", "doc_b")
+    val sh = docShingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        r6(col("n_inter") / (lit(1.0) * (col("n_a") + col("n_b") - col("n_inter")))))
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+  }
+
+  /** Per-doc 32-bit SimHash over the token multiset. Bits come from
+    * md5 nibbles (portable across engines, SURVEY.md §6): token hash bit
+    * b = bit (b%4, MSB-first) of hex nibble (b/4) of md5(token); the
+    * signature bit is the sign of the ±1 vote sum.
+    */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bits = broadcast((0 until 32).toDF("b"))
+    val vote = expr(
+      """case when cast(floor((instr('0123456789abcdef', substring(md5(w), cast(floor(b/4) as int)+1, 1)) - 1)
+        |  / (case b%4 when 0 then 8 when 1 then 4 when 2 then 2 else 1 end)) as int) % 2 = 1
+        |then 1 else -1 end""".stripMargin)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .crossJoin(bits)
+      .select(col("doc_id"), col("b"), vote.as("v"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("v")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("cast(power(2, b) as bigint)")).otherwise(0L)).as("sig"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming, candidate
+    * space blocked by language (same-lang pairs only).
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    val sigs = simhashSignatures(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+    sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("lang"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("lang")),
+        Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "lang", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by IVF cluster: only
+    * same-cluster pairs are compared (the ANN-accelerated near-dup
+    * path — cross-cluster pairs are below the similarity threshold by
+    * construction of the index).
+    */
+  def embedCosine(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .join(IvfIndex.assign(spark, dir).select("vec_id", "cluster_id"), "vec_id")
+    e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("cluster_id"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("cluster_id")),
+        Seq("cluster_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
+      .filter(col("cos") >= threshold)
+      .select(col("cluster_id"), col("vec_a"), col("vec_b"), r6(col("cos")).as("cos_sim"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions.r6
+
+/** Event-stream batch analytics (SURVEY.md §2-E): sessionization,
+  * funnel, JSON payload extraction. All timestamps are handled as epoch
+  * microseconds (longs) so Spark/DuckDB comparisons are integer-exact.
+  */
+object EventOps {
+
+  private def base(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("props"), unix_micros(col("ts")).as("us"))
+
+  /** 30-minute-gap sessionization via lag + cumulative sum.
+    * Scale: exactly one shuffle (on user_id); both window passes and the
+    * final aggregation reuse that partitioning. This is the minimal data
+    * movement the semantics allow.
+    */
+  def sessionize(spark: SparkSession, dir: String, gapMicros: Long = 30L * 60 * 1000000): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    base(spark, dir)
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("us") - col("prev") > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"))
+      .withColumn("duration_s", r6((col("end_us") - col("start_us")) / lit(1000000.0)))
+  }
+
+  /** view → click → purchase funnel per user via conditional min-ts:
+    * first view, first click after that view, first purchase after that
+    * click. Scale: three partial-aggregations on user_id reusing one
+    * shuffle partitioning; the per-user timestamp tables are tiny and
+    * join-broadcastable.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = base(spark, dir).select("user_id", "event_type", "us")
+    val users = ev.select("user_id").distinct()
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("view_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("view_us"))
+      .groupBy("user_id").agg(min("us").as("click_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("click_us"))
+      .groupBy("user_id").agg(min("us").as("purchase_us"))
+    users.join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select("user_id", "view_us", "click_us", "purchase_us")
+  }
+
+  /** JSON property extraction + aggregation over the `props` payload.
+    * Scale: extraction is per-row (codegen'd JsonPath), aggregation is
+    * map-side partial.
+    */
+  def jsonAgg(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .withColumn("avg_k", r6(col("sum_k") / (lit(1.0) * col("n"))))
+      .select("event_type", "n", "sum_k", "max_k", "avg_k")
+}

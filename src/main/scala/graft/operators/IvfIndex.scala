@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** IVF-style approximate-nearest-neighbor index (SURVEY.md §2-A) — the
+  * 100 TB scale path the reference's in-memory Qdrant index
+  * (reference store_assets.py:40-77) cannot take.
+  *
+  * Design: a small centroid table (deterministic seed pick here; a few
+  * k-means iterations in production) is broadcast; every corpus vector
+  * is assigned to its nearest centroid in a single scan (argmin via
+  * window over the broadcast cross join — the corpus never shuffles).
+  * At scale the assignment is written bucketed/partitioned by
+  * `cluster_id`, so a query probing `nprobe` clusters prunes everything
+  * else at the parquet-partition level (predicate pushdown on the
+  * partition column), turning O(N) brute force into O(N·nprobe/k).
+  */
+object IvfIndex {
+
+  val CentroidStep = 53
+
+  /** Deterministic centroid seeds (stand-in for k-means init). */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") % CentroidStep === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("cvec"))
+
+  /** Nearest-centroid assignment with the squared-euclidean distance
+    * retained: (vec_id, cluster_id, d2).
+    */
+  def assign(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster_id").asc)
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .crossJoin(broadcast(centroids(spark, dir)))
+      .withColumn("d2", dist2(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cluster_id", "d2")
+  }
+
+  /** Index-build stats: per-cluster size and mean assignment distance
+    * (the k-means update step as an aggregation). The distance sum is
+    * integerized per-row so the group sum is order-independent.
+    */
+  def centroidStats(spark: SparkSession, dir: String): DataFrame =
+    assign(spark, dir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("d2"), 1e9)).as("sum_d2e9"))
+      .withColumn("avg_d2", r6(col("sum_d2e9") / (lit(1e9) * col("n"))))
+      .select("cluster_id", "n", "avg_d2")
+
+  /** IVF search: rank centroids by distance to the query, scan only the
+    * `nprobe` nearest clusters, brute-force top-k inside them.
+    */
+  def search(spark: SparkSession, dir: String, nprobe: Int = 3, k: Int = 10): DataFrame = {
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val probed = centroids(spark, dir).crossJoin(broadcast(q))
+      .withColumn("cd2", dist2(col("cvec"), col("qvec")))
+      .orderBy(col("cd2").asc, col("cluster_id").asc)
+      .limit(nprobe)
+      .select("cluster_id")
+    val cand = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .join(assign(spark, dir).select("vec_id", "cluster_id"), "vec_id")
+      .join(broadcast(probed), "cluster_id")
+    cand.crossJoin(broadcast(q))
+      .withColumn("score", dot(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("cluster_id"), col("vec_id"), r6(col("score")).as("score"))
+  }
+}

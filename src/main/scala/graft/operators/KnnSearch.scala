@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Vector search core (SURVEY.md §2-A) — the Spark re-expression of the
+  * reference's Qdrant dot-product search surface:
+  *  - encode-time L2 normalization (reference encode_assets.py:28-34)
+  *  - brute-force top-k by dot product (reference query.py:50-66)
+  *  - batch retrieve for many queries (reference app.py:69-99)
+  *  - cross-encoder rerank → sigmoid → label (reference query.py:57-97)
+  *  - payload-filtered search (reference mcp_server.py:80-215)
+  *
+  * Scale design: the query set is always the small side — broadcast it,
+  * scan the corpus once (embarrassingly parallel, filters/columns pushed
+  * to parquet), and keep only k×|queries| rows via per-partition partial
+  * top-k (window over the broadcast-joined scores). The corpus is never
+  * shuffled.
+  */
+object KnnSearch {
+
+  /** Corpus with the score against each query row attached.
+    * `queries` must be small (it is broadcast).
+    */
+  def scored(corpus: DataFrame, queries: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("score", dot(col("embedding"), col("qvec")))
+
+  private def queriesOf(spark: SparkSession, dir: String, pred: Column): DataFrame =
+    Tables.embeddings(spark, dir).filter(pred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  /** L2-normalize the embedding column (the encode step). Exposed to
+    * verify as scalar invariants (norm, checksum of the normalized
+    * vector, first component) so the oracle compare stays scalar.
+    */
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("normalized", l2normalize(col("embedding"), col("nrm")))
+      .select(col("vec_id"),
+        r6(col("nrm")).as("l2_norm"),
+        r6(seqSum(col("normalized"))).as("checksum"),
+        r6(element_at(col("normalized"), 1)).as("c0"))
+
+  /** Brute-force top-k for a single query vector (vec_id 0), dot-product
+    * score, deterministic tiebreak on vec_id.
+    */
+  def topK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    scored(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      queriesOf(spark, dir, col("vec_id") === 0))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), r6(col("score")).as("score"))
+
+  /** Batch k-NN: top-k corpus neighbors for every query in the query
+    * set (vec_id % 100 == 0), rank via window per query.
+    */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      queriesOf(spark, dir, col("vec_id") % 100 === 0))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"), r6(col("score")).as("score"))
+  }
+
+  /** Similarity range search: all (query, corpus) pairs with score ≥
+    * threshold (Qdrant score_threshold semantics).
+    */
+  def rangeSearch(spark: SparkSession, dir: String, threshold: Double = 0.25): DataFrame =
+    scored(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      queriesOf(spark, dir, col("vec_id") % 100 === 0))
+      .filter(col("score") >= threshold)
+      .select(col("query_id"), col("vec_id"), r6(col("score")).as("score"))
+
+  /** Deterministic stand-in for the cross-encoder logit (the real model
+    * is external; the reference applies sigmoid(logit) then labels,
+    * query.py:69-97). Combines retrieval score with a document-length
+    * feature so the rerank genuinely reorders.
+    */
+  def rerankLogit(score: Column, nChars: Column): Column =
+    lit(8.0) * score - lit(1.0) + nChars / lit(1000.0)
+
+  def relevanceLabel(logit: Column): Column =
+    when(logit >= 2.0, "green").when(logit >= 0.5, "yellow").otherwise("red")
+
+  /** Retrieve top-20 → rerank (logit → sigmoid prob → label) → re-sort
+    * by rerank score. Document metadata joins in on doc_id ≡ vec_id.
+    */
+  def rerank(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val top = scored(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      queriesOf(spark, dir, col("vec_id") === 0))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("score"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    top.join(docs, top("vec_id") === docs("doc_id"))
+      .withColumn("logit", rerankLogit(col("score"), col("n_chars")))
+      .withColumn("rerank_rank",
+        row_number().over(Window.orderBy(col("logit").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), r6(col("score")).as("retrieve_score"),
+        r6(col("logit")).as("logit"),
+        r6(lit(1.0) / (lit(1.0) + exp(-col("logit")))).as("prob"),
+        relevanceLabel(col("logit")).as("label"),
+        col("rerank_rank"))
+  }
+
+  /** Payload-filtered search (reference mcp_server.py:150-177): top-50
+    * retrieve → rerank → metadata filter (lang, length range) +
+    * min_score → limit.
+    */
+  def filteredSearch(spark: SparkSession, dir: String, retrieveK: Int = 50,
+      limitN: Int = 10): DataFrame = {
+    val top = scored(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      queriesOf(spark, dir, col("vec_id") === 0))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(retrieveK)
+      .select(col("vec_id"), col("score"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    top.join(docs, top("vec_id") === docs("doc_id"))
+      .withColumn("logit", rerankLogit(col("score"), col("n_chars")))
+      .filter(col("lang") === "en" && col("n_chars").between(100, 400)
+        && col("logit") >= 0.5)
+      .orderBy(col("logit").desc, col("doc_id").asc)
+      .limit(limitN)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        r6(col("logit")).as("logit"), relevanceLabel(col("logit")).as("label"))
+  }
+}

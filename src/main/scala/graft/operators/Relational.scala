@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions.{cents, r6}
+
+/** Relational / analytics core (SURVEY.md §2-E).
+  *
+  * Numeric contract: every double aggregate is integerized per-row
+  * (`floor(x*scale+0.5)` → long) before summing, so the group sum is an
+  * order-independent integer sum — identical in Spark's partial-agg tree
+  * and DuckDB's serial sum regardless of row order, then divided back to
+  * a double at the end. This keeps the DuckDB oracle hash-exact without
+  * depending on floating-point summation order.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: scan + filter + groupBy agg.
+    * Scale: filter pushed to parquet scan; map-side partial aggregation
+    * means only (flag,status) partials shuffle — O(cardinality), not
+    * O(rows).
+    */
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(cents(col("l_quantity"), 1e2)) / 100.0).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"), 1e2)) / 100.0).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1e4)) / 10000.0)
+          .as("sum_disc_price"),
+        ((sum(cents(col("l_quantity"), 1e2)) / 100.0) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style shipping priority: selective dim filter + two joins
+    * + agg + top-n. Scale: the filtered customer dim is broadcast (no
+    * shuffle of the fact side for that join); orders⋈lineitem shuffles
+    * on orderkey with AQE handling skew; top-10 is a global sort of the
+    * already-aggregated (small) result.
+    */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg((sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1e4)) / 10000.0)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("revenue"))
+  }
+
+  /** Window functions: row_number / lag / running sum per customer.
+    * Scale: one shuffle on the partition key, then a single sort within
+    * partitions serves all three window functions (same window spec).
+    */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("running_total",
+        sum(cents(col("o_totalprice"), 1e2))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / 100.0)
+      .select("o_custkey", "o_orderkey", "rn", "prev_price", "running_total")
+  }
+
+  /** Per-group top-n (arg-max pattern): 2 highest-value orders per
+    * customer via row_number. Scale: single shuffle on the group key; no
+    * global sort.
+    */
+  def topNPerGroup(spark: SparkSession, dir: String, n: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+  }
+
+  /** Multi-level aggregate (ROLLUP) for cube-style reporting. Rollup
+    * grouping sets are computed in one pass (Expand + partial agg).
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg((sum(cents(col("l_quantity"), 1e2)) / 100.0).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+}

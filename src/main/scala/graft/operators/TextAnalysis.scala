@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.r6
+
+/** Text analysis for LLM training-data pipelines (SURVEY.md §2-D):
+  * language ID, quality scoring, token counting, fingerprinting.
+  * Everything is per-row `Column` math (codegen'd) except langid's
+  * marker join, which broadcasts a ~40-row vocabulary.
+  */
+object TextAnalysis {
+
+  /** Language ID by stopword-marker scoring: count marker-word hits per
+    * candidate language, argmax with lexicographic tiebreak, reported as
+    * a (true lang × predicted lang) confusion matrix.
+    * Scale: tokens explode is map-side; the marker table is broadcast;
+    * one shuffle on doc_id for the score argmax, one tiny final agg.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val markers = broadcast(LangMarkers.toDF("cand", "word"))
+    val langs = broadcast(LangMarkers.map(_._1).distinct.sorted.toDF("cand"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val hits = docs.select(col("doc_id"), explode(col("toks")).as("word"))
+      .join(markers, "word")
+      .groupBy(col("doc_id"), col("cand"))
+      .agg(count(lit(1)).as("score"))
+    val scored = docs.select(col("doc_id"), col("lang")).crossJoin(langs)
+      .join(hits, Seq("doc_id", "cand"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0L)))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"), col("cand").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * word length, combined into a sigmoid quality score. All ratios are
+    * integer-exact before the final division.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_t"),
+        size(toks).cast("long").as("n_toks"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast("long").as("n_punct"),
+        markerCount(toks, StopEn).as("n_stop"),
+        sumTokenLengths(toks).as("sum_wlen"))
+      .withColumn("punct_ratio", r6(col("n_punct") / (lit(1.0) * col("n_chars_t"))))
+      .withColumn("stop_ratio", r6(col("n_stop") / (lit(1.0) * col("n_toks"))))
+      .withColumn("mean_wlen", r6(col("sum_wlen") / (lit(1.0) * col("n_toks"))))
+      .withColumn("quality",
+        r6(lit(1.0) / (lit(1.0) + exp(-(lit(0.02) * col("n_toks")
+          + lit(4.0) * (col("n_stop") / (lit(1.0) * col("n_toks")))
+          - lit(8.0) * (col("n_punct") / (lit(1.0) * col("n_chars_t")))
+          - lit(1.0))))))
+      .select("doc_id", "n_chars_t", "n_toks", "punct_ratio", "stop_ratio", "mean_wlen", "quality")
+  }
+
+  /** Token counting: whitespace tokens vs BPE-ish regex tokens
+    * (letter runs / digit runs / single non-space symbols) and
+    * chars-per-token.
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_t"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+          .as("n_re_tokens"))
+      .withColumn("chars_per_token", r6(col("n_chars_t") / (lit(1.0) * col("n_ws_tokens"))))
+
+  /** Canonical document fingerprint (sorted distinct token set → md5)
+    * plus the fingerprint-collision group size — rolling-hash-style
+    * near-identity detection at the document level.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fingerprint"))
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy(col("fingerprint"))).cast("long"))
+}
