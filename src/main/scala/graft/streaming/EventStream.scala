@@ -1,0 +1,29 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.cents
+
+/** Structured-Streaming event analytics (SURVEY.md §2-F).
+  *
+  * The transform is expressed once and applies to either a batch or a
+  * streaming DataFrame (watermark is attached only on streams) — the
+  * Spark-idiomatic way to keep batch backfill and the live pipeline on
+  * one code path. At scale the stream shuffles only the windowed
+  * partial aggregates (map-side combine per microbatch).
+  */
+object EventStream {
+
+  /** Tumbling (or sliding, if `slide` is set) window aggregation with a
+    * 10-minute watermark for late data.
+    */
+  def windowedAgg(events: DataFrame, win: String = "1 hour",
+      slide: Option[String] = None): DataFrame = {
+    val e = if (events.isStreaming) events.withWatermark("ts", "10 minutes") else events
+    val w = slide.map(s => window(col("ts"), win, s)).getOrElse(window(col("ts"), win))
+    e.groupBy(w.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"), 1e2)).as("sum_value_cents"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value_cents"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  lazy val lsh = Dedup.minhashLsh(spark, Sf).cache()
+  lazy val jac = Dedup.ngramJaccard(spark, Sf).cache()
+
+  test("LSH candidates include high-jaccard near-dup pairs") {
+    assert(jac.filter(col("jaccard") >= 0.5).count() > 0,
+      "planted near-dups (J>=0.8 exist in the corpus) not surfaced by LSH")
+  }
+
+  test("jaccard is within [0,1] and n_inter <= min shingle count") {
+    assert(jac.filter(col("jaccard") < 0 || col("jaccard") > 1).count() === 0)
+  }
+
+  test("pairs are canonical (doc_a < doc_b) and unique") {
+    assert(lsh.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(lsh.count() === lsh.select("doc_a", "doc_b").distinct().count())
+  }
+
+  test("simhash near-dup pairs have low hamming and same lang") {
+    val p = Dedup.simhashPairs(spark, Sf)
+    assert(p.filter(col("hamming") > 8).count() === 0)
+    assert(p.count() > 0)
+  }
+
+  test("exact chunk dedup finds duplicated chunks with copies > 1") {
+    val e = Dedup.exactChunks(spark, Sf)
+    assert(e.filter(col("n_copies") <= 1).count() === 0)
+    assert(e.count() > 0)
+  }
+
+  test("embedding near-dup pairs are same-cluster with cos >= threshold") {
+    val e = Dedup.embedCosine(spark, Sf)
+    assert(e.filter(col("cos_sim") < 0.349999).count() === 0)
+  }
+}

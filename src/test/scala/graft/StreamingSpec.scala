@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.{EventStream, SessionStream}
+import java.nio.file.Files
+
+/** Streaming specs drive the file source through real microbatches and
+  * compare against the batch twin of each transform on the same data.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private def eventsBatch: DataFrame =
+    Tables.events(spark, Sf).select("event_id", "ts", "user_id", "event_type", "value")
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-stream").toString
+
+  test("windowed agg on a stream matches the batch result") {
+    val dir = tmp()
+    eventsBatch.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(eventsBatch.schema).parquet(dir)
+    val q = EventStream.windowedAgg(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("winagg").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("winagg")
+        .orderBy("w_start", "event_type").collect().toSeq
+      val want = EventStream.windowedAgg(eventsBatch)
+        .orderBy("w_start", "event_type").collect().toSeq
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("stateful streaming sessionization matches batch sessionize") {
+    val dir = tmp()
+    eventsBatch.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(eventsBatch.schema).parquet(dir)
+    val q = SessionStream.sessionize(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    try {
+      q.processAllAvailable()
+      // push the watermark far past every open session so event-time
+      // timeouts fire (sentinel events, then an extra batch to process
+      // the timeout-only microbatch)
+      val sentinel = eventsBatch.groupBy("user_id")
+        .agg(max("event_id").as("event_id"))
+        .select(col("event_id") + 1000000, expr("timestamp'2030-01-01'").as("ts"),
+          col("user_id"), lit("sentinel").as("event_type"), lit(0.0).as("value"))
+      sentinel.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("sess")
+        .filter(col("start_us") < expr("unix_micros(timestamp'2029-01-01')"))
+        .select("user_id", "start_us", "end_us", "n_events")
+        .orderBy("user_id", "start_us").collect().toSeq
+      val want = graft.operators.EventOps.sessionize(spark, Sf)
+        .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+        .orderBy("user_id", "start_us").collect().toSeq
+      assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        === want.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    } finally q.stop()
+  }
+
+  test("batch-mode sessionize (final flush) matches batch EventOps") {
+    val got = SessionStream.sessionize(eventsBatch)
+      .orderBy("user_id", "start_us")
+      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSeq
+    val want = graft.operators.EventOps.sessionize(spark, Sf)
+      .orderBy("user_id", "start_us")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSeq
+    assert(got === want)
+  }
+}
