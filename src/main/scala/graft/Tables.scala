@@ -13,6 +13,17 @@ object Tables {
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a narrow scan across all cores before CPU-heavy per-row work.
+    * The local test tables are single parquet files (one input split),
+    * which would serialize map-side compute like md5-per-shingle; on a
+    * real cluster the scan already has many splits and this is a no-op
+    * (it only repartitions when splits < parallelism).
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

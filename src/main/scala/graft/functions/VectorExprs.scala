@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector-math hot path.
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) are
+  * CodegenFallback — every element goes through interpreted lambda
+  * dispatch and an intermediate array is materialized per row. These
+  * expressions generate a tight Java loop inside whole-stage codegen
+  * instead (no allocation, no virtual calls), which is what a
+  * billion-row ANN scan needs.
+  *
+  * Numeric contract: identical to the HOF formulation in
+  * [[VectorFunctions]] — elementwise float→double (exact), sequential
+  * left-to-right double accumulation starting at 0.0 — so results are
+  * bitwise equal and the DuckDB oracle mirrors stay valid
+  * (VectorExprsSpec asserts this).
+  */
+object VectorExprs {
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"expected float/double array, got $t")
+  }
+
+  abstract class VecFold extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    /** Java expression for the per-element contribution, given element
+      * accessor snippets `xi` and `yi` (already double).
+      */
+    protected def termJava(xi: String, yi: String): String
+    protected def term(x: Double, y: Double): Double
+
+    @transient private lazy val isF = elemIsFloat(left)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+        val yi = if (isF) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += term(xi, yi)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val get = if (elemIsFloat(left)) "getFloat" else "getDouble"
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ${termJava(s"((double)$a.$get($i))", s"((double)$b.$get($i))")};
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+  }
+
+  /** Sequential dot product: ((0 + x1*y1) + x2*y2) + ... */
+  case class DotProductExpr(left: Expression, right: Expression) extends VecFold {
+    override protected def termJava(xi: String, yi: String): String = s"$xi * $yi"
+    override protected def term(x: Double, y: Double): Double = x * y
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Sequential squared euclidean distance. */
+  case class Dist2Expr(left: Expression, right: Expression) extends VecFold {
+    override protected def termJava(xi: String, yi: String): String =
+      s"($xi - $yi) * ($xi - $yi)"
+    override protected def term(x: Double, y: Double): Double = (x - y) * (x - y)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dist2(a: Column, b: Column): Column =
+    ColumnBridge.column(Dist2Expr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -23,7 +23,7 @@ object Dedup {
 
   /** (doc_id, shingle) — distinct 3-word shingles, exploded. */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("shingle"))
 
   /** Exact dedup at the training-unit (chunk) level: md5-hash-groupBy,
@@ -42,22 +42,16 @@ object Dedup {
   /** Per-doc minhash signatures pivoted wide: doc_id, m0..m15.
     * Portable hashing: permutation j of shingle s is md5(j||':'||s), and
     * the minhash is the lexicographic minimum hex string (SURVEY.md §6).
-    * Relational shape (explode → groupBy min) so both engines agree and
-    * the heavy step is a map-side partial min.
+    * Computed entirely map-side with array HOFs — no explode, no
+    * shuffle; `array_min` on strings is the same lexicographic min the
+    * oracle's relational `GROUP BY ... min()` produces.
     */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val perms = broadcast((0 until NumPerms).toDF("j"))
-    val mh = docShingles(spark, dir).crossJoin(perms)
-      .select(col("doc_id"), col("j"),
-        md5(concat(col("j").cast("string"), lit(":"), col("shingle"))).as("h"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(col("h")).as("m"))
-    mh.groupBy(col("doc_id"))
-      .agg(min(when(col("j") === 0, col("m"))).as("m0"),
-        (1 until NumPerms).map(j =>
-          min(when(col("j") === j, col("m"))).as(s"m$j")): _*)
-  }
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .select(col("doc_id") +: (0 until NumPerms).map(j =>
+        array_min(transform(col("sh"), s =>
+          md5(concat(lit(j.toString), lit(":"), s)))).as(s"m$j")): _*)
 
   /** (doc_id, band, sig): LSH band signatures (2 minhashes per band). */
   def bandSignatures(spark: SparkSession, dir: String): DataFrame = {
@@ -117,7 +111,7 @@ object Dedup {
       """case when cast(floor((instr('0123456789abcdef', substring(md5(w), cast(floor(b/4) as int)+1, 1)) - 1)
         |  / (case b%4 when 0 then 8 when 1 then 4 when 2 then 2 else 1 end)) as int) % 2 = 1
         |then 1 else -1 end""".stripMargin)
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .crossJoin(bits)
       .select(col("doc_id"), col("b"), vote.as("v"))
@@ -148,7 +142,7 @@ object Dedup {
     * construction of the index).
     */
   def embedCosine(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val e = Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
       .join(IvfIndex.assign(spark, dir).select("vec_id", "cluster_id"), "vec_id")
     e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("cluster_id"))
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("cluster_id")),

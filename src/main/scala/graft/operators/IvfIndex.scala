@@ -33,7 +33,7 @@ object IvfIndex {
     */
   def assign(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster_id").asc)
-    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
       .crossJoin(broadcast(centroids(spark, dir)))
       .withColumn("d2", dist2(col("embedding"), col("cvec")))
       .withColumn("rn", row_number().over(w))

@@ -26,7 +26,7 @@ object KnnSearch {
     * `queries` must be small (it is broadcast).
     */
   def scored(corpus: DataFrame, queries: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(queries))
+    graft.Tables.fanOut(corpus).crossJoin(broadcast(queries))
       .withColumn("score", dot(col("embedding"), col("qvec")))
 
   private def queriesOf(spark: SparkSession, dir: String, pred: Column): DataFrame =
