@@ -53,6 +53,44 @@ object IvfIndex {
       .withColumn("avg_d2", r6(col("sum_d2e9") / (lit(1e9) * col("n"))))
       .select("cluster_id", "n", "avg_d2")
 
+  /** Persist the index: vectors co-located with their assignment,
+    * `partitionBy(cluster_id)` — at 100 TB this is the layout that
+    * turns ANN search into a partition-pruned scan of nprobe clusters
+    * instead of a full corpus scan. Centroids are stored alongside
+    * (tiny — they are the index metadata a query planner keeps in RAM,
+    * like Qdrant's coarse quantizer).
+    */
+  def writeIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .join(assign(spark, dir).select("vec_id", "cluster_id"), "vec_id")
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$indexPath/vectors")
+    centroids(spark, dir).write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
+  /** Search the persisted index: rank the (tiny, collected) centroid
+    * table against the query, then scan ONLY the nprobe nearest
+    * cluster partitions — the `cluster_id IN (...)` filter prunes at
+    * the parquet-partition level (visible as PartitionFilters in the
+    * scan; verified by IvfIndexSpec).
+    */
+  def searchIndex(spark: SparkSession, indexPath: String, query: DataFrame,
+      nprobe: Int = 3, k: Int = 10): DataFrame = {
+    val probed = spark.read.parquet(s"$indexPath/centroids").crossJoin(broadcast(query))
+      .withColumn("cd2", dist2(col("cvec"), col("qvec")))
+      .orderBy(col("cd2").asc, col("cluster_id").asc)
+      .limit(nprobe)
+      .select("cluster_id")
+      .collect().map(_.getLong(0)) // index metadata, O(nprobe) — not data
+    spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
+      .crossJoin(broadcast(query))
+      .withColumn("score", dot(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("cluster_id"), col("vec_id"), r6(col("score")).as("score"))
+  }
+
   /** IVF search: rank centroids by distance to the query, scan only the
     * `nprobe` nearest clusters, brute-force top-k inside them.
     */
