@@ -99,6 +99,18 @@ object OracleSql {
       |SELECT u.user_id, view_us, click_us, purchase_us
       |FROM u LEFT JOIN v USING(user_id) LEFT JOIN c USING(user_id) LEFT JOIN p USING(user_id)""".stripMargin
 
+  val qEventsAttribution: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       |w AS (SELECT user_id, event_id, event_type, us,
+       |  last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+       |FROM e)
+       |SELECT user_id, event_id, us AS purchase_us, last_click_us,
+       |  (last_click_us IS NOT NULL) AS attributed,
+       |  ${r6("(us - last_click_us) / 1000000.0")} AS lag_s
+       |FROM w WHERE event_type = 'purchase'""".stripMargin
+
   val qJson: String =
     s"""SELECT event_type, count(*) AS n,
        |  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
@@ -370,6 +382,7 @@ object OracleSql {
     "q_rollup" -> qRollup,
     "q_events_sessionize" -> qEventsSessionize,
     "q_events_funnel" -> qEventsFunnel,
+    "q_events_attribution" -> qEventsAttribution,
     "q_json" -> qJson,
     "doc_chunk" -> docChunk,
     "doc_parse" -> docParse,

@@ -26,7 +26,9 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.rollupAgg(s, d)),
     "q_events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "q_events_funnel" -> ((s, d) => EventOps.funnel(s, d)),
+    "q_events_attribution" -> ((s, d) => EventOps.attribution(s, d)),
     "q_json" -> ((s, d) => EventOps.jsonAgg(s, d)),
+    "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)), // no oracle: sketch
     // B. document pipeline
     "doc_chunk" -> ((s, d) => Chunker.chunk(s, d)),
     "doc_parse" -> ((s, d) => Chunker.parse(s, d)),

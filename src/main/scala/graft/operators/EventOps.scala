@@ -60,6 +60,25 @@ object EventOps {
       .select("user_id", "view_us", "click_us", "purchase_us")
   }
 
+  /** As-of attribution: each purchase joined to the user's most recent
+    * preceding click (the as-of-join pattern, expressed as an
+    * ignore-nulls window over the merged stream — one shuffle on
+    * user_id, no self-join). At 100 TB this beats a range self-join by
+    * orders of magnitude: the "join" is a single sorted pass.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base(spark, dir)
+      .withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("us").as("purchase_us"),
+        col("last_click_us"),
+        col("last_click_us").isNotNull.as("attributed"),
+        r6((col("us") - col("last_click_us")) / lit(1000000.0)).as("lag_s"))
+  }
+
   /** JSON property extraction + aggregation over the `props` payload.
     * Scale: extraction is per-row (codegen'd JsonPath), aggregation is
     * map-side partial.

@@ -91,6 +91,19 @@ object Relational {
       .filter(col("rn") <= n)
   }
 
+  /** Sketch aggregation: HyperLogLog++ approximate distinct counts next
+    * to the exact count (no SQL oracle — sketch estimates are
+    * engine-specific; the spec bounds the relative error instead).
+    * Scale: the HLL sketch is a fixed-size buffer merged map-side — the
+    * shuffle carries one sketch per group, not the value set.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n"))
+
   /** Multi-level aggregate (ROLLUP) for cube-style reporting. Rollup
     * grouping sets are computed in one pass (Expand + partial agg).
     */

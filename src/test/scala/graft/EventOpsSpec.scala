@@ -22,6 +22,20 @@ class EventOpsSpec extends AnyFunSuite {
     assert(f.filter(col("click_us").isNotNull && col("view_us").isNull).count() === 0)
   }
 
+  test("attribution: last click strictly precedes the purchase") {
+    val a = EventOps.attribution(spark, Sf)
+    assert(a.filter(col("attributed") && col("last_click_us") > col("purchase_us")).count() === 0)
+    assert(a.count() === Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase").count())
+  }
+
+  test("approx distinct is within the configured error of exact") {
+    val r = graft.operators.Relational.approxDistinct(spark, Sf)
+      .withColumn("rel_err",
+        abs(col("approx_parts") - col("exact_parts")) / col("exact_parts"))
+    assert(r.filter(col("rel_err") > 0.1).count() === 0)
+  }
+
   test("json extraction aggregates every event") {
     val j = EventOps.jsonAgg(spark, Sf)
     assert(j.agg(sum("n")).head().getLong(0) === Tables.events(spark, Sf).count())
