@@ -38,7 +38,10 @@ object VectorExprs {
     protected def termJava(xi: String, yi: String): String
     protected def term(x: Double, y: Double): Double
 
-    @transient private lazy val isF = elemIsFloat(left)
+    // element accessors are chosen per side: mixed float/double pairs
+    // (e.g. float corpus vs double k-means centroids) are legal
+    @transient private lazy val leftIsF = elemIsFloat(left)
+    @transient private lazy val rightIsF = elemIsFloat(right)
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -47,8 +50,8 @@ object VectorExprs {
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val xi = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
-        val yi = if (isF) y.getFloat(i).toDouble else y.getDouble(i)
+        val xi = if (leftIsF) x.getFloat(i).toDouble else x.getDouble(i)
+        val yi = if (rightIsF) y.getFloat(i).toDouble else y.getDouble(i)
         acc += term(xi, yi)
         i += 1
       }
@@ -57,7 +60,8 @@ object VectorExprs {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
-        val get = if (elemIsFloat(left)) "getFloat" else "getDouble"
+        val getL = if (elemIsFloat(left)) "getFloat" else "getDouble"
+        val getR = if (elemIsFloat(right)) "getFloat" else "getDouble"
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
@@ -65,7 +69,7 @@ object VectorExprs {
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += ${termJava(s"((double)$a.$get($i))", s"((double)$b.$get($i))")};
+           |  $acc += ${termJava(s"((double)$a.$getL($i))", s"((double)$b.$getR($i))")};
            |}
            |${ev.value} = $acc;
          """.stripMargin

@@ -51,4 +51,35 @@ object Multimodal {
     media.mapPartitions(it => it.grouped(BatchSize).flatMap(decodeBatch))
       .toDF()
   }
+
+  /** Metadata-level resize: recompute target dimensions preserving
+    * aspect ratio, payload untouched (a real pipeline would hand the
+    * (payload, target) pairs to the decoder batch). Pure column math —
+    * no bytes move until the decode stage consumes them.
+    */
+  def resize(media: DataFrame, maxSide: Int = 128): DataFrame = {
+    val scaleNum = lit(maxSide)
+    val longSide = greatest(col("width"), col("height"))
+    media
+      .withColumn("scale_num", scaleNum)
+      .withColumn("rs_width", ((col("width") * scaleNum) / longSide).cast("int"))
+      .withColumn("rs_height", ((col("height") * scaleNum) / longSide).cast("int"))
+      .drop("scale_num")
+  }
+
+  /** Frame sampling for audio/video-like payloads: split the byte
+    * stream into fixed-size frames and keep every `stride`-th one —
+    * the Spark-side plumbing (explode with positional index, pruned
+    * payload slices) is real; a codec would replace `substring`.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame = {
+    val nFrames = ceil(length(col("payload")) / lit(frameBytes.toDouble)).cast("int")
+    media
+      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        expr(s"substring(payload, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)")
+          .as("frame"))
+      .withColumn("frame_len", length(col("frame")).cast("long"))
+  }
 }

@@ -53,6 +53,43 @@ object IvfIndex {
       .withColumn("avg_d2", r6(col("sum_d2e9") / (lit(1e9) * col("n"))))
       .select("cluster_id", "n", "avg_d2")
 
+  /** Lloyd's k-means over the embedding column, entirely as DataFrame
+    * ops (the batch index build): assignment is a broadcast cross join
+    * + window argmin; the update step recomputes per-dimension means
+    * via posexplode + two-level aggregation. Data never leaves the
+    * executors — only the k×dim centroid means return to the driver
+    * each iteration to become the next broadcast (the MLlib pattern).
+    * Returns (final centroids, per-iteration objective = Σ d²).
+    */
+  def kmeans(spark: SparkSession, dir: String, iters: Int = 3): (DataFrame, Seq[Double]) = {
+    import spark.implicits._
+    val vecs = Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+    var cents: DataFrame = centroids(spark, dir)
+      .select(col("cluster_id"), transform(col("cvec"), _.cast("double")).as("cvec"))
+    val objectives = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster_id").asc)
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .withColumn("d2", dist2(col("embedding"), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cluster_id", "embedding", "d2")
+      objectives += assigned.agg(sum(col("d2"))).head().getDouble(0)
+      val means = assigned
+        .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("cluster_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+      // k×dim doubles — index metadata; collect to keep lineage flat
+      val rows = means.collect().map(r =>
+        (r.getLong(0), r.getSeq[Double](1)))
+      cents = spark.createDataFrame(rows.toIndexedSeq).toDF("cluster_id", "cvec")
+    }
+    (cents, objectives.toSeq)
+  }
+
   /** Persist the index: vectors co-located with their assignment,
     * `partitionBy(cluster_id)` — at 100 TB this is the layout that
     * turns ANN search into a partition-pruned scan of nprobe clusters

@@ -1,0 +1,25 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities (SURVEY.md §5). AQE's skew-join handling
+  * covers sort-merge joins; hot-key *aggregation* skew is handled here
+  * with classic salting: a two-stage aggregate where stage one spreads
+  * each hot key over `salts` reducers and stage two merges the partial
+  * results. Only partial rows shuffle twice — the data never does.
+  */
+object SkewOps {
+
+  /** Salted count/sum aggregation over a possibly-skewed key.
+    * Equivalent to `df.groupBy(key).agg(count, sum(valueCol))` for any
+    * distribution, but the first shuffle spreads each key across
+    * `salts` partitions.
+    */
+  def saltedAgg(df: DataFrame, key: Column, valueCents: Column, salts: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(key.as("key"), col("_salt"))
+      .agg(count(lit(1)).as("n_part"), sum(valueCents).as("sum_part"))
+      .groupBy(col("key"))
+      .agg(sum(col("n_part")).as("n"), sum(col("sum_part")).as("sum_cents"))
+}

@@ -14,6 +14,17 @@ import graft.functions.VectorFunctions.cents
   */
 object EventStream {
 
+  /** Streaming exact dedup: drop duplicate event_ids within the
+    * watermark window — the streaming twin of the batch hash-dedup
+    * (state is bounded by the watermark horizon, not the stream
+    * length; the training-data ingestion guard).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   /** Tumbling (or sliding, if `slide` is set) window aggregation with a
     * 10-minute watermark for late data.
     */

@@ -41,6 +41,36 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(dirs.length > 3, dirs.mkString(","))
   }
 
+  test("k-means objective is non-increasing across Lloyd iterations") {
+    val (cents, obj) = IvfIndex.kmeans(spark, Sf, iters = 3)
+    assert(obj.length === 3)
+    assert(obj.sliding(2).forall { case Seq(a, b) => b <= a + 1e-9 }, obj)
+    assert(cents.count() === IvfIndex.centroids(spark, Sf).count())
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    import graft.operators.SkewOps
+    import graft.functions.VectorFunctions.cents
+    val li = Tables.lineitem(spark, Sf)
+    val got = SkewOps.saltedAgg(li, col("l_returnflag"), cents(col("l_quantity"), 1e2))
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = li.groupBy(col("l_returnflag").as("key"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"), 1e2)).as("s"))
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
+  test("multimodal resize preserves aspect ratio bound; frame sampling strides") {
+    import graft.multimodal.Multimodal
+    val m = Multimodal.withBinary(Tables.documents(spark, Sf))
+    val rs = Multimodal.resize(m, maxSide = 128)
+    assert(rs.filter(col("rs_width") > 128 || col("rs_height") > 128).count() === 0)
+    val fr = Multimodal.frameSample(m)
+    assert(fr.filter(col("frame_idx") % 4 =!= 0).count() === 0)
+    assert(fr.filter(col("frame_len") > 32).count() === 0)
+    assert(fr.count() > 0)
+  }
+
   test("search facade: encode -> retrieve -> rerank -> label end to end") {
     val r = SearchApi.search(spark, Sf, "spark query join filter table scan",
       retrieveK = 10)

@@ -64,6 +64,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    val dir = tmp()
+    // write the events twice -> every event_id duplicated
+    eventsBatch.write.mode("overwrite").parquet(dir)
+    eventsBatch.write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(eventsBatch.schema).parquet(dir)
+    val q = EventStream.dedupStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() === eventsBatch.count())
+    } finally q.stop()
+  }
+
   test("batch-mode sessionize (final flush) matches batch EventOps") {
     val got = SessionStream.sessionize(eventsBatch)
       .orderBy("user_id", "start_us")
