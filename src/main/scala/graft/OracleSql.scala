@@ -74,6 +74,18 @@ object OracleSql {
        |  count(*) AS n
        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
+  val qSemiAnti: String =
+    """WITH w AS (SELECT c_nationkey, count(*) AS n_with FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) GROUP BY 1),
+      |wo AS (SELECT c_nationkey, count(*) AS n_without FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) GROUP BY 1)
+      |SELECT n_name,
+      |  coalesce(w.n_with, 0) AS n_with_orders,
+      |  coalesce(wo.n_without, 0) AS n_without_orders
+      |FROM nation
+      |LEFT JOIN w ON n_nationkey = w.c_nationkey
+      |LEFT JOIN wo ON n_nationkey = wo.c_nationkey""".stripMargin
+
   val qEventsSessionize: String =
     s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
        |l AS (SELECT user_id, event_id, us,
@@ -380,6 +392,7 @@ object OracleSql {
     "q_window" -> qWindow,
     "q_topn_group" -> qTopnGroup,
     "q_rollup" -> qRollup,
+    "q_semi_anti" -> qSemiAnti,
     "q_events_sessionize" -> qEventsSessionize,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_attribution" -> qEventsAttribution,

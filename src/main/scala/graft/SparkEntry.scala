@@ -24,6 +24,7 @@ object SparkEntry {
     "q_window" -> ((s, d) => Relational.windowFuncs(s, d)),
     "q_topn_group" -> ((s, d) => Relational.topNPerGroup(s, d)),
     "q_rollup" -> ((s, d) => Relational.rollupAgg(s, d)),
+    "q_semi_anti" -> ((s, d) => Relational.semiAnti(s, d)),
     "q_events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "q_events_funnel" -> ((s, d) => EventOps.funnel(s, d)),
     "q_events_attribution" -> ((s, d) => EventOps.attribution(s, d)),

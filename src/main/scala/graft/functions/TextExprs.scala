@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text expressions for the dedup hot path. Each has an HOF /
+  * relational twin that defines the semantics (and that the DuckDB
+  * oracle mirrors); specs assert exact equality.
+  */
+object TextExprs {
+
+  /** Distinct k-word shingles of a token array in one pass
+    * (first-occurrence order — the same order
+    * `array_distinct(transform(sequence...))` produces).
+    */
+  case class ShinglesExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val out = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i + k <= n) {
+        var s = toks.getUTF8String(i)
+        var j = 1
+        while (j < k) {
+          s = UTF8String.concat(s, UTF8String.fromString(" "), toks.getUTF8String(i + j))
+          j += 1
+        }
+        out.add(s)
+        i += 1
+      }
+      new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 32-bit SimHash of a token multiset in one pass. Bit b of the
+    * signature is the sign of Σ_tokens (±1), where the vote is bit
+    * (31-b) of the first 4 md5 bytes (big-endian) — exactly the
+    * md5-nibble formulation of the relational twin
+    * (Dedup.simhashSignaturesRelational / the DuckDB oracle).
+    */
+  case class SimHashExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+
+    @transient private lazy val digest = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val votes = new Array[Int](32)
+      val md = digest.get()
+      var i = 0
+      while (i < n) {
+        md.reset()
+        val d = md.digest(toks.getUTF8String(i).getBytes)
+        val h = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) | ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+        var b = 0
+        while (b < 32) {
+          votes(b) += (((h >>> (31 - b)) & 1) * 2 - 1)
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 32) {
+        if (votes(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def shingles(tokens: Column, k: Int = 3): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(tokens), k))
+
+  def simhash(tokens: Column): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
+}

@@ -21,10 +21,13 @@ object Dedup {
   val NumPerms = 16
   val NumBands = 8 // 8 bands × 2 rows over the 16 permutations
 
-  /** (doc_id, shingle) — distinct 3-word shingles, exploded. */
+  /** (doc_id, shingle) — distinct 3-word shingles, exploded (native
+    * one-pass shingler; TextFunctions.shingles is the HOF spec twin).
+    */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("shingle"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.shingles(tokens(col("text")))).as("shingle"))
 
   /** Exact dedup at the training-unit (chunk) level: md5-hash-groupBy,
     * keep the minimum (doc_id, chunk_idx), report duplicated groups.
@@ -47,6 +50,17 @@ object Dedup {
     * oracle's relational `GROUP BY ... min()` produces.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        graft.functions.MinHashExpr.minhashSig(
+          graft.functions.TextExprs.shingles(tokens(col("text"))), NumPerms).as("mh"))
+      .select(col("doc_id") +: (0 until NumPerms).map(j =>
+        element_at(col("mh"), j + 1).as(s"m$j")): _*)
+
+  /** HOF twin of the native minhash (the numeric spec the oracle
+    * mirrors; MinHashSpec asserts equality).
+    */
+  def minhashSignaturesHof(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
       .select(col("doc_id") +: (0 until NumPerms).map(j =>
@@ -104,7 +118,15 @@ object Dedup {
     * b = bit (b%4, MSB-first) of hex nibble (b/4) of md5(token); the
     * signature bit is the sign of the ±1 vote sum.
     */
-  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        graft.functions.TextExprs.simhash(tokens(col("text"))).as("sig"))
+
+  /** Relational twin of the native simhash (the formulation the DuckDB
+    * oracle mirrors; SimHashParitySpec asserts equality).
+    */
+  def simhashSignaturesRelational(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bits = broadcast((0 until 32).toDF("b"))
     val vote = expr(

@@ -91,6 +91,26 @@ object Relational {
       .filter(col("rn") <= n)
   }
 
+  /** Semi/anti-join coverage: per nation, customers with at least one
+    * order (left_semi ≡ EXISTS) vs customers with none (left_anti ≡
+    * NOT EXISTS). The orders side is projected to its join key only
+    * before the shuffle; the nation dim is broadcast.
+    */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, dir).select("o_custkey")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey").as("nk_w")).agg(count(lit(1)).as("n_with_orders"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nk_o")).agg(count(lit(1)).as("n_without_orders"))
+    broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name"))
+      .join(withOrders, col("n_nationkey") === col("nk_w"), "left")
+      .join(withoutOrders, col("n_nationkey") === col("nk_o"), "left")
+      .select(col("n_name"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+  }
+
   /** Sketch aggregation: HyperLogLog++ approximate distinct counts next
     * to the exact count (no SQL oracle — sketch estimates are
     * engine-specific; the spec bounds the relative error instead).

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.Ingest
+import java.nio.file.Files
+
+class IngestSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private lazy val docs = Tables.documents(spark, Sf)
+
+  test("jsonl roundtrip preserves the corpus") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString + "/d"
+    docs.select("doc_id", "text", "lang", "source").write.json(dir)
+    val back = Ingest.fromJsonl(spark, dir)
+    assert(back.count() === docs.count())
+    assert(back.agg(sum("n_chars")).head().getLong(0)
+      === docs.agg(sum("n_chars")).head().getLong(0))
+  }
+
+  test("csv roundtrip preserves the corpus") {
+    val dir = Files.createTempDirectory("graft-csv").toString + "/d"
+    docs.select("doc_id", "text", "lang", "source")
+      .write.option("header", "true").csv(dir)
+    val back = Ingest.fromCsv(spark, dir)
+    assert(back.count() === docs.count())
+  }
+
+  test("text ingest assigns ids and filters empties") {
+    val dir = Files.createTempDirectory("graft-txt").toString + "/d"
+    docs.select("text").write.text(dir)
+    val back = Ingest.fromText(spark, dir, "txt")
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").distinct().count() === docs.count())
+  }
+
+  test("corpus writer partitions by lang for directory pruning") {
+    val dir = Files.createTempDirectory("graft-corpus").toString + "/c"
+    Ingest.writeCorpus(docs.select("doc_id", "text", "lang", "source", "n_chars"), dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(parts.length === 5, parts.mkString(","))
+    val en = spark.read.parquet(dir).filter(col("lang") === "en")
+    en.collect()
+    val plan = en.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+  }
+}
