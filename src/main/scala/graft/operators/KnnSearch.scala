@@ -57,9 +57,27 @@ object KnnSearch {
       .select(col("vec_id"), r6(col("score")).as("score"))
 
   /** Batch k-NN: top-k corpus neighbors for every query in the query
-    * set (vec_id % 100 == 0), rank via window per query.
+    * set (vec_id % 100 == 0). The scan-side plan is the 100 TB shape:
+    * embeddings are dropped and a partition-local partial top-k
+    * ([[graft.plans.PartialTopK]]) runs BEFORE the shuffle, so only
+    * partitions×queries×k candidate rows reach the exact rank window
+    * instead of the full corpus×queries scored set.
     */
   def knnJoin(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    val pruned = scored(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      queriesOf(spark, dir, col("vec_id") % 100 === 0))
+      .select(col("query_id"), col("vec_id"), col("score"))
+    graft.plans.PartialTopK(pruned, "query_id", "score", "vec_id", k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"), r6(col("score")).as("score"))
+  }
+
+  /** Plain-window formulation of knnJoin (the reference semantics the
+    * oracle mirrors; PartialTopKSpec asserts equality).
+    */
+  def knnJoinPlain(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
     scored(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
       queriesOf(spark, dir, col("vec_id") % 100 === 0))
