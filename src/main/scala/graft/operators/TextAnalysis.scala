@@ -17,25 +17,24 @@ object TextAnalysis {
   /** Language ID by stopword-marker scoring: count marker-word hits per
     * candidate language, argmax with lexicographic tiebreak, reported as
     * a (true lang × predicted lang) confusion matrix.
-    * Scale: tokens explode is map-side; the marker table is broadcast;
-    * one shuffle on doc_id for the score argmax, one tiny final agg.
+    *
+    * Scale shape: scoring is per-row column math (marker sets are
+    * compile-time literals — nothing is exploded or joined, so no
+    * token shuffle ever happens); the argmax is an array_min over
+    * (-score, cand) structs, exactly the (score DESC, cand ASC)
+    * tiebreak the relational oracle formulation uses. The only shuffle
+    * is the tiny confusion-matrix aggregate.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val markers = broadcast(LangMarkers.toDF("cand", "word"))
-    val langs = broadcast(LangMarkers.map(_._1).distinct.sorted.toDF("cand"))
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
-    val hits = docs.select(col("doc_id"), explode(col("toks")).as("word"))
-      .join(markers, "word")
-      .groupBy(col("doc_id"), col("cand"))
-      .agg(count(lit(1)).as("score"))
-    val scored = docs.select(col("doc_id"), col("lang")).crossJoin(langs)
-      .join(hits, Seq("doc_id", "cand"), "left")
-      .withColumn("score", coalesce(col("score"), lit(0L)))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("lang"), col("cand").as("pred_lang"))
+    val toks = tokens(col("text"))
+    val cands = LangMarkers.map(_._1).distinct.sorted
+    val scoreStructs = array(cands.map { cand =>
+      val words = LangMarkers.filter(_._1 == cand).map(_._2)
+      struct((markerCount(toks, words) * -1L).as("negscore"), lit(cand).as("cand"))
+    }: _*)
+    Tables.documents(spark, dir)
+      .select(col("lang"), array_min(scoreStructs).getField("cand").as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
   }
 
