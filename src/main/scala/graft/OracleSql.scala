@@ -217,6 +217,14 @@ object OracleSql {
        |  ${r6(s"length(text) / (1.0 * len($toks))")} AS chars_per_token
        |FROM documents""".stripMargin
 
+  val textHeavyHitters: String =
+    s"""WITH t AS (SELECT lang, unnest($toks) AS token FROM documents),
+       |c AS (SELECT lang, token, count(*) AS cnt FROM t GROUP BY 1, 2)
+       |SELECT lang, token, cnt, rn FROM (
+       |  SELECT lang, token, cnt,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rn
+       |  FROM c) WHERE rn <= 5""".stripMargin
+
   val textFingerprint: String =
     s"""WITH f AS (SELECT doc_id,
        |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fingerprint FROM documents)
@@ -358,6 +366,21 @@ object OracleSql {
        |JOIN sizes za ON za.doc_id = c.doc_a
        |JOIN sizes zb ON zb.doc_id = c.doc_b""".stripMargin
 
+  val dedupDrop: String =
+    s"""WITH $bandCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT c.doc_a, c.doc_b,
+       |  ${r6("coalesce(i.n_inter, 0) / (1.0 * (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)))")} AS jaccard
+       |FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes za ON za.doc_id = c.doc_a
+       |JOIN sizes zb ON zb.doc_id = c.doc_b)
+       |SELECT doc_b AS drop_doc, min(doc_a) AS kept_doc, max(jaccard) AS max_jaccard
+       |FROM jac WHERE jaccard >= 0.8 GROUP BY 1""".stripMargin
+
   val dedupSimhash: String =
     s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
        |bb AS (SELECT unnest(generate_series(0, 31)) AS b),
@@ -405,6 +428,8 @@ object OracleSql {
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
+    "text_heavy_hitters" -> textHeavyHitters,
+    "dedup_drop" -> dedupDrop,
     "vs_norm" -> vsNorm,
     "vs_knn_topk" -> vsKnnTopk,
     "vs_knn_join" -> vsKnnJoin,

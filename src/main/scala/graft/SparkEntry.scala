@@ -40,6 +40,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    "dedup_drop" -> ((s, d) => Dedup.dropDecisions(s, d)),
     // A. vector search
     "vs_norm" -> ((s, d) => KnnSearch.normalize(s, d)),
     "vs_knn_topk" -> ((s, d) => KnnSearch.topK(s, d)),

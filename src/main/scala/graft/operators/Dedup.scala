@@ -113,6 +113,17 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 
+  /** The actionable end of the MinHash pipeline: for every verified
+    * near-dup pair (exact Jaccard ≥ threshold on LSH candidates), drop
+    * the higher doc_id and keep the lower — grouped so each dropped doc
+    * appears once with its canonical keeper.
+    */
+  def dropDecisions(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    ngramJaccard(spark, dir)
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_b").as("drop_doc"))
+      .agg(min(col("doc_a")).as("kept_doc"), max(col("jaccard")).as("max_jaccard"))
+
   /** Per-doc 32-bit SimHash over the token multiset. Bits come from
     * md5 nibbles (portable across engines, SURVEY.md §6): token hash bit
     * b = bit (b%4, MSB-first) of hex nibble (b/4) of md5(token); the

@@ -76,6 +76,21 @@ object TextAnalysis {
           .as("n_re_tokens"))
       .withColumn("chars_per_token", r6(col("n_chars_t") / (lit(1.0) * col("n_ws_tokens"))))
 
+  /** Corpus heavy hitters: the 5 most frequent tokens per language.
+    * Frequency analysis genuinely needs the token shuffle, but partial
+    * aggregation means only (lang, token, partial-count) rows move, and
+    * the per-group top-5 is a window over the aggregated (small) set.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, topN: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("token").asc)
+    graft.Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topN)
+  }
+
   /** Canonical document fingerprint (sorted distinct token set → md5)
     * plus the fingerprint-collision group size — rolling-hash-style
     * near-identity detection at the document level.
