@@ -225,6 +225,12 @@ object OracleSql {
        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rn
        |  FROM c) WHERE rn <= 5""".stripMargin
 
+  val textSampleBottomk: String =
+    """SELECT lang, rnk, h FROM (
+      |  SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rnk
+      |  FROM documents) WHERE rnk <= 5""".stripMargin
+
   val textFingerprint: String =
     s"""WITH f AS (SELECT doc_id,
        |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fingerprint FROM documents)
@@ -429,6 +435,7 @@ object OracleSql {
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "text_heavy_hitters" -> textHeavyHitters,
+    "text_sample_bottomk" -> textSampleBottomk,
     "dedup_drop" -> dedupDrop,
     "vs_norm" -> vsNorm,
     "vs_knn_topk" -> vsKnnTopk,

@@ -41,6 +41,7 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    "text_sample_bottomk" -> ((s, d) => TextAnalysis.bottomKSample(s, d)),
     "dedup_drop" -> ((s, d) => Dedup.dropDecisions(s, d)),
     // A. vector search
     "vs_norm" -> ((s, d) => KnnSearch.normalize(s, d)),

@@ -91,6 +91,22 @@ object TextAnalysis {
       .filter(col("rn") <= topN)
   }
 
+  /** Deterministic consistent sample per language: the k documents
+    * whose md5(doc_id) hashes are smallest (bottom-k sketch via a
+    * custom typed Aggregator — order-independent, so the distributed
+    * sample is reproducible and oracle-checkable). Output exploded to
+    * (lang, rnk, h) rows.
+    */
+  def bottomKSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val sketch = udaf(new graft.functions.BottomKSketch(k))
+    Tables.documents(spark, dir)
+      .select(col("lang"), md5(col("doc_id").cast("string")).as("h"))
+      .groupBy(col("lang"))
+      .agg(sketch(col("h")).as("sample"))
+      .select(col("lang"), posexplode(col("sample")).as(Seq("pos", "h")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"), col("h"))
+  }
+
   /** Canonical document fingerprint (sorted distinct token set → md5)
     * plus the fingerprint-collision group size — rolling-hash-style
     * near-identity detection at the document level.

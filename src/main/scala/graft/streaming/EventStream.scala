@@ -25,6 +25,27 @@ object EventStream {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Stream-stream interval join: each purchase joined to same-user
+    * clicks in the preceding 30 minutes. Both sides carry watermarks
+    * and the join condition bounds event time on both ends, so state
+    * for each side is evictable — the canonical watermarked
+    * stream-stream join shape (works identically on batch inputs).
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    def side(t: String, pfx: String) = {
+      val s = events.filter(col("event_type") === t)
+        .select(col("user_id").as(s"${pfx}_user"),
+          col("event_id").as(s"${pfx}_id"), col("ts").as(s"${pfx}_ts"))
+      if (events.isStreaming) s.withWatermark(s"${pfx}_ts", "10 minutes") else s
+    }
+    side("click", "click").join(side("purchase", "purchase"),
+      expr("""click_user = purchase_user AND
+              purchase_ts > click_ts AND
+              purchase_ts <= click_ts + interval 30 minutes"""))
+      .select(col("click_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Tumbling (or sliding, if `slide` is set) window aggregation with a
     * 10-minute watermark for late data.
     */

@@ -64,6 +64,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch twin") {
+    val dir = tmp()
+    eventsBatch.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(eventsBatch.schema).parquet(dir)
+    val q = EventStream.clickPurchaseJoin(stream)
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      q.processAllAvailable()
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("click_id", "purchase_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = key(spark.table("ssj"))
+      val want = key(EventStream.clickPurchaseJoin(eventsBatch))
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sliding windows emit one row per covering window") {
+    val agg = EventStream.windowedAgg(eventsBatch, win = "1 hour", slide = Some("30 minutes"))
+    val n1h = EventStream.windowedAgg(eventsBatch).agg(sum("n")).head().getLong(0)
+    // each event falls in exactly 2 sliding windows
+    assert(agg.agg(sum("n")).head().getLong(0) === 2 * n1h)
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     val dir = tmp()
     // write the events twice -> every event_id duplicated
