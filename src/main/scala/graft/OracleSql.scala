@@ -111,6 +111,27 @@ object OracleSql {
       |SELECT u.user_id, view_us, click_us, purchase_us
       |FROM u LEFT JOIN v USING(user_id) LEFT JOIN c USING(user_id) LEFT JOIN p USING(user_id)""".stripMargin
 
+  val qCube: String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       |  coalesce(l_linestatus, 'ALL') AS linestatus,
+       |  sum(${cents("l_quantity", "100.0")}) / 100.0 AS sum_qty,
+       |  count(*) AS n
+       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
+  val qConditionalAgg: String =
+    s"""SELECT o_orderpriority, count(*) AS n,
+       |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       |  count(*) FILTER (WHERE o_totalprice > 100000.0) AS n_large,
+       |  sum(CASE WHEN o_orderstatus = 'O' THEN ${cents("o_totalprice", "100.0")} ELSE 0 END) / 100.0 AS open_value
+       |FROM orders GROUP BY 1""".stripMargin
+
+  val qPercentiles: String =
+    s"""SELECT l_returnflag,
+       |  ${r6("quantile_cont(l_extendedprice, 0.5)")} AS p50,
+       |  ${r6("quantile_cont(l_extendedprice, 0.9)")} AS p90,
+       |  ${r6("quantile_cont(l_extendedprice, 0.99)")} AS p99
+       |FROM lineitem GROUP BY 1""".stripMargin
+
   val qEventsAttribution: String =
     s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
        |w AS (SELECT user_id, event_id, event_type, us,
@@ -422,6 +443,9 @@ object OracleSql {
     "q_topn_group" -> qTopnGroup,
     "q_rollup" -> qRollup,
     "q_semi_anti" -> qSemiAnti,
+    "q_cube" -> qCube,
+    "q_conditional_agg" -> qConditionalAgg,
+    "q_percentiles" -> qPercentiles,
     "q_events_sessionize" -> qEventsSessionize,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_attribution" -> qEventsAttribution,

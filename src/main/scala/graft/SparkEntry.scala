@@ -25,6 +25,9 @@ object SparkEntry {
     "q_topn_group" -> ((s, d) => Relational.topNPerGroup(s, d)),
     "q_rollup" -> ((s, d) => Relational.rollupAgg(s, d)),
     "q_semi_anti" -> ((s, d) => Relational.semiAnti(s, d)),
+    "q_cube" -> ((s, d) => Relational.cubeAgg(s, d)),
+    "q_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
+    "q_percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     "q_events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "q_events_funnel" -> ((s, d) => EventOps.funnel(s, d)),
     "q_events_attribution" -> ((s, d) => EventOps.attribution(s, d)),

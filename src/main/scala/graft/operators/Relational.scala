@@ -91,6 +91,46 @@ object Relational {
       .filter(col("rn") <= n)
   }
 
+  /** CUBE over (returnflag, linestatus): all 4 grouping sets in one
+    * pass (Expand + partial agg, like rollup but the full lattice).
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg((sum(cents(col("l_quantity"), 1e2)) / 100.0).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+
+  /** Conditional aggregation (FILTER-clause semantics): one scan, many
+    * differently-filtered aggregates — the idiomatic replacement for N
+    * separate filtered scans.
+    */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        count(when(col("o_totalprice") > 100000.0, 1)).as("n_large"),
+        (sum(when(col("o_orderstatus") === "O", cents(col("o_totalprice"), 1e2))
+          .otherwise(0L)) / 100.0).as("open_value"))
+
+  /** Exact interpolated percentiles per group (sort-based, not a
+    * sketch). At scale this is the operator you replace with
+    * approx_percentile; both surfaces exist here (see approxDistinct
+    * for the sketch pattern).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r6(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        r6(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
+        r6(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+
   /** Semi/anti-join coverage: per nation, customers with at least one
     * order (left_semi ≡ EXISTS) vs customers with none (left_anti ≡
     * NOT EXISTS). The orders side is projected to its join key only
