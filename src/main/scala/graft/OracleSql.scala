@@ -268,6 +268,16 @@ object OracleSql {
        |  ${r6("a[1]::DOUBLE / nv")} AS c0
        |FROM n""".stripMargin
 
+  val vsQuantize: String =
+    s"""WITH s AS (SELECT vec_id, embedding AS e,
+       |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale FROM embeddings),
+       |q AS (SELECT vec_id, scale,
+       |  list_transform(e, x -> CAST(floor(x::DOUBLE / scale * 127 + 0.5) AS BIGINT)) AS qv FROM s)
+       |SELECT vec_id, ${r6("scale")} AS scale,
+       |  CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS sum_q,
+       |  CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat
+       |FROM q""".stripMargin
+
   private val qVec0 = "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
   private val scoredAll =
     s"s AS (SELECT vec_id, ${dot("embedding", "qv")} AS sc FROM embeddings, q)"
@@ -462,6 +472,7 @@ object OracleSql {
     "text_sample_bottomk" -> textSampleBottomk,
     "dedup_drop" -> dedupDrop,
     "vs_norm" -> vsNorm,
+    "vs_quantize" -> vsQuantize,
     "vs_knn_topk" -> vsKnnTopk,
     "vs_knn_join" -> vsKnnJoin,
     "vs_range_search" -> vsRangeSearch,

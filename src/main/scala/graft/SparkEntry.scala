@@ -48,6 +48,7 @@ object SparkEntry {
     "dedup_drop" -> ((s, d) => Dedup.dropDecisions(s, d)),
     // A. vector search
     "vs_norm" -> ((s, d) => KnnSearch.normalize(s, d)),
+    "vs_quantize" -> ((s, d) => KnnSearch.quantize(s, d)),
     "vs_knn_topk" -> ((s, d) => KnnSearch.topK(s, d)),
     "vs_knn_join" -> ((s, d) => KnnSearch.knnJoin(s, d)),
     "vs_range_search" -> ((s, d) => KnnSearch.rangeSearch(s, d)),

@@ -46,6 +46,23 @@ object KnnSearch {
         r6(seqSum(col("normalized"))).as("checksum"),
         r6(element_at(col("normalized"), 1)).as("c0"))
 
+  /** Int8 scalar quantization of the embedding column (the vector-db
+    * memory-reduction path: 4× smaller vectors, dot products in int
+    * arithmetic). Per-vector symmetric scale = max |x|; exposed to
+    * verify as scalar invariants (scale, quantized checksum, saturation
+    * count).
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    val scale = array_max(transform(e, x => abs(x.cast("double"))))
+    Tables.embeddings(spark, dir)
+      .withColumn("scale", scale)
+      .withColumn("qv", transform(e, x => floor(x.cast("double") / col("scale") * 127 + 0.5)))
+      .select(col("vec_id"), r6(col("scale")).as("scale"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x).as("sum_q"),
+        size(filter(col("qv"), v => abs(v) === 127)).cast("long").as("n_sat"))
+  }
+
   /** Brute-force top-k for a single query vector (vec_id 0), dot-product
     * score, deterministic tiebreak on vec_id.
     */
