@@ -357,7 +357,7 @@ object OracleSql {
   val dedupExact: String =
     s"""$chunkCte
        |SELECT chunk_hash, count(*) AS n_copies,
-       |  CAST(min(doc_id * 100000 + chunk_idx) AS BIGINT) AS keeper
+       |  CAST(min(doc_id * 1000000000 + chunk_idx) AS BIGINT) AS keeper
        |FROM ch GROUP BY 1 HAVING count(*) > 1""".stripMargin
 
   private val shingleCte =

@@ -21,7 +21,9 @@ object Tables {
     */
   def fanOut(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // inputFiles is metadata-only (no physical planning, unlike df.rdd);
+    // non-file plans report none and just take the repartition
+    if (df.inputFiles.length < p) df.repartition(p) else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")

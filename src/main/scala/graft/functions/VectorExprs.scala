@@ -46,7 +46,10 @@ object VectorExprs {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      // zip_with pads the shorter side with null -> the HOF fold (and the
+      // DuckDB mirror) yield NULL on length mismatch; match that.
+      if (x.numElements() != y.numElements()) return null
+      val n = x.numElements()
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -66,12 +69,16 @@ object VectorExprs {
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += ${termJava(s"((double)$a.$getL($i))", s"((double)$b.$getR($i))")};
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += ${termJava(s"((double)$a.$getL($i))", s"((double)$b.$getR($i))")};
+           |  }
+           |  ${ev.value} = $acc;
            |}
-           |${ev.value} = $acc;
          """.stripMargin
       })
   }

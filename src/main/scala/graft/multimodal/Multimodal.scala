@@ -74,8 +74,11 @@ object Multimodal {
     */
   def frameSample(media: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame = {
     val nFrames = ceil(length(col("payload")) / lit(frameBytes.toDouble)).cast("int")
+    // sequence(0, -1) would DESCEND ([0,-1]) on an empty payload
+    val idx = when(nFrames > 0, sequence(lit(0), nFrames - 1))
+      .otherwise(array().cast("array<int>"))
     media
-      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .withColumn("frame_idx", explode(idx))
       .filter(col("frame_idx") % stride === 0)
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         expr(s"substring(payload, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)")

@@ -36,7 +36,9 @@ object Chunker {
     docs
       .select(col("doc_id"), toks.as("toks"), nChunks.as("nc"))
       .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+        // sequence(0, -1) would DESCEND on an empty doc — guard to []
+        explode(when(col("nc") > 0, sequence(lit(0L), col("nc") - 1))
+          .otherwise(array().cast("array<long>"))).as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),
         concat_ws(" ",
           slice(col("toks"), (col("chunk_idx") * ChunkWords + 1).cast("int"), lit(ChunkWords)))

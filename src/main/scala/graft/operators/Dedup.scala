@@ -37,7 +37,9 @@ object Dedup {
   def exactChunks(spark: SparkSession, dir: String): DataFrame =
     Chunker.chunkedText(Tables.documents(spark, dir))
       .select(md5(col("chunk_text")).as("chunk_hash"),
-        (col("doc_id") * 100000 + col("chunk_idx")).as("chunk_key"))
+        // 1e9 chunk slots per doc (20-word chunks -> 20e9-word docs)
+        // before collision; doc_id headroom to ~9.2e9
+        (col("doc_id") * 1000000000L + col("chunk_idx")).as("chunk_key"))
       .groupBy(col("chunk_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("chunk_key")).as("keeper"))
       .filter(col("n_copies") > 1)
@@ -175,13 +177,17 @@ object Dedup {
     * construction of the index).
     */
   def embedCosine(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    // norms computed once per vector BEFORE the self-join (the join
+    // would otherwise re-fold them per candidate pair); same doubles,
+    // so the per-pair oracle formulation still matches bitwise
     val e = Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
       .join(IvfIndex.assign(spark, dir).select("vec_id", "cluster_id"), "vec_id")
-    e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("cluster_id"))
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("cluster_id")),
+      .withColumn("nrm", norm(col("embedding")))
+    e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"), col("cluster_id"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"), col("cluster_id")),
         Seq("cluster_id"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("cluster_id"), col("vec_a"), col("vec_b"), r6(col("cos")).as("cos_sim"))
   }

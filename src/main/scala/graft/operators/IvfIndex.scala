@@ -120,6 +120,9 @@ object IvfIndex {
       .select("cluster_id")
       .collect().map(_.getLong(0)) // index metadata, O(nprobe) — not data
     spark.read.parquet(s"$indexPath/vectors")
+      // partition-column inference reads cluster_id as int; restore the
+      // long the in-memory surfaces (search/assign/centroids) use
+      .withColumn("cluster_id", col("cluster_id").cast("long"))
       .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
       .crossJoin(broadcast(query))
       .withColumn("score", dot(col("embedding"), col("qvec")))

@@ -14,7 +14,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * final open session is emitted when the watermark passes its
   * timeout. Scale: state is O(active users), shuffled once on user_id.
   */
-object SessionStream {
+object SessionStream extends Serializable {
 
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
   case class OpenSession(start_us: Long, end_us: Long, n_events: Long)
@@ -43,30 +43,33 @@ object SessionStream {
         state.remove()
         Iterator(Session(user, s.start_us, s.end_us, s.n_events))
       } else {
-        val ts = it.map(e => micros(e._2)).toArray.sorted
-        var closed = List.empty[Session]
-        var cur = state.getOption
-        ts.foreach { t =>
-          cur match {
-            case Some(s) if t - s.end_us <= GapMicros =>
-              cur = Some(OpenSession(s.start_us, math.max(s.end_us, t), s.n_events + 1))
+        // interval-merge: late (but within-watermark) events may precede
+        // the open session, so the state session and the batch events are
+        // merged as one sorted timeline rather than appended — an event
+        // arriving before the open session's start extends it backwards
+        // or forms an earlier session, exactly as the batch twin would.
+        val intervals =
+          state.getOption.toSeq.map(s => OpenSession(s.start_us, s.end_us, s.n_events)) ++
+            it.map(e => { val t = micros(e._2); OpenSession(t, t, 1) })
+        val merged = intervals.sortBy(s => (s.start_us, s.end_us))
+          .foldLeft(List.empty[OpenSession]) {
+            case (cur :: done, s) if s.start_us - cur.end_us <= GapMicros =>
+              OpenSession(cur.start_us, math.max(cur.end_us, s.end_us),
+                cur.n_events + s.n_events) :: done
+            case (acc, s) => s :: acc
+          }.reverse
+        if (merged.isEmpty) Iterator.empty
+        else {
+          val (closed, open) =
+            if (finalFlush) (merged, None) else (merged.init, Some(merged.last))
+          open match {
             case Some(s) =>
-              closed ::= Session(user, s.start_us, s.end_us, s.n_events)
-              cur = Some(OpenSession(t, t, 1))
-            case None =>
-              cur = Some(OpenSession(t, t, 1))
+              state.update(s)
+              state.setTimeoutTimestamp(s.end_us / 1000 + GapMicros / 1000)
+            case None => state.remove()
           }
+          closed.iterator.map(s => Session(user, s.start_us, s.end_us, s.n_events))
         }
-        cur.foreach { s =>
-          if (finalFlush) {
-            closed ::= Session(user, s.start_us, s.end_us, s.n_events)
-            state.remove()
-          } else {
-            state.update(s)
-            state.setTimeoutTimestamp(s.end_us / 1000 + GapMicros / 1000)
-          }
-        }
-        closed.reverseIterator
       }
     }
 

@@ -103,6 +103,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late in-watermark events merge backward into the open session") {
+    import spark.implicits._
+    val dir = tmp()
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(Seq((9001L, "2024-06-01 10:04:00"), (9002L, "2024-06-01 10:06:00")))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType))))
+      .parquet(dir)
+    val q = SessionStream.sessionize(stream)
+      .writeStream.outputMode("append").format("memory").queryName("late").start()
+    try {
+      q.processAllAvailable()
+      // late event 4 min BEFORE user 9001's open session start, but well
+      // inside the 10-min watermark (wm = 10:06 - 10min = 09:56)
+      write(Seq((9001L, "2024-06-01 10:00:00")))
+      q.processAllAvailable()
+      write(Seq((9001L, "2030-01-01 00:00:00"), (9002L, "2030-01-01 00:00:00")))
+      q.processAllAvailable(); q.processAllAvailable()
+      val real = spark.table("late")
+        .filter(col("start_us") < expr("unix_micros(timestamp'2029-01-01')"))
+        .orderBy("user_id").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSeq
+      // the late 10:00 event must extend 9001's session backwards (n=2),
+      // not be dropped or split
+      assert(real === Seq((9001L, 2L), (9002L, 1L)), real)
+      val s9001 = spark.table("late").filter(col("user_id") === 9001
+        && col("start_us") < expr("unix_micros(timestamp'2029-01-01')")).head()
+      assert(s9001.getAs[Long]("start_us") ===
+        spark.sql("select unix_micros(timestamp'2024-06-01 10:00:00')").head().getLong(0))
+    } finally q.stop()
+  }
+
   test("batch-mode sessionize (final flush) matches batch EventOps") {
     val got = SessionStream.sessionize(eventsBatch)
       .orderBy("user_id", "start_us")
