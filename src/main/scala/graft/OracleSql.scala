@@ -111,6 +111,22 @@ object OracleSql {
       |SELECT u.user_id, view_us, click_us, purchase_us
       |FROM u LEFT JOIN v USING(user_id) LEFT JOIN c USING(user_id) LEFT JOIN p USING(user_id)""".stripMargin
 
+  val qSetops: String =
+    """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |w AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+      |h AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000.0)
+      |SELECT
+      |  (SELECT count(*) FROM (SELECT * FROM b INTERSECT SELECT * FROM w)) AS n_building_with_orders,
+      |  (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM w)) AS n_building_no_orders,
+      |  (SELECT count(*) FROM (SELECT * FROM b INTERSECT SELECT * FROM h)) AS n_building_high_value""".stripMargin
+
+  val qFuzzy: String =
+    s"""WITH v AS (SELECT DISTINCT unnest($toks) AS tok FROM documents)
+       |SELECT a.tok AS tok_a, b.tok AS tok_b,
+       |  CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+       |FROM v a JOIN v b ON a.tok < b.tok
+       |WHERE levenshtein(a.tok, b.tok) <= 2""".stripMargin
+
   val qCube: String =
     s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        |  coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -454,6 +470,8 @@ object OracleSql {
     "q_rollup" -> qRollup,
     "q_semi_anti" -> qSemiAnti,
     "q_cube" -> qCube,
+    "q_setops" -> qSetops,
+    "q_fuzzy" -> qFuzzy,
     "q_conditional_agg" -> qConditionalAgg,
     "q_percentiles" -> qPercentiles,
     "q_events_sessionize" -> qEventsSessionize,

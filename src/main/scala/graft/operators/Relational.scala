@@ -91,6 +91,36 @@ object Relational {
       .filter(col("rn") <= n)
   }
 
+  /** Set operations (INTERSECT / EXCEPT) over customer key sets —
+    * planned as semi/anti joins, one row of counts out.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val withOrders = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")).distinct()
+    val highValue = Tables.orders(spark, dir).filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    building.intersect(withOrders).agg(count(lit(1)).as("n_building_with_orders"))
+      .crossJoin(building.except(withOrders).agg(count(lit(1)).as("n_building_no_orders")))
+      .crossJoin(building.intersect(highValue).agg(count(lit(1)).as("n_building_high_value")))
+  }
+
+  /** Fuzzy vocabulary matching: near-identical distinct tokens by
+    * Levenshtein distance ≤ 2 (typo/variant detection over the corpus
+    * vocabulary — the vocabulary is small after distinct, so the pair
+    * space is tiny even at corpus scale).
+    */
+  def fuzzyTokens(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok")).distinct()
+    vocab.select(col("tok").as("tok_a"))
+      .crossJoin(vocab.select(col("tok").as("tok_b")))
+      .filter(col("tok_a") < col("tok_b"))
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")).cast("long"))
+      .filter(col("dist") <= 2)
+  }
+
   /** CUBE over (returnflag, linestatus): all 4 grouping sets in one
     * pass (Expand + partial agg, like rollup but the full lattice).
     */
