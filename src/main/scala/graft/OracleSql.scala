@@ -434,6 +434,35 @@ object OracleSql {
        |SELECT doc_b AS drop_doc, min(doc_a) AS kept_doc, max(jaccard) AS max_jaccard
        |FROM jac WHERE jaccard >= 0.8 GROUP BY 1""".stripMargin
 
+  /** Connected components via a recursive CTE: reach(doc, l) holds every
+    * label reachable from doc over the undirected near-dup edges; the
+    * component id is the minimum. Mirrors the Spark label propagation.
+    */
+  val dedupComponents: String =
+    s"""WITH RECURSIVE $bandCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT c.doc_a, c.doc_b,
+       |  ${r6("coalesce(i.n_inter, 0) / (1.0 * (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)))")} AS jaccard
+       |FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes za ON za.doc_id = c.doc_a
+       |JOIN sizes zb ON zb.doc_id = c.doc_b),
+       |p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+       |n AS (SELECT DISTINCT a AS doc FROM e),
+       |reach(doc, l) AS (
+       |  SELECT doc, doc FROM n
+       |  UNION
+       |  SELECT e.b, reach.l FROM reach JOIN e ON e.a = reach.doc
+       |),
+       |comp AS (SELECT doc AS doc_id, CAST(min(l) AS BIGINT) AS component FROM reach GROUP BY 1)
+       |SELECT doc_id, component,
+       |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS comp_size
+       |FROM comp""".stripMargin
+
   val dedupSimhash: String =
     s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
        |bb AS (SELECT unnest(generate_series(0, 31)) AS b),
@@ -502,6 +531,7 @@ object OracleSql {
     "dedup_minhash" -> dedupMinhash,
     "dedup_ngram" -> dedupNgram,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_components" -> dedupComponents,
     "dedup_embed" -> dedupEmbed,
   )
 }

@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_components" -> ((s, d) => Dedup.components(s, d)),
     "dedup_embed" -> ((s, d) => Dedup.embedCosine(s, d)),
     // G. multimodal plumbing (no SQL oracle — rows-only check)
     "mm_binary" -> ((s, d) => Multimodal.decodeFeatures(s, d)),

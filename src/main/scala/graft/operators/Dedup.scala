@@ -126,6 +126,42 @@ object Dedup {
       .groupBy(col("doc_b").as("drop_doc"))
       .agg(min(col("doc_a")).as("kept_doc"), max(col("jaccard")).as("max_jaccard"))
 
+  /** Transitive duplicate groups: connected components over the
+    * verified near-dup graph (exact Jaccard ≥ threshold), via min-label
+    * propagation — each iteration is one join + aggregate, lineage cut
+    * per round with localCheckpoint, converging in O(graph diameter)
+    * rounds. The component id is the minimum doc_id of the group (its
+    * canonical keeper), which is what transitive dedup needs and what
+    * pairwise drop rules get wrong (A~B, B~C but A!~C).
+    */
+  def components(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(spark, dir)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val nodes = pairs.select(col("doc_a").as("doc"))
+      .union(pairs.select(col("doc_b").as("doc"))).distinct()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.withColumn("lbl", col("doc")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, col("src") === col("doc"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, col("doc") === col("dst"), "left")
+        .select(col("doc"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("doc").as("doc_id"), col("lbl").as("component"))
+      .withColumn("comp_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("component")))
+          .cast("long"))
+  }
+
   /** Per-doc 32-bit SimHash over the token multiset. Bits come from
     * md5 nibbles (portable across engines, SURVEY.md §6): token hash bit
     * b = bit (b%4, MSB-first) of hex nibble (b/4) of md5(token); the

@@ -36,6 +36,19 @@ class DedupSpec extends AnyFunSuite {
     assert(e.count() > 0)
   }
 
+  test("connected components: edges stay within a component, id is the min member") {
+    val comp = Dedup.components(spark, Sf).cache()
+    val edges = Dedup.ngramJaccard(spark, Sf).filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    val ca = comp.select(col("doc_id").as("doc_a"), col("component").as("comp_a"))
+    val cb = comp.select(col("doc_id").as("doc_b"), col("component").as("comp_b"))
+    assert(edges.join(ca, "doc_a").join(cb, "doc_b")
+      .filter(col("comp_a") =!= col("comp_b")).count() === 0)
+    // component id is a member and the minimum of its group
+    assert(comp.groupBy("component").agg(min("doc_id").as("mn"))
+      .filter(col("component") =!= col("mn")).count() === 0)
+  }
+
   test("embedding near-dup pairs are same-cluster with cos >= threshold") {
     val e = Dedup.embedCosine(spark, Sf)
     assert(e.filter(col("cos_sim") < 0.349999).count() === 0)
