@@ -40,6 +40,21 @@ class RecallSpec extends AnyFunSuite {
     assert(avg >= 0.85, s"avg recall $avg")
   }
 
+  test("k-means-refined index is searchable and scores match brute force") {
+    val p = java.nio.file.Files.createTempDirectory("graft-refined").toString
+    IvfIndex.writeIndex(spark, Sf, p, refineIters = 2)
+    val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val hits = IvfIndex.searchIndex(spark, p, q, nprobe = 3, k = 10).collect()
+    assert(hits.length === 10)
+    val brute = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+      .crossJoin(broadcast(q))
+      .withColumn("s", dot(col("embedding"), col("qvec")))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        math.floor(r.getAs[Double]("s") * 1e6 + 0.5) / 1e6).toMap
+    hits.foreach(h => assert(brute(h.getLong(1)) === h.getDouble(2)))
+  }
+
   test("recall grows with nprobe") {
     val lo = queryIds.map(recallAt10(_, 2)).sum / queryIds.size
     val hi = queryIds.map(recallAt10(_, 8)).sum / queryIds.size
