@@ -111,6 +111,19 @@ object OracleSql {
       |SELECT u.user_id, view_us, click_us, purchase_us
       |FROM u LEFT JOIN v USING(user_id) LEFT JOIN c USING(user_id) LEFT JOIN p USING(user_id)""".stripMargin
 
+  val qCorr: String =
+    s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
+       |  CAST(sum(${cents("l_quantity", "100.0")}) AS BIGINT) AS sx,
+       |  CAST(sum(${cents("l_extendedprice", "1.0")}) AS BIGINT) AS sy,
+       |  CAST(sum(${cents("l_quantity", "100.0")} * ${cents("l_extendedprice", "1.0")}) AS BIGINT) AS sxy,
+       |  CAST(sum(${cents("l_quantity", "100.0")} * ${cents("l_quantity", "100.0")}) AS BIGINT) AS sxx,
+       |  CAST(sum(${cents("l_extendedprice", "1.0")} * ${cents("l_extendedprice", "1.0")}) AS BIGINT) AS syy
+       |FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, n,
+       |  ${r6("(n * 1.0 * sxy - sx * 1.0 * sy) / (sqrt(n * 1.0 * sxx - sx * 1.0 * sx) * sqrt(n * 1.0 * syy - sy * 1.0 * sy))")} AS corr_qty_price,
+       |  ${r6("sqrt((n * 1.0 * sxx - sx * 1.0 * sx) / (n * 1.0 * (n * 1.0 - 1.0))) / 100.0")} AS stddev_qty
+       |FROM m""".stripMargin
+
   val qSetops: String =
     """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
       |w AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
@@ -500,6 +513,7 @@ object OracleSql {
     "q_semi_anti" -> qSemiAnti,
     "q_cube" -> qCube,
     "q_setops" -> qSetops,
+    "q_corr" -> qCorr,
     "q_fuzzy" -> qFuzzy,
     "q_conditional_agg" -> qConditionalAgg,
     "q_percentiles" -> qPercentiles,

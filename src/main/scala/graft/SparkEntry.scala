@@ -27,6 +27,7 @@ object SparkEntry {
     "q_semi_anti" -> ((s, d) => Relational.semiAnti(s, d)),
     "q_cube" -> ((s, d) => Relational.cubeAgg(s, d)),
     "q_setops" -> ((s, d) => Relational.setOps(s, d)),
+    "q_corr" -> ((s, d) => Relational.corrStats(s, d)),
     "q_fuzzy" -> ((s, d) => Relational.fuzzyTokens(s, d)),
     "q_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
     "q_percentiles" -> ((s, d) => Relational.percentiles(s, d)),

@@ -91,6 +91,37 @@ object Relational {
       .filter(col("rn") <= n)
   }
 
+  /** Statistical aggregates (correlation, stddev) computed from
+    * integerized moments: the engines' native corr/stddev use different
+    * update formulas (Welford vs naive) whose floating error diverges,
+    * but exact integer sums + one shared closed-form expression are
+    * bit-identical everywhere. Moment magnitudes bound int64 up to
+    * ~sf10 on this schema (price² cents sums ~6e17).
+    */
+  def corrStats(spark: SparkSession, dir: String): DataFrame = {
+    // per-row integerization FIRST, then exact integer products — the
+    // only way the moment scales stay consistent; price at unit scale
+    // keeps sum(iy^2) ~6e15 at sf0.1 (int64-safe through ~sf10)
+    val ix = cents(col("l_quantity"), 1e2)
+    val iy = cents(col("l_extendedprice"), 1.0)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(ix).as("sx"),
+        sum(iy).as("sy"),
+        sum(ix * iy).as("sxy"),
+        sum(ix * ix).as("sxx"),
+        sum(iy * iy).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        r6((col("n") * lit(1.0) * col("sxy") - col("sx") * lit(1.0) * col("sy"))
+          / (sqrt(col("n") * lit(1.0) * col("sxx") - col("sx") * lit(1.0) * col("sx"))
+            * sqrt(col("n") * lit(1.0) * col("syy") - col("sy") * lit(1.0) * col("sy"))))
+          .as("corr_qty_price"),
+        r6(sqrt((col("n") * lit(1.0) * col("sxx") - col("sx") * lit(1.0) * col("sx"))
+          / (col("n") * lit(1.0) * (col("n") * lit(1.0) - lit(1.0)))) / lit(100.0))
+          .as("stddev_qty"))
+  }
+
   /** Set operations (INTERSECT / EXCEPT) over customer key sets —
     * planned as semi/anti joins, one row of counts out.
     */
