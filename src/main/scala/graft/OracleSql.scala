@@ -307,6 +307,24 @@ object OracleSql {
        |  CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat
        |FROM q""".stripMargin
 
+  private val lshPlanes =
+    """planes AS (SELECT p, list_transform(generate_series(1, 64),
+      |  d -> (strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 1)) - 1 - 7.5) / 8.0) AS w
+      |FROM (SELECT unnest(generate_series(0, 3)) AS p))""".stripMargin
+
+  val vsLshAnn: String =
+    s"""WITH $lshPlanes,
+       |proj AS (SELECT e.vec_id, p.p, ${dot("e.embedding", "p.w")} AS pr
+       |  FROM embeddings e CROSS JOIN planes p),
+       |bk AS (SELECT vec_id,
+       |  CAST(sum(CASE WHEN pr > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1),
+       |q AS (SELECT e.embedding AS qv, bk.bucket AS qbucket
+       |  FROM embeddings e JOIN bk USING(vec_id) WHERE e.vec_id = 0),
+       |sc AS (SELECT bk.bucket, e.vec_id, ${dot("e.embedding", "qv")} AS s
+       |  FROM embeddings e JOIN bk USING(vec_id), q WHERE bk.bucket = q.qbucket)
+       |SELECT bucket, vec_id, ${r6("s")} AS score FROM sc ORDER BY s DESC, vec_id LIMIT 5""".stripMargin
+
   private val qVec0 = "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
   private val scoredAll =
     s"s AS (SELECT vec_id, ${dot("embedding", "qv")} AS sc FROM embeddings, q)"
@@ -534,6 +552,7 @@ object OracleSql {
     "dedup_drop" -> dedupDrop,
     "vs_norm" -> vsNorm,
     "vs_quantize" -> vsQuantize,
+    "vs_lsh_ann" -> vsLshAnn,
     "vs_knn_topk" -> vsKnnTopk,
     "vs_knn_join" -> vsKnnJoin,
     "vs_range_search" -> vsRangeSearch,

@@ -59,6 +59,7 @@ object SparkEntry {
     "vs_filtered_search" -> ((s, d) => KnnSearch.filteredSearch(s, d)),
     "vs_centroids" -> ((s, d) => IvfIndex.centroidStats(s, d)),
     "vs_ivf_ann" -> ((s, d) => IvfIndex.search(s, d)),
+    "vs_lsh_ann" -> ((s, d) => LshAnn.search(s, d)),
     // C. dedup
     "dedup_exact" -> ((s, d) => Dedup.exactChunks(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),

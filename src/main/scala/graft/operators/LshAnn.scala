@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Random-hyperplane LSH ANN (SURVEY.md §2-A) — the bucketed
+  * alternative to IVF: each vector's bucket is the sign pattern of its
+  * projections onto `NumPlanes` fixed hyperplanes, so cosine-similar
+  * vectors collide with high probability and search scans one bucket
+  * instead of the corpus. At scale `bucket` is a partition/bucketing
+  * column exactly like IVF's cluster_id.
+  *
+  * The planes are derived deterministically from md5 (plane p, dim d →
+  * centered nibble value), so the DuckDB oracle reproduces them exactly
+  * and the whole pipeline is hash-checked; values are multiples of
+  * 1/16 — exactly representable, no cross-engine float drift.
+  */
+object LshAnn {
+
+  val NumPlanes = 4
+  val Dim = 64
+
+  /** Plane p as a literal double array (nibble of md5("p,d"), centered). */
+  private def planeWeights(p: Int): Seq[Double] =
+    (1 to Dim).map { d =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$p,$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val nib = Integer.parseInt(hex.substring(0, 1), 16)
+      (nib - 7.5) / 8.0
+    }
+
+  private def planeLit(p: Int): Column =
+    array(planeWeights(p).map(lit): _*)
+
+  /** Sign-pattern bucket id of a vector column. */
+  def bucketOf(vec: Column): Column =
+    (0 until NumPlanes).map(p =>
+      when(dot(vec, planeLit(p)) > 0, lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _).cast("long")
+
+  /** Corpus with bucket assignment (the index build — at scale this is
+    * written `partitionBy("bucket")` like IvfIndex.writeIndex).
+    */
+  def bucketed(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .withColumn("bucket", bucketOf(col("embedding")))
+
+  /** ANN search: hash the query, scan only its bucket, top-k by dot. */
+  def search(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"), bucketOf(col("embedding")).as("qbucket"))
+    bucketed(spark, dir)
+      .crossJoin(broadcast(q))
+      .filter(col("bucket") === col("qbucket"))
+      .withColumn("score", dot(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("bucket"), col("vec_id"), r6(col("score")).as("score"))
+  }
+}
