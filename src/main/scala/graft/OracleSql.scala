@@ -173,6 +173,15 @@ object OracleSql {
        |  ${r6("(us - last_click_us) / 1000000.0")} AS lag_s
        |FROM w WHERE event_type = 'purchase'""".stripMargin
 
+  val qEventsRetention: String =
+    """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+      |SELECT cohort_day, day - cohort_day AS k,
+      |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+      |FROM d JOIN c USING(user_id)
+      |WHERE day - cohort_day <= 7
+      |GROUP BY 1, 2""".stripMargin
+
   val qJson: String =
     s"""SELECT event_type, count(*) AS n,
        |  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
@@ -538,6 +547,7 @@ object OracleSql {
     "q_events_sessionize" -> qEventsSessionize,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_attribution" -> qEventsAttribution,
+    "q_events_retention" -> qEventsRetention,
     "q_json" -> qJson,
     "doc_chunk" -> docChunk,
     "doc_parse" -> docParse,

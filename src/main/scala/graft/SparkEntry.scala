@@ -34,6 +34,7 @@ object SparkEntry {
     "q_events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "q_events_funnel" -> ((s, d) => EventOps.funnel(s, d)),
     "q_events_attribution" -> ((s, d) => EventOps.attribution(s, d)),
+    "q_events_retention" -> ((s, d) => EventOps.retention(s, d)),
     "q_json" -> ((s, d) => EventOps.jsonAgg(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)), // no oracle: sketch
     // B. document pipeline

@@ -79,6 +79,23 @@ object EventOps {
         r6((col("us") - col("last_click_us")) / lit(1000000.0)).as("lag_s"))
   }
 
+  /** Cohort retention: users grouped by first-activity day, counted on
+    * each subsequent day offset (0..7). All integer day arithmetic —
+    * two shuffles (user cohort, then cohort×offset counts), both on
+    * already-aggregated rows.
+    */
+  def retention(spark: SparkSession, dir: String, maxOffset: Int = 7): DataFrame = {
+    val days = base(spark, dir)
+      .select(col("user_id"), expr("us div 86400000000").as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .withColumn("k", col("day") - col("cohort_day"))
+      .filter(col("k") <= maxOffset)
+      .groupBy(col("cohort_day"), col("k"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** JSON property extraction + aggregation over the `props` payload.
     * Scale: extraction is per-row (codegen'd JsonPath), aggregation is
     * map-side partial.
