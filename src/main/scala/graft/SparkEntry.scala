@@ -61,6 +61,7 @@ object SparkEntry {
     "vs_centroids" -> ((s, d) => IvfIndex.centroidStats(s, d)),
     "vs_ivf_ann" -> ((s, d) => IvfIndex.search(s, d)),
     "vs_lsh_ann" -> ((s, d) => LshAnn.search(s, d)),
+    "vs_pq" -> ((s, d) => PqIndex.search(s, d)),
     // C. dedup
     "dedup_exact" -> ((s, d) => Dedup.exactChunks(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
