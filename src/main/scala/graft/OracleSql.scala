@@ -430,6 +430,29 @@ object OracleSql {
        |  ${r6("abs(e9 / 1000000000.0 - es)")} AS abs_err
        |FROM ap JOIN ex USING(vec_id)""".stripMargin
 
+  val vsPqRerank: String =
+    s"""WITH subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+       |cb AS (SELECT s, CAST(vec_id // 17 AS BIGINT) AS code,
+       |  list_slice(embedding, s * 16 + 1, s * 16 + 16) AS cvec
+       |  FROM embeddings, subs WHERE vec_id % 17 = 0 AND vec_id < 272),
+       |sv AS (SELECT vec_id, s, list_slice(embedding, s * 16 + 1, s * 16 + 16) AS subvec
+       |  FROM embeddings, subs),
+       |dists AS (SELECT sv.vec_id, sv.s, cb.code, ${dist2("sv.subvec", "cb.cvec")} AS d2
+       |  FROM sv JOIN cb ON cb.s = sv.s),
+       |asgn AS (SELECT vec_id, s, code FROM (
+       |  SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+       |  FROM dists) WHERE rn = 1),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |lut AS (SELECT s, code, ${dot("list_slice(qv, s * 16 + 1, s * 16 + 16)", "cvec")} AS part FROM cb, q),
+       |ap AS (SELECT a.vec_id,
+       |  CAST(sum(CAST(floor(part * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS e9
+       |  FROM asgn a JOIN lut USING(s, code) GROUP BY 1),
+       |cand AS (SELECT vec_id, e9 FROM ap ORDER BY e9 DESC, vec_id LIMIT 50),
+       |re AS (SELECT c.vec_id, c.e9, ${dot("e.embedding", "qv")} AS es
+       |  FROM cand c JOIN embeddings e USING(vec_id), q)
+       |SELECT vec_id, ${r6("es")} AS exact_score, ${r6("e9 / 1000000000.0")} AS approx_score
+       |FROM re ORDER BY es DESC, vec_id LIMIT 10""".stripMargin
+
   // ---- C. dedup --------------------------------------------------------
 
   val dedupExact: String =
@@ -586,6 +609,7 @@ object OracleSql {
     "vs_quantize" -> vsQuantize,
     "vs_lsh_ann" -> vsLshAnn,
     "vs_pq" -> vsPq,
+    "vs_pq_rerank" -> vsPqRerank,
     "vs_knn_topk" -> vsKnnTopk,
     "vs_knn_join" -> vsKnnJoin,
     "vs_range_search" -> vsRangeSearch,

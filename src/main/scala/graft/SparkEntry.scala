@@ -62,6 +62,7 @@ object SparkEntry {
     "vs_ivf_ann" -> ((s, d) => IvfIndex.search(s, d)),
     "vs_lsh_ann" -> ((s, d) => LshAnn.search(s, d)),
     "vs_pq" -> ((s, d) => PqIndex.search(s, d)),
+    "vs_pq_rerank" -> ((s, d) => PqIndex.searchRerank(s, d)),
     // C. dedup
     "dedup_exact" -> ((s, d) => Dedup.exactChunks(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),

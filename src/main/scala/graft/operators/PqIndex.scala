@@ -61,6 +61,34 @@ object PqIndex {
       .select("vec_id", "s", "code")
   }
 
+  /** Two-stage ANN: PQ approximate scores select a candidate set
+    * (ordered on the exact integer partial sums — fully deterministic),
+    * then only the candidates are re-ranked with the exact dot product.
+    * At scale stage one reads byte codes only; the float vectors are
+    * fetched for `candidates` rows, not the corpus.
+    */
+  def searchRerank(spark: SparkSession, dir: String, candidates: Int = 50,
+      k: Int = 10): DataFrame = {
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val lut = codebooks(spark, dir).crossJoin(broadcast(q))
+      .select(col("s"), col("code"),
+        dot(expr(s"slice(qvec, s * $SubDim + 1, $SubDim)"), col("cvec")).as("part"))
+    val cand = encode(spark, dir)
+      .join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(cents(col("part"), 1e9)).as("approx_e9"))
+      .orderBy(col("approx_e9").desc, col("vec_id").asc)
+      .limit(candidates)
+    cand.join(Tables.embeddings(spark, dir).select("vec_id", "embedding"), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("exact", dot(col("embedding"), col("qvec")))
+      .orderBy(col("exact").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), r6(col("exact")).as("exact_score"),
+        r6(col("approx_e9") / 1e9).as("approx_score"))
+  }
+
   /** Asymmetric-distance scoring against query vec 0: the approximate
     * dot product is Σ_s dot(q_s, codeword(s, code_s)); reported next to
     * the exact score and the absolute quantization error.
