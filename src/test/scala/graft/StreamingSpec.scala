@@ -139,6 +139,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k serving converges to the batch knn ranking") {
+    import graft.streaming.TopKStream
+    val dir = tmp()
+    val emb = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    // feed the corpus in 3 chunks -> 3 microbatches of state updates
+    emb.filter(col("vec_id") % 3 === 0).write.mode("append").parquet(dir)
+    val queries = Tables.embeddings(spark, Sf).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val stream = spark.readStream.schema(emb.schema).parquet(dir)
+    val q = TopKStream.topKPerQuery(TopKStream.scoredStream(stream, queries), k = 5)
+      .writeStream.outputMode("update").format("memory").queryName("topk").start()
+    try {
+      q.processAllAvailable()
+      emb.filter(col("vec_id") % 3 === 1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      emb.filter(col("vec_id") % 3 === 2).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val latest = spark.table("topk")
+        .withColumn("mx", max("epoch").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")))
+        .filter(col("epoch") === col("mx"))
+      val got = latest.select("query_id", "vec_id", "rnk").orderBy("query_id", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = graft.operators.KnnSearch.knnJoin(spark, Sf, k = 5)
+        .select("query_id", "vec_id", "rnk").orderBy("query_id", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("batch-mode sessionize (final flush) matches batch EventOps") {
     val got = SessionStream.sessionize(eventsBatch)
       .orderBy("user_id", "start_us")
