@@ -134,7 +134,8 @@ object OracleSql {
       |  (SELECT count(*) FROM (SELECT * FROM b INTERSECT SELECT * FROM h)) AS n_building_high_value""".stripMargin
 
   val qFuzzy: String =
-    s"""WITH v AS (SELECT DISTINCT unnest($toks) AS tok FROM documents)
+    s"""WITH v AS (SELECT DISTINCT tok FROM (SELECT unnest($toks) AS tok FROM documents)
+       |  WHERE regexp_matches(tok, '^[A-Za-z]+$$'))
        |SELECT a.tok AS tok_a, b.tok AS tok_b,
        |  CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
        |FROM v a JOIN v b ON a.tok < b.tok

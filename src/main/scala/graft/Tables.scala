@@ -21,9 +21,12 @@ object Tables {
     */
   def fanOut(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    // inputFiles is metadata-only (no physical planning, unlike df.rdd);
-    // non-file plans report none and just take the repartition
-    if (df.inputFiles.length < p) df.repartition(p) else df
+    // real split count, not file count: a large single file already
+    // yields many splits (maxPartitionBytes) and must NOT be shuffled,
+    // while bin-packed small files can collapse to fewer splits than
+    // cores. The extra planning pass df.rdd costs is per-query-build,
+    // not per-row.
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")

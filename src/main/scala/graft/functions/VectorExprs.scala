@@ -32,6 +32,10 @@ object VectorExprs {
 
   abstract class VecFold extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    // the fold returns null on length mismatch even for non-nullable
+    // children — without this override codegen would emit an assignment
+    // to a FalseLiteral isNull and fail to compile
+    override def nullable: Boolean = true
     /** Java expression for the per-element contribution, given element
       * accessor snippets `xi` and `yi` (already double).
       */

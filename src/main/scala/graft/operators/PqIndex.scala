@@ -69,15 +69,8 @@ object PqIndex {
     */
   def searchRerank(spark: SparkSession, dir: String, candidates: Int = 50,
       k: Int = 10): DataFrame = {
-    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
-      .select(col("embedding").as("qvec"))
-    val lut = codebooks(spark, dir).crossJoin(broadcast(q))
-      .select(col("s"), col("code"),
-        dot(expr(s"slice(qvec, s * $SubDim + 1, $SubDim)"), col("cvec")).as("part"))
-    val cand = encode(spark, dir)
-      .join(broadcast(lut), Seq("s", "code"))
-      .groupBy(col("vec_id"))
-      .agg(sum(cents(col("part"), 1e9)).as("approx_e9"))
+    val (q, approx) = approxScores(spark, dir)
+    val cand = approx
       .orderBy(col("approx_e9").desc, col("vec_id").asc)
       .limit(candidates)
     cand.join(Tables.embeddings(spark, dir).select("vec_id", "embedding"), "vec_id")
@@ -89,14 +82,12 @@ object PqIndex {
         r6(col("approx_e9") / 1e9).as("approx_score"))
   }
 
-  /** Asymmetric-distance scoring against query vec 0: the approximate
-    * dot product is Σ_s dot(q_s, codeword(s, code_s)); reported next to
-    * the exact score and the absolute quantization error.
+  /** Query projection + ADC lookup table + per-vector approx integer
+    * scores — shared by both search surfaces.
     */
-  def search(spark: SparkSession, dir: String): DataFrame = {
+  private def approxScores(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
       .select(col("embedding").as("qvec"))
-    // per-(s, code) partial scores — the ADC lookup table (tiny, built once per query)
     val lut = codebooks(spark, dir).crossJoin(broadcast(q))
       .select(col("s"), col("code"),
         dot(expr(s"slice(qvec, s * $SubDim + 1, $SubDim)"), col("cvec")).as("part"))
@@ -104,7 +95,16 @@ object PqIndex {
       .join(broadcast(lut), Seq("s", "code"))
       .groupBy(col("vec_id"))
       .agg(sum(cents(col("part"), 1e9)).as("approx_e9"))
-      .withColumn("approx_score", col("approx_e9") / 1e9)
+    (q, approx)
+  }
+
+  /** Asymmetric-distance scoring against query vec 0: the approximate
+    * dot product is Σ_s dot(q_s, codeword(s, code_s)); reported next to
+    * the exact score and the absolute quantization error.
+    */
+  def search(spark: SparkSession, dir: String): DataFrame = {
+    val (q, approx0) = approxScores(spark, dir)
+    val approx = approx0.withColumn("approx_score", col("approx_e9") / 1e9)
     val exact = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), dot(col("embedding"), col("qvec")).as("exact_score"))

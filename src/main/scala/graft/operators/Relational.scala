@@ -143,8 +143,11 @@ object Relational {
     */
   def fuzzyTokens(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.tokens
+    // ascii-only: Spark's levenshtein counts codepoints, DuckDB's counts
+    // bytes — identical only on single-byte tokens
     val vocab = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("tok")).distinct()
+      .filter(col("tok").rlike("^[A-Za-z]+$"))
     vocab.select(col("tok").as("tok_a"))
       .crossJoin(vocab.select(col("tok").as("tok_b")))
       .filter(col("tok_a") < col("tok_b"))

@@ -68,9 +68,15 @@ case class PartialTopKExec(groupOrd: Int, scoreOrd: Int, tieOrd: Int, k: Int,
         val key = row.getLong(g)
         var h = heaps.get(key)
         if (h == null) { h = new java.util.PriorityQueue[Entry](kk + 1, cmp); heaps.put(key, h) }
-        val e = new Entry(row.getDouble(s), row.getLong(t), row.copy())
-        h.add(e)
-        if (h.size > kk) h.poll()
+        val sc = row.getDouble(s)
+        val ti = row.getLong(t)
+        // test against the current worst BEFORE copying: once the heap is
+        // full, the common case is rejection, which must not allocate
+        val worst = if (h.size < kk) null else h.peek()
+        if (worst == null || sc > worst.score || (sc == worst.score && ti < worst.tie)) {
+          h.add(new Entry(sc, ti, row.copy()))
+          if (h.size > kk) h.poll()
+        }
       }
       val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
       heaps.values().forEach(h => h.forEach(e => out += e.row))
