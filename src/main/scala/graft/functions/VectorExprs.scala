@@ -57,6 +57,10 @@ object VectorExprs {
       var acc = 0.0
       var i = 0
       while (i < n) {
+        // a null element makes the HOF term null and null poisons the
+        // double fold -> overall NULL; match that (parquet arrays are
+        // containsNull=true even when no nulls occur in the data)
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xi = if (leftIsF) x.getFloat(i).toDouble else x.getDouble(i)
         val yi = if (rightIsF) y.getFloat(i).toDouble else y.getDouble(i)
         acc += term(xi, yi)
@@ -72,6 +76,15 @@ object VectorExprs {
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
+        // null-element check mirrors nullSafeEval; skipped entirely when
+        // the schema proves containsNull=false (keeps the hot loop tight)
+        val mayHaveNulls =
+          left.dataType.asInstanceOf[ArrayType].containsNull ||
+            right.dataType.asInstanceOf[ArrayType].containsNull
+        val nullCheck =
+          if (mayHaveNulls)
+            s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+          else ""
         s"""
            |if ($a.numElements() != $b.numElements()) {
            |  ${ev.isNull} = true;
@@ -79,9 +92,10 @@ object VectorExprs {
            |  int $n = $a.numElements();
            |  double $acc = 0.0;
            |  for (int $i = 0; $i < $n; $i++) {
+           |    $nullCheck
            |    $acc += ${termJava(s"((double)$a.$getL($i))", s"((double)$b.$getR($i))")};
            |  }
-           |  ${ev.value} = $acc;
+           |  if (!${ev.isNull}) { ${ev.value} = $acc; }
            |}
          """.stripMargin
       })

@@ -15,9 +15,17 @@ object SkewOps {
     * Equivalent to `df.groupBy(key).agg(count, sum(valueCol))` for any
     * distribution, but the first shuffle spreads each key across
     * `salts` partitions.
+    *
+    * The salt MUST be deterministic per row: a nondeterministic salt
+    * (partition id, monotonic id, rand) feeding a shuffle double- or
+    * under-counts when a stage retry recomputes map tasks with different
+    * salt assignments while some reducers keep already-fetched partials
+    * (the SPARK-23207 class of bug). Murmur3 over the full row content is
+    * reproducible on retry; identical rows sharing a salt only narrows
+    * the spread of exact-duplicate rows, never correctness.
     */
   def saltedAgg(df: DataFrame, key: Column, valueCents: Column, salts: Int = 16): DataFrame =
-    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    df.withColumn("_salt", pmod(hash(df.columns.map(col).toSeq: _*), lit(salts)))
       .groupBy(key.as("key"), col("_salt"))
       .agg(count(lit(1)).as("n_part"), sum(valueCents).as("sum_part"))
       .groupBy(col("key"))

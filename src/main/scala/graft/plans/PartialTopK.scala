@@ -54,27 +54,41 @@ case class PartialTopKExec(groupOrd: Int, scoreOrd: Int, tieOrd: Int, k: Int,
     val (g, s, t, kk) = (groupOrd, scoreOrd, tieOrd, k)
     child.execute().mapPartitions { it =>
       // per-group bounded buffers: worst row evicted when size > k under
-      // (score DESC, tie ASC)
-      final class Entry(val score: Double, val tie: Long, val row: InternalRow)
-      val heaps = new java.util.HashMap[Long, java.util.PriorityQueue[Entry]]()
-      val cmp = new java.util.Comparator[Entry] {
-        // min-heap: head = worst = lowest score, then largest tie
-        def compare(a: Entry, b: Entry): Int = {
-          val c = java.lang.Double.compare(a.score, b.score)
-          if (c != 0) c else java.lang.Long.compare(b.tie, a.tie)
+      // the exact ordering of the downstream `desc(score), asc(tie)`
+      // window — java.lang.Double.compare ranks NaN above every double
+      // (Spark's total order), and NULL scores rank last (desc = nulls
+      // last), so the survivors provably contain the window's top-k even
+      // with NaN/NULL scores present.
+      final class Entry(val isNull: Boolean, val score: Double, val tie: Long,
+          val row: InternalRow)
+      // >0 iff a ranks strictly better (earlier in DESC order) than b
+      def rankCmp(aNull: Boolean, aScore: Double, aTie: Long,
+          bNull: Boolean, bScore: Double, bTie: Long): Int = {
+        if (aNull != bNull) { if (aNull) -1 else 1 }
+        else {
+          val c = if (aNull) 0 else java.lang.Double.compare(aScore, bScore)
+          if (c != 0) c else java.lang.Long.compare(bTie, aTie)
         }
+      }
+      val heaps = new java.util.HashMap[Long, java.util.PriorityQueue[Entry]]()
+      // min-heap: head = worst-ranked entry
+      val cmp = new java.util.Comparator[Entry] {
+        def compare(a: Entry, b: Entry): Int =
+          rankCmp(a.isNull, a.score, a.tie, b.isNull, b.score, b.tie)
       }
       it.foreach { row =>
         val key = row.getLong(g)
         var h = heaps.get(key)
         if (h == null) { h = new java.util.PriorityQueue[Entry](kk + 1, cmp); heaps.put(key, h) }
-        val sc = row.getDouble(s)
+        val nul = row.isNullAt(s)
+        val sc = if (nul) 0.0 else row.getDouble(s)
         val ti = row.getLong(t)
         // test against the current worst BEFORE copying: once the heap is
         // full, the common case is rejection, which must not allocate
         val worst = if (h.size < kk) null else h.peek()
-        if (worst == null || sc > worst.score || (sc == worst.score && ti < worst.tie)) {
-          h.add(new Entry(sc, ti, row.copy()))
+        if (worst == null ||
+            rankCmp(nul, sc, ti, worst.isNull, worst.score, worst.tie) > 0) {
+          h.add(new Entry(nul, sc, ti, row.copy()))
           if (h.size > kk) h.poll()
         }
       }

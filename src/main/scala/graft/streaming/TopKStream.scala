@@ -30,8 +30,14 @@ object TopKStream extends Serializable {
     def fn(qid: Long, it: Iterator[(Long, Long, Double)],
         state: GroupState[QState]): Iterator[Hit] = {
       val prev = state.getOption.getOrElse(QState(0L, Array.empty, Array.empty))
-      // merge batch into the bounded list under (score DESC, vec_id ASC)
+      // merge batch into the bounded list under (score DESC, vec_id ASC);
+      // dedup by vec_id first (keep best score) — at-least-once sources
+      // can deliver a vector in more than one microbatch and a replayed
+      // id must not occupy two top-k slots (it would push a distinct id
+      // out of the ranking the batch twin keeps)
       val merged = (prev.scores.zip(prev.ids) ++ it.map(r => (r._3, r._2)))
+        .groupMapReduce(_._2)(_._1)(math.max)
+        .toArray.map { case (v, sc) => (sc, v) }
         .sortBy { case (s, v) => (-s, v) }
         .take(k)
       val next = QState(prev.epoch + 1, merged.map(_._1), merged.map(_._2))

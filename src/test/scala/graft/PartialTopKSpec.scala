@@ -22,6 +22,33 @@ class PartialTopKSpec extends AnyFunSuite {
     assert(plan.contains("PartialTopK "), plan) // exec nodeName strips the Exec suffix
   }
 
+  test("NULL and NaN scores rank exactly as the desc window does") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // per group: NaNs (rank first in DESC), finite values, NULLs (rank
+    // last) — more rows than k of each flavor so ordering inside each
+    // flavor matters too
+    val rows: Seq[(Long, Option[Double], Long)] = (0 until 60).map { i =>
+      val g = (i % 3).toLong
+      val s = (i / 3) % 5 match {
+        case 0 => Some(Double.NaN)
+        case 1 => None
+        case _ => Some((i * 37 % 23).toDouble)
+      }
+      (g, s, i.toLong)
+    }
+    val df = rows.toDF("g", "s", "t").repartition(4)
+    val w = Window.partitionBy("g").orderBy(desc("s"), asc("t"))
+    def topk(in: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Int)] =
+      in.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 4)
+        .select("g", "s", "t", "rnk").collect()
+        // stringify the score: NaN != NaN under boxed equality, which
+        // would make set comparison fail on identical contents
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) "null" else r.getDouble(1).toString,
+          r.getLong(2), r.getInt(3))).toSet
+    assert(topk(PartialTopK(df, "g", "s", "t", 4)) === topk(df))
+  }
+
   test("partial top-k alone keeps at most k rows per group per partition") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i % 7L, i.toDouble, i.toLong))

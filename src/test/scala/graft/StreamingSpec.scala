@@ -169,6 +169,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k dedups replayed vector ids across microbatches") {
+    import graft.streaming.TopKStream
+    val dir = tmp()
+    val emb = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    emb.filter(col("vec_id") % 3 === 0).write.mode("append").parquet(dir)
+    val queries = Tables.embeddings(spark, Sf).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val stream = spark.readStream.schema(emb.schema).parquet(dir)
+    val q = TopKStream.topKPerQuery(TopKStream.scoredStream(stream, queries), k = 5)
+      .writeStream.outputMode("update").format("memory").queryName("topkdup").start()
+    try {
+      q.processAllAvailable()
+      // second microbatch REPLAYS every %3==0 vector (at-least-once
+      // delivery) alongside the rest of the corpus — replayed ids must
+      // not occupy two top-k slots
+      emb.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val latest = spark.table("topkdup")
+        .withColumn("mx", max("epoch").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")))
+        .filter(col("epoch") === col("mx"))
+      val got = latest.select("query_id", "vec_id", "rnk").orderBy("query_id", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = graft.operators.KnnSearch.knnJoin(spark, Sf, k = 5)
+        .select("query_id", "vec_id", "rnk").orderBy("query_id", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("gap-broken session is retained until the watermark passes end+gap") {
+    import spark.implicits._
+    val dir = tmp()
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    // 10:00 then 10:31 -> 31-min gap breaks the session, but with a
+    // 10-min watermark delay (wm = 10:21 after batch 2) the first
+    // session is still mergeable: a late 10:25 event bridges BOTH into
+    // one session. Eager emission would have already emitted the split
+    // [10:00,10:00] that append mode cannot retract.
+    write(Seq((7001L, "2024-06-01 10:00:00")))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType))))
+      .parquet(dir)
+    val q = SessionStream.sessionize(stream)
+      .writeStream.outputMode("append").format("memory").queryName("gapheld").start()
+    try {
+      q.processAllAvailable()
+      write(Seq((7001L, "2024-06-01 10:31:00")))
+      q.processAllAvailable()
+      write(Seq((7001L, "2024-06-01 10:25:00")))
+      q.processAllAvailable()
+      write(Seq((7001L, "2030-01-01 00:00:00")))
+      q.processAllAvailable(); q.processAllAvailable()
+      val real = spark.table("gapheld")
+        .filter(col("start_us") < expr("unix_micros(timestamp'2029-01-01')"))
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSeq
+      // exactly ONE session with all 3 events — the batch-twin answer
+      assert(real === Seq((7001L, 3L)), real)
+    } finally q.stop()
+  }
+
   test("batch-mode sessionize (final flush) matches batch EventOps") {
     val got = SessionStream.sessionize(eventsBatch)
       .orderBy("user_id", "start_us")

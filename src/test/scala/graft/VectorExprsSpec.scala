@@ -34,6 +34,25 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("NULL vector elements yield NULL, matching the HOF twin") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(Option(1f), None, Option(2f)), Seq(Option(1f), Option(1f), Option(1f))),
+      (Seq(Option(1f), Option(2f), Option(3f)), Seq(Option(1f), Option(1f), None)),
+      (Seq(Option(1f), Option(2f), Option(3f)), Seq(Option(2f), Option(1f), Option(1f)))
+    ).toDF("x", "y")
+    val got = df.select(
+      VectorFunctions.dot(col("x"), col("y")).as("nd"),
+      VectorFunctions.dotHof(col("x"), col("y")).as("hd"),
+      VectorFunctions.dist2(col("x"), col("y")).as("n2"),
+      VectorFunctions.dist2Hof(col("x"), col("y")).as("h2"))
+    // native == HOF including NULL propagation (null-safe compare)
+    assert(got.filter(not(col("nd") <=> col("hd")) || not(col("n2") <=> col("h2")))
+      .count() === 0)
+    assert(got.filter(col("nd").isNull).count() === 2)
+    assert(got.filter(col("nd").isNotNull).count() === 1)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val df = pairs.select(VectorFunctions.dot(col("embedding"), col("qvec")).as("d"))
     df.collect() // materialize the final adaptive plan
