@@ -84,7 +84,11 @@ object Dedup {
     * generation is linear-ish in corpus size, never all-pairs.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bands = bandSignatures(spark, dir)
+    // materialize the band table once: the self-join would otherwise
+    // recompute the full minhash chain (16 md5s per shingle) for BOTH
+    // sides — the band table is 8 short rows per doc, the standard
+    // thing to persist in LSH dedup at any scale
+    val bands = bandSignatures(spark, dir).localCheckpoint()
     bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
         Seq("band", "sig"))
@@ -97,8 +101,11 @@ object Dedup {
     * candidate pairs (the verify step of the MinHash pipeline).
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val cand = minhashLsh(spark, dir).select("doc_a", "doc_b")
-    val sh = docShingles(spark, dir)
+    val cand = minhashLsh(spark, dir).select("doc_a", "doc_b").localCheckpoint()
+    // the shingle table feeds three consumers (sizes + both sides of the
+    // intersection join) — materialize it once instead of re-shingling
+    // the corpus three times
+    val sh = docShingles(spark, dir).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
@@ -149,12 +156,15 @@ object Dedup {
     while (changed > 0) {
       val prop = edges.join(labels, col("src") === col("doc"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      // carry the previous label through the same join so the
+      // convergence check is a filter on the materialized result, not
+      // another join+shuffle per round
       val next = labels.join(prop, col("doc") === col("dst"), "left")
-        .select(col("doc"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("doc"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select("doc", "lbl")
     }
     labels.select(col("doc").as("doc_id"), col("lbl").as("component"))
       .withColumn("comp_size",
@@ -198,6 +208,7 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
     val sigs = simhashSignatures(spark, dir)
       .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .localCheckpoint() // self-joined below; one simhash pass, not two
     sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("lang"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("lang")),
         Seq("lang"))
@@ -216,9 +227,12 @@ object Dedup {
     // norms computed once per vector BEFORE the self-join (the join
     // would otherwise re-fold them per candidate pair); same doubles,
     // so the per-pair oracle formulation still matches bitwise
+    // materialized once — the self-join would recompute the IVF assign
+    // (a k-way scoring scan) and the norm fold for both sides
     val e = Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
       .join(IvfIndex.assign(spark, dir).select("vec_id", "cluster_id"), "vec_id")
       .withColumn("nrm", norm(col("embedding")))
+      .localCheckpoint()
     e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"), col("cluster_id"))
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"), col("cluster_id")),
         Seq("cluster_id"))
