@@ -31,9 +31,19 @@ object Bench {
         "text_fingerprint")
       .foreach(n => try SparkEntry.queries(n)(spark, sfDir).count()
         catch { case _: Throwable => () })
+    // release blocks a query persisted so queries are measured in
+    // isolation: leaked cache blocks from earlier (dedup) queries eat
+    // heap and bill GC pauses to whatever runs later (the r2
+    // q_approx_distinct/vs_pq "regression" was exactly this)
+    def dropCaches(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
-        try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+        val t = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+        dropCaches()
+        t
       }
       name -> (if (runs.contains(-1.0)) -1.0 else runs.min)
     }

@@ -382,6 +382,17 @@ object OracleSql {
        |FROM j WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400 AND logit >= 0.5
        |ORDER BY logit DESC, doc_id LIMIT 10""".stripMargin
 
+  val vsFilteredDate: String =
+    s"""WITH $qVec0, $scoredAll,
+       |top AS (SELECT vec_id, sc FROM s ORDER BY sc DESC, vec_id LIMIT 50),
+       |j AS (SELECT d.doc_id,
+       |    DATE '2024-01-01' + CAST(d.doc_id % 365 AS INTEGER) AS dd,
+       |    d.n_chars, $logitExpr AS logit
+       |  FROM top t JOIN documents d ON d.doc_id = t.vec_id)
+       |SELECT doc_id, strftime(dd, '%Y-%m-%d') AS doc_date, ${r6("logit")} AS logit, $labelExpr AS label
+       |FROM j WHERE dd BETWEEN DATE '2024-03-01' AND DATE '2024-09-30' AND logit >= 0.5
+       |ORDER BY logit DESC, doc_id LIMIT 10""".stripMargin
+
   private val ivfCtes =
     s"""cent AS (SELECT vec_id AS cluster_id, embedding AS cvec FROM embeddings WHERE vec_id % 53 = 0),
        |ad AS (SELECT e.vec_id, c.cluster_id, ${dist2("e.embedding", "c.cvec")} AS d2
@@ -408,6 +419,30 @@ object OracleSql {
        |  WHERE a.cluster_id IN (SELECT cluster_id FROM probe)),
        |sc AS (SELECT cluster_id, vec_id, ${dot("embedding", "qv")} AS s FROM cand, q)
        |SELECT cluster_id, vec_id, ${r6("s")} AS score FROM sc ORDER BY s DESC, vec_id LIMIT 10""".stripMargin
+
+  /** One integerized Lloyd step over the seed assignment, re-assign,
+    * per-cluster stats — mirrors IvfIndex.kmeansStats: per-(cluster,dim)
+    * means from per-row integerized sums (order-independent), centroid
+    * arrays rebuilt ordered by dimension, same dist2 fold + argmin.
+    */
+  val vsIvfKmeans: String =
+    s"""WITH $ivfCtes,
+       |pe AS (SELECT a.cluster_id, i, e.embedding[i]::DOUBLE AS v
+       |  FROM asg a JOIN embeddings e USING(vec_id)
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims),
+       |mm AS (SELECT cluster_id, i,
+       |  CAST(sum(CAST(floor(v * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2,
+       |  count(*) AS n FROM pe GROUP BY 1, 2),
+       |nc AS (SELECT cluster_id, list(s2 / (1000000000.0 * n) ORDER BY i) AS cvec FROM mm GROUP BY 1),
+       |ad2 AS (SELECT e.vec_id, c.cluster_id, ${dist2("e.embedding", "c.cvec")} AS d2
+       |  FROM embeddings e CROSS JOIN nc c),
+       |asg2 AS (SELECT vec_id, cluster_id, d2 FROM (
+       |  SELECT vec_id, cluster_id, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn FROM ad2)
+       |  WHERE rn = 1)
+       |SELECT cluster_id, count(*) AS n,
+       |  ${r6(s"sum(${cents("d2", "1000000000.0")}) / (1000000000.0 * count(*))")} AS avg_d2
+       |FROM asg2 GROUP BY 1""".stripMargin
 
   val vsPq: String =
     s"""WITH subs AS (SELECT unnest(generate_series(0, 3)) AS s),
@@ -549,6 +584,11 @@ object OracleSql {
        |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS comp_size
        |FROM comp""".stripMargin
 
+  /** Banded candidate generation (Manku-style): the 32-bit signature is
+    * split into 4 byte blocks; candidates are same-lang pairs sharing at
+    * least one block (an equi-join, mirroring Dedup.simhashBlocks), then
+    * verified at hamming ≤ 8.
+    */
   val dedupSimhash: String =
     s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
        |bb AS (SELECT unnest(generate_series(0, 31)) AS b),
@@ -561,11 +601,16 @@ object OracleSql {
        |sg AS (SELECT doc_id,
        |  CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
        |  FROM sb GROUP BY 1),
-       |m AS (SELECT doc_id, lang, sig FROM sg JOIN documents USING(doc_id))
-       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.lang AS lang,
-       |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
-       |FROM m x JOIN m y ON x.lang = y.lang AND x.doc_id < y.doc_id
-       |WHERE bit_count(xor(x.sig, y.sig)) <= 8""".stripMargin
+       |m AS (SELECT doc_id, lang, sig FROM sg JOIN documents USING(doc_id)),
+       |blk AS (SELECT doc_id, lang, sig, blkb AS blk, (sig >> (8 * blkb)) & 255 AS bval
+       |  FROM m CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS blkb) blks),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.lang AS lang, x.sig AS sig_a, y.sig AS sig_b
+       |  FROM blk x JOIN blk y
+       |    ON x.lang = y.lang AND x.blk = y.blk AND x.bval = y.bval AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, lang,
+       |  CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8""".stripMargin
 
   val dedupEmbed: String =
     s"""WITH $ivfCtes,
@@ -616,8 +661,10 @@ object OracleSql {
     "vs_range_search" -> vsRangeSearch,
     "vs_rerank" -> vsRerank,
     "vs_filtered_search" -> vsFilteredSearch,
+    "vs_filtered_date" -> vsFilteredDate,
     "vs_centroids" -> vsCentroids,
     "vs_ivf_ann" -> vsIvfAnn,
+    "vs_ivf_kmeans" -> vsIvfKmeans,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_ngram" -> dedupNgram,

@@ -58,8 +58,10 @@ object SparkEntry {
     "vs_range_search" -> ((s, d) => KnnSearch.rangeSearch(s, d)),
     "vs_rerank" -> ((s, d) => KnnSearch.rerank(s, d)),
     "vs_filtered_search" -> ((s, d) => KnnSearch.filteredSearch(s, d)),
+    "vs_filtered_date" -> ((s, d) => KnnSearch.filteredDateSearch(s, d)),
     "vs_centroids" -> ((s, d) => IvfIndex.centroidStats(s, d)),
     "vs_ivf_ann" -> ((s, d) => IvfIndex.search(s, d)),
+    "vs_ivf_kmeans" -> ((s, d) => IvfIndex.kmeansStats(s, d)),
     "vs_lsh_ann" -> ((s, d) => LshAnn.search(s, d)),
     "vs_pq" -> ((s, d) => PqIndex.search(s, d)),
     "vs_pq_rerank" -> ((s, d) => PqIndex.searchRerank(s, d)),

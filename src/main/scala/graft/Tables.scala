@@ -19,14 +19,21 @@ object Tables {
     * real cluster the scan already has many splits and this is a no-op
     * (it only repartitions when splits < parallelism).
     */
+  // split-count probe cache: df.rdd costs a full plan-to-RDD conversion,
+  // so pay it once per (session, plan) instead of on every query build
+  private val splitCounts =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Int]
+
   def fanOut(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     // real split count, not file count: a large single file already
     // yields many splits (maxPartitionBytes) and must NOT be shuffled,
     // while bin-packed small files can collapse to fewer splits than
-    // cores. The extra planning pass df.rdd costs is per-query-build,
-    // not per-row.
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // cores
+    val key = (System.identityHashCode(df.sparkSession).toString,
+      df.queryExecution.analyzed.semanticHash())
+    val n = splitCounts.getOrElseUpdate(key, df.rdd.getNumPartitions)
+    if (n < p) df.repartition(p) else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")

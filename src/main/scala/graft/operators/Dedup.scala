@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
@@ -12,17 +13,31 @@ import graft.functions.VectorFunctions._
   *
   * Scale design: every variant is candidate-generation-first — no
   * all-pairs O(N²) stage ever touches the full corpus. MinHash bands,
-  * SimHash language blocks and IVF clusters each bound the pair space,
+  * SimHash signature blocks and IVF clusters each bound the pair space,
   * and the expensive exact measure (Jaccard / cosine) runs only on
   * candidates.
+  *
+  * Materialization policy (the round-2 lesson): only SMALL derived
+  * tables (band/block signatures — a handful of narrow rows per doc —
+  * and candidate pairs) are ever persisted, and always with a lazy
+  * `persist(MEMORY_AND_DISK)` that keeps lineage (an executor loss
+  * recomputes; `localCheckpoint` would kill the job) and lets Catalyst
+  * still prune columns. Corpus-wide intermediates (exploded shingles,
+  * embedding vectors) are never cached — recomputing a map-side scan is
+  * cheaper than materializing a second copy of the dataset, at sf0.1
+  * and even more so at 100 TB.
   */
 object Dedup {
 
   val NumPerms = 16
   val NumBands = 8 // 8 bands × 2 rows over the 16 permutations
+  val SimhashBlocks = 4 // 32-bit signature split into 4 byte blocks
 
   /** (doc_id, shingle) — distinct 3-word shingles, exploded (native
     * one-pass shingler; TextFunctions.shingles is the HOF spec twin).
+    * Deliberately NOT cached: it is corpus-sized (one row per token),
+    * and each consumer's scan recomputes it map-side for less than the
+    * cost of materializing it.
     */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.documents(spark, dir))
@@ -84,11 +99,12 @@ object Dedup {
     * generation is linear-ish in corpus size, never all-pairs.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // materialize the band table once: the self-join would otherwise
-    // recompute the full minhash chain (16 md5s per shingle) for BOTH
-    // sides — the band table is 8 short rows per doc, the standard
-    // thing to persist in LSH dedup at any scale
-    val bands = bandSignatures(spark, dir).localCheckpoint()
+    // the band table is the one LSH intermediate worth keeping: 8 short
+    // rows per doc, consumed by BOTH sides of the self-join (which would
+    // otherwise recompute 16 md5s per shingle twice). Lazy MEMORY_AND_DISK
+    // keeps lineage (fault-tolerant, unlike a checkpoint) and costs
+    // nothing when the plan is built but never run.
+    val bands = bandSignatures(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
         Seq("band", "sig"))
@@ -101,11 +117,11 @@ object Dedup {
     * candidate pairs (the verify step of the MinHash pipeline).
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val cand = minhashLsh(spark, dir).select("doc_a", "doc_b").localCheckpoint()
-    // the shingle table feeds three consumers (sizes + both sides of the
-    // intersection join) — materialize it once instead of re-shingling
-    // the corpus three times
-    val sh = docShingles(spark, dir).localCheckpoint()
+    // candidate pairs: tiny (near-dup pairs only) and consumed three
+    // times (spine + both intersection probes) — worth keeping
+    val cand = minhashLsh(spark, dir).select("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = docShingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
@@ -137,9 +153,12 @@ object Dedup {
     * verified near-dup graph (exact Jaccard ≥ threshold), via min-label
     * propagation — each iteration is one join + aggregate, lineage cut
     * per round with localCheckpoint, converging in O(graph diameter)
-    * rounds. The component id is the minimum doc_id of the group (its
-    * canonical keeper), which is what transitive dedup needs and what
-    * pairwise drop rules get wrong (A~B, B~C but A!~C).
+    * rounds. The per-iteration localCheckpoint is the one legitimate use
+    * of lineage truncation (plan growth is exponential otherwise), and
+    * it only ever holds the tiny label/edge tables, never the corpus.
+    * The component id is the minimum doc_id of the group (its canonical
+    * keeper), which is what transitive dedup needs and what pairwise
+    * drop rules get wrong (A~B, B~C but A!~C).
     */
   def components(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val pairs = ngramJaccard(spark, dir)
@@ -202,17 +221,45 @@ object Dedup {
       .agg(sum(when(col("s") > 0, expr("cast(power(2, b) as bigint)")).otherwise(0L)).as("sig"))
   }
 
-  /** SimHash near-dup pairs: hamming distance ≤ maxHamming, candidate
-    * space blocked by language (same-lang pairs only).
+  /** (doc_id, lang, sig, blk, bval): the signature split into
+    * `SimhashBlocks` byte blocks — the Manku/Google-style banding key.
+    * Two signatures within hamming distance h share at least one block
+    * whenever h < SimhashBlocks·(bits-per-block pigeonhole); joining on
+    * (lang, blk, bval) gives an equi-keyed candidate space that is
+    * linear-ish in corpus size instead of O(n²) per language.
+    */
+  def simhashBlocks(spark: SparkSession, dir: String): DataFrame = {
+    val blockStructs = array((0 until SimhashBlocks).map(b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bval"))): _*)
+    simhashSignatures(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("sig"), explode(blockStructs).as("bb"))
+      .select(col("doc_id"), col("lang"), col("sig"),
+        col("bb.blk").as("blk"), col("bb.bval").as("bval"))
+  }
+
+  /** SimHash near-dup pairs: same-language docs sharing ≥1 signature
+    * byte block, verified at hamming distance ≤ maxHamming. Candidate
+    * generation is an equi-join on (lang, blk, bval) — never the
+    * all-pairs-within-language join, which is O(n²) per language and a
+    * scale-killer at ~10⁹ docs/lang. Pigeonhole note: with 4 blocks the
+    * blocking is exhaustive for hamming ≤ 3 and a high-recall candidate
+    * filter above that; the oracle mirrors the same candidate rule, so
+    * both engines agree exactly.
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
-    val sigs = simhashSignatures(spark, dir)
-      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
-      .localCheckpoint() // self-joined below; one simhash pass, not two
-    sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("lang"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("lang")),
-        Seq("lang"))
+    // 4 narrow rows per doc, consumed by both sides of the self-join
+    // (the simhash vote scan is the expensive part); lazy+lineage-keeping
+    val blocks = simhashBlocks(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    blocks.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("lang"), col("blk"), col("bval"))
+      .join(blocks.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("lang"), col("blk"), col("bval")), Seq("lang", "blk", "bval"))
       .filter(col("doc_a") < col("doc_b"))
+      // a pair sharing k blocks matches k times — dedup before scoring
+      .select(col("doc_a"), col("doc_b"), col("lang"), col("sig_a"), col("sig_b"))
+      .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "lang", "hamming")
@@ -221,18 +268,18 @@ object Dedup {
   /** Embedding-cosine near-dup pairs, blocked by IVF cluster: only
     * same-cluster pairs are compared (the ANN-accelerated near-dup
     * path — cross-cluster pairs are below the similarity threshold by
-    * construction of the index).
+    * construction of the index). The cluster assignment is computed in
+    * the scan itself (IvfIndex.assignedEmbeddings — zero-shuffle literal
+    * argmin), so each side of the self-join is a single map-side pass:
+    * no join against an assignment table, no cached copy of the corpus.
     */
   def embedCosine(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     // norms computed once per vector BEFORE the self-join (the join
     // would otherwise re-fold them per candidate pair); same doubles,
     // so the per-pair oracle formulation still matches bitwise
-    // materialized once — the self-join would recompute the IVF assign
-    // (a k-way scoring scan) and the norm fold for both sides
-    val e = Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
-      .join(IvfIndex.assign(spark, dir).select("vec_id", "cluster_id"), "vec_id")
+    val e = IvfIndex.assignedEmbeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("cluster_id"))
       .withColumn("nrm", norm(col("embedding")))
-      .localCheckpoint()
     e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"), col("cluster_id"))
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"), col("cluster_id")),
         Seq("cluster_id"))

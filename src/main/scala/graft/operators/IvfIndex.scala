@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.VectorFunctions._
 
@@ -10,14 +9,18 @@ import graft.functions.VectorFunctions._
   * 100 TB scale path the reference's in-memory Qdrant index
   * (reference store_assets.py:40-77) cannot take.
   *
-  * Design: a small centroid table (deterministic seed pick here; a few
-  * k-means iterations in production) is broadcast; every corpus vector
-  * is assigned to its nearest centroid in a single scan (argmin via
-  * window over the broadcast cross join — the corpus never shuffles).
-  * At scale the assignment is written bucketed/partitioned by
-  * `cluster_id`, so a query probing `nprobe` clusters prunes everything
-  * else at the parquet-partition level (predicate pushdown on the
-  * partition column), turning O(N) brute force into O(N·nprobe/k).
+  * Design: a small centroid table (deterministic seed pick here; k-means
+  * refinement in [[kmeans]]) is collected to the driver — it is index
+  * metadata, k×dim floats, the coarse quantizer Qdrant keeps in RAM —
+  * and baked into the assignment expression as a literal array of
+  * structs. Every corpus vector then finds its nearest centroid with a
+  * per-row `array_min` over (d², cluster_id) structs: a pure map-side
+  * projection, zero shuffle, zero corpus movement (the same pattern as
+  * TextAnalysis.langId). At scale the assignment is written
+  * bucketed/partitioned by `cluster_id`, so a query probing `nprobe`
+  * clusters prunes everything else at the parquet-partition level
+  * (predicate pushdown on the partition column), turning O(N) brute
+  * force into O(N·nprobe/k).
   */
 object IvfIndex {
 
@@ -28,24 +31,64 @@ object IvfIndex {
     Tables.embeddings(spark, dir).filter(col("vec_id") % CentroidStep === 0)
       .select(col("vec_id").as("cluster_id"), col("embedding").as("cvec"))
 
+  /** Collect a centroid table (k×dim — index metadata, never data) into
+    * a literal `array<struct<cluster_id, cvec>>` column. Element type
+    * (float/double) is preserved so the distance fold math is bitwise
+    * identical to the relational formulation the oracle mirrors.
+    */
+  def centroidLiteral(cents: DataFrame): Column = {
+    val rows = cents.select(col("cluster_id").cast("long"), col("cvec")).collect()
+    val entries = rows.map { r =>
+      val vecLit = r.getSeq[Any](1).head match {
+        case _: java.lang.Float => lit(r.getSeq[Float](1).toArray)
+        case _ => lit(r.getSeq[Double](1).toArray)
+      }
+      struct(lit(r.getLong(0)).as("cluster_id"), vecLit.as("cvec"))
+    }
+    array(entries.toIndexedSeq: _*)
+  }
+
+  /** Per-row nearest centroid: struct(d2, cluster_id) minimized over the
+    * literal centroid array. Struct ordering is field-by-field, so the
+    * minimum is (smallest d², then smallest cluster_id) — exactly the
+    * `row_number() OVER (ORDER BY d2, cluster_id) = 1` the oracle
+    * computes, with bitwise-identical d² folds. No join, no window, no
+    * shuffle: the corpus never moves.
+    */
+  def nearest(embedding: Column, centsLit: Column): Column =
+    array_min(transform(centsLit, c =>
+      struct(dist2(embedding, c.getField("cvec")).as("d2"),
+        c.getField("cluster_id").as("cluster_id"))))
+
   /** Nearest-centroid assignment of `vecs` against an arbitrary
-    * centroid table (broadcast), distance retained.
+    * centroid table, distance retained. Plan: a single map-side
+    * projection over the vecs scan (no Exchange — asserted by
+    * IvfIndexSpec).
     */
   def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster_id").asc)
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("d2", dist2(col("embedding"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cluster_id", "d2")
+    val best = nearest(col("embedding"), centroidLiteral(cents))
+    vecs.select(col("vec_id"), col("embedding"), best.as("best"))
+      .select(col("vec_id"), col("best.cluster_id").as("cluster_id"), col("best.d2").as("d2"))
+  }
+
+  /** Corpus embeddings with their assignment attached in the same scan
+    * (vec_id, embedding, cluster_id, d2) — the zero-shuffle input every
+    * cluster-blocked consumer (search candidates, embed dedup,
+    * writeIndex) starts from, replacing an assign⋈embeddings self-join.
+    */
+  def assignedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val best = nearest(col("embedding"), centroidLiteral(centroids(spark, dir)))
+    Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .withColumn("best", best)
+      .select(col("vec_id"), col("embedding"),
+        col("best.cluster_id").as("cluster_id"), col("best.d2").as("d2"))
   }
 
   /** Assignment against the deterministic seed centroids (the
     * oracle-mirrored formulation).
     */
   def assign(spark: SparkSession, dir: String): DataFrame =
-    assignTo(Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding")),
-      centroids(spark, dir))
+    assignedEmbeddings(spark, dir).select("vec_id", "cluster_id", "d2")
 
   /** Index-build stats: per-cluster size and mean assignment distance
     * (the k-means update step as an aggregation). The distance sum is
@@ -59,27 +102,55 @@ object IvfIndex {
       .withColumn("avg_d2", r6(col("sum_d2e9") / (lit(1e9) * col("n"))))
       .select("cluster_id", "n", "avg_d2")
 
-  /** Lloyd's k-means over the embedding column, entirely as DataFrame
-    * ops (the batch index build): assignment is a broadcast cross join
-    * + window argmin; the update step recomputes per-dimension means
-    * via posexplode + two-level aggregation. Data never leaves the
-    * executors — only the k×dim centroid means return to the driver
-    * each iteration to become the next broadcast (the MLlib pattern).
-    * Returns (final centroids, per-iteration objective = Σ d²).
+  /** One integerized Lloyd step: per-(cluster, dim) means computed from
+    * per-row integerized sums (order-independent — the oracle's serial
+    * sum and Spark's partial-agg tree agree bitwise), reassembled into
+    * double centroid vectors. The k-means update as pure relational ops.
+    */
+  def refinedCentroids(spark: SparkSession, dir: String): DataFrame =
+    assignedEmbeddings(spark, dir)
+      .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(sum(cents(col("v").cast("double"), 1e9)).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", col("s") / (lit(1e9) * col("n")))
+      .groupBy(col("cluster_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cvec"))
+
+  /** Oracle-checked k-means path (`vs_ivf_kmeans`): refine the seed
+    * centroids with one integerized Lloyd step, re-assign the corpus
+    * against the refined centroids (same zero-shuffle argmin), and
+    * report per-cluster stats. The refinement measurably helps recall —
+    * see writeIndex — and this surface proves it bitwise against DuckDB.
+    */
+  def kmeansStats(spark: SparkSession, dir: String): DataFrame =
+    assignTo(Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding")),
+      refinedCentroids(spark, dir))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("d2"), 1e9)).as("sum_d2e9"))
+      .withColumn("avg_d2", r6(col("sum_d2e9") / (lit(1e9) * col("n"))))
+      .select("cluster_id", "n", "avg_d2")
+
+  /** Lloyd's k-means over the embedding column (the batch index build):
+    * assignment is the zero-shuffle literal-argmin projection; the
+    * update step recomputes per-dimension means via posexplode + a
+    * two-level aggregation. Data never leaves the executors — only the
+    * k×dim centroid means return to the driver each iteration to become
+    * the next iteration's literal (the MLlib pattern). Returns (final
+    * centroids, per-iteration objective = Σ d²).
     */
   def kmeans(spark: SparkSession, dir: String, iters: Int = 3): (DataFrame, Seq[Double]) = {
-    import spark.implicits._
     val vecs = Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
     var cents: DataFrame = centroids(spark, dir)
       .select(col("cluster_id"), transform(col("cvec"), _.cast("double")).as("cvec"))
     val objectives = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster_id").asc)
-      val assigned = vecs.crossJoin(broadcast(cents))
-        .withColumn("d2", dist2(col("embedding"), col("cvec")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "cluster_id", "embedding", "d2")
+      val best = nearest(col("embedding"), centroidLiteral(cents))
+      val assigned = vecs
+        .withColumn("best", best)
+        .select(col("vec_id"), col("best.cluster_id").as("cluster_id"),
+          col("embedding"), col("best.d2").as("d2"))
       objectives += assigned.agg(sum(col("d2"))).head().getDouble(0)
       val means = assigned
         .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -111,9 +182,9 @@ object IvfIndex {
     val cents =
       if (refineIters > 0) kmeans(spark, dir, refineIters)._1
       else centroids(spark, dir)
+    val best = nearest(col("embedding"), centroidLiteral(cents))
     Tables.embeddings(spark, dir).select("vec_id", "embedding")
-      .join(assignTo(Tables.fanOut(Tables.embeddings(spark, dir)
-        .select("vec_id", "embedding")), cents).select("vec_id", "cluster_id"), "vec_id")
+      .withColumn("cluster_id", best.getField("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$indexPath/vectors")
     cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
@@ -146,7 +217,9 @@ object IvfIndex {
   }
 
   /** IVF search: rank centroids by distance to the query, scan only the
-    * `nprobe` nearest clusters, brute-force top-k inside them.
+    * `nprobe` nearest clusters, brute-force top-k inside them. The
+    * candidate filter is an isin over the assignment column computed in
+    * the same scan — no join against a separate assignment table.
     */
   def search(spark: SparkSession, dir: String, nprobe: Int = 3, k: Int = 10): DataFrame = {
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
@@ -156,10 +229,9 @@ object IvfIndex {
       .orderBy(col("cd2").asc, col("cluster_id").asc)
       .limit(nprobe)
       .select("cluster_id")
-    val cand = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-      .join(assign(spark, dir).select("vec_id", "cluster_id"), "vec_id")
+    assignedEmbeddings(spark, dir)
       .join(broadcast(probed), "cluster_id")
-    cand.crossJoin(broadcast(q))
+      .crossJoin(broadcast(q))
       .withColumn("score", dot(col("embedding"), col("qvec")))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)

@@ -144,6 +144,39 @@ object KnnSearch {
         col("rerank_rank"))
   }
 
+  /** Deterministic per-doc date (the documents table carries no date
+    * column; this derives one so the reference's first-class date-range
+    * search parameter has a demonstrable twin).
+    */
+  def docDate(docId: Column): Column =
+    date_add(to_date(lit("2024-01-01")), (docId % 365).cast("int"))
+
+  /** Date-windowed payload-filtered search (reference
+    * mcp_server.py:81-84 `from_date`/`to_date`, applied at
+    * mcp_server.py:158-172): top-50 retrieve → rerank → date-range +
+    * min_score filter → limit. At scale the date predicate also prunes
+    * at the storage layer when the corpus is date-partitioned
+    * (Ingest.writeCorpus's partitioned layout).
+    */
+  def filteredDateSearch(spark: SparkSession, dir: String, fromDate: String = "2024-03-01",
+      toDate: String = "2024-09-30", retrieveK: Int = 50, limitN: Int = 10): DataFrame = {
+    val top = scored(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      queriesOf(spark, dir, col("vec_id") === 0))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(retrieveK)
+      .select(col("vec_id"), col("score"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      .withColumn("doc_date", docDate(col("doc_id")))
+    top.join(docs, top("vec_id") === docs("doc_id"))
+      .withColumn("logit", rerankLogit(col("score"), col("n_chars")))
+      .filter(col("doc_date").between(lit(fromDate).cast("date"), lit(toDate).cast("date"))
+        && col("logit") >= 0.5)
+      .orderBy(col("logit").desc, col("doc_id").asc)
+      .limit(limitN)
+      .select(col("doc_id"), date_format(col("doc_date"), "yyyy-MM-dd").as("doc_date"),
+        r6(col("logit")).as("logit"), relevanceLabel(col("logit")).as("label"))
+  }
+
   /** Payload-filtered search (reference mcp_server.py:150-177): top-50
     * retrieve → rerank → metadata filter (lang, length range) +
     * min_score → limit.

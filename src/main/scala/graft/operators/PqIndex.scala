@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.VectorFunctions._
 
@@ -47,18 +46,37 @@ object PqIndex {
         expr(s"slice(embedding, s * $SubDim + 1, $SubDim)").as("subvec"))
   }
 
+  /** The NumSub codebooks collected into one literal column:
+    * `array` (indexed by s+1) `of array<struct<code, cvec>>`. Codebooks
+    * are index metadata (NumSub×NumCodes×SubDim floats — the thing a PQ
+    * engine keeps in L1), never data.
+    */
+  private def codebookLiteral(spark: SparkSession, dir: String) = {
+    val bySub = codebooks(spark, dir)
+      .select(col("s"), col("code").cast("long"), col("cvec"))
+      .collect()
+      .groupBy(_.getInt(0))
+    array((0 until NumSub).map { s =>
+      array(bySub(s).sortBy(_.getLong(1)).map { r =>
+        struct(lit(r.getLong(1)).as("code"), lit(r.getSeq[Float](2).toArray).as("cvec"))
+      }.toIndexedSeq: _*)
+    }: _*)
+  }
+
   /** PQ encoding: nearest codeword per subspace (argmin d², tiebreak
-    * code) → (vec_id, s, code).
+    * code) → (vec_id, s, code). The codeword argmin is a per-row
+    * `array_min` over (d², code) structs against the literal codebook of
+    * subspace s — a map-side projection, no join, no window, no shuffle
+    * of the corpus (struct ordering ≡ the oracle's
+    * `row_number() OVER (ORDER BY d2, code) = 1`).
     */
   def encode(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("d2").asc, col("code").asc)
+    val cb = codebookLiteral(spark, dir)
     subvectors(spark, dir)
-      .join(broadcast(codebooks(spark, dir)), "s")
-      .withColumn("d2", dist2(col("subvec"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "s", "code")
+      .withColumn("best", array_min(transform(element_at(cb, col("s") + 1), c =>
+        struct(dist2(col("subvec"), c.getField("cvec")).as("d2"),
+          c.getField("code").as("code")))))
+      .select(col("vec_id"), col("s"), col("best.code").as("code"))
   }
 
   /** Two-stage ANN: PQ approximate scores select a candidate set

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -136,10 +136,28 @@ object Relational {
       .crossJoin(building.intersect(highValue).agg(count(lit(1)).as("n_building_high_value")))
   }
 
+  /** All strings obtained by deleting exactly one character (SymSpell
+    * deletion neighborhood, one level).
+    */
+  private def del1(v: Column): Column =
+    when(length(v) > 0,
+      array_distinct(transform(sequence(lit(1), length(v)), i =>
+        concat(v.substr(lit(1), i - lit(1)), v.substr(i + lit(1), length(v) - i)))))
+      .otherwise(lit(Array.empty[String]))
+
   /** Fuzzy vocabulary matching: near-identical distinct tokens by
     * Levenshtein distance ≤ 2 (typo/variant detection over the corpus
-    * vocabulary — the vocabulary is small after distinct, so the pair
-    * space is tiny even at corpus scale).
+    * vocabulary).
+    *
+    * Scale path: SymSpell-style deletion-neighborhood blocking instead
+    * of a vocabulary cartesian. Every token emits its ≤2-deletion
+    * variants; two tokens within Levenshtein distance 2 provably share
+    * at least one variant (each edit op can be simulated by one deletion
+    * on one or both sides), so an equi-join on the variant key generates
+    * a complete candidate set and the exact filter keeps the result
+    * identical to the all-pairs formulation (the oracle still uses the
+    * naive cartesian — same rows). The join is shuffled on the variant
+    * hash: linear-ish in |vocab|·len², never |vocab|².
     */
   def fuzzyTokens(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.tokens
@@ -148,9 +166,15 @@ object Relational {
     val vocab = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("tok")).distinct()
       .filter(col("tok").rlike("^[A-Za-z]+$"))
-    vocab.select(col("tok").as("tok_a"))
-      .crossJoin(vocab.select(col("tok").as("tok_b")))
+    val variants = array_distinct(concat(
+      array(col("tok")),
+      del1(col("tok")),
+      flatten(transform(del1(col("tok")), v => del1(v)))))
+    val keyed = vocab.select(col("tok"), explode(variants).as("v"))
+    keyed.select(col("tok").as("tok_a"), col("v"))
+      .join(keyed.select(col("tok").as("tok_b"), col("v")), "v")
       .filter(col("tok_a") < col("tok_b"))
+      .select("tok_a", "tok_b").distinct()
       .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")).cast("long"))
       .filter(col("dist") <= 2)
   }

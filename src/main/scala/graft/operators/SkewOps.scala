@@ -20,12 +20,18 @@ object SkewOps {
     * (partition id, monotonic id, rand) feeding a shuffle double- or
     * under-counts when a stage retry recomputes map tasks with different
     * salt assignments while some reducers keep already-fetched partials
-    * (the SPARK-23207 class of bug). Murmur3 over the full row content is
-    * reproducible on retry; identical rows sharing a salt only narrows
-    * the spread of exact-duplicate rows, never correctness.
+    * (the SPARK-23207 class of bug). Murmur3 over (key, value) — plus
+    * any caller-supplied `spreadCols`, e.g. a row id, when many
+    * identical (key, value) rows must spread further — is reproducible
+    * on retry; identical rows sharing a salt only narrows the spread of
+    * exact-duplicate rows, never correctness. Hashing a stated column
+    * set (not every input column) also keeps the helper total: hash()
+    * rejects MapType columns and duplicate column names break col()
+    * resolution after joins.
     */
-  def saltedAgg(df: DataFrame, key: Column, valueCents: Column, salts: Int = 16): DataFrame =
-    df.withColumn("_salt", pmod(hash(df.columns.map(col).toSeq: _*), lit(salts)))
+  def saltedAgg(df: DataFrame, key: Column, valueCents: Column, salts: Int = 16,
+      spreadCols: Seq[Column] = Nil): DataFrame =
+    df.withColumn("_salt", pmod(hash(key +: valueCents +: spreadCols: _*), lit(salts)))
       .groupBy(key.as("key"), col("_salt"))
       .agg(count(lit(1)).as("n_part"), sum(valueCents).as("sum_part"))
       .groupBy(col("key"))

@@ -44,4 +44,40 @@ object Ingest {
   /** Canonical corpus layout: parquet partitioned by lang. */
   def writeCorpus(docs: DataFrame, path: String): Unit =
     docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+
+  /** The not-yet-ingested subset of `batch`: an anti-join against the
+    * corpus's doc_id column (the Spark twin of the reference's
+    * `new_newsletter_urls` only-new-items filter,
+    * download_assets.py:62-74). The corpus side is pruned to its key
+    * column at the scan; at 100 TB the same idempotence is usually had
+    * even cheaper with a Structured Streaming file source whose
+    * checkpoint tracks seen files — this is the content-level variant
+    * that also survives re-delivered/renamed batches.
+    */
+  def newDocs(batch: DataFrame, corpusPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val existing =
+      try spark.read.parquet(corpusPath).select("doc_id")
+      catch { case _: Exception => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType)))) }
+    batch.join(existing, Seq("doc_id"), "left_anti")
+  }
+
+  /** Idempotent incremental append: ingest only docs whose doc_id is not
+    * already in the corpus, returning how many were written. Re-running
+    * the same batch appends nothing (IngestSpec proves it).
+    */
+  def appendCorpus(batch: DataFrame, corpusPath: String): Long = {
+    // lineage MUST be severed before writing: the anti-join plan reads
+    // corpusPath, and appending to a path a running plan still reads is
+    // a correctness race if any task recomputes mid-write. The delta is
+    // batch-sized (small), so materializing it is the right call here.
+    val fresh = newDocs(batch, corpusPath).localCheckpoint()
+    val n = fresh.count()
+    if (n > 0)
+      fresh.write.mode("append").partitionBy("lang").parquet(corpusPath)
+    fresh.unpersist()
+    n
+  }
 }
