@@ -79,19 +79,65 @@ object PqIndex {
       .select(col("vec_id"), col("s"), col("best.code").as("code"))
   }
 
+  /** Per-query ADC lookup table as a literal: lut[s][code] = the
+    * integerized partial dot product of the query's subvector s against
+    * codeword (s, code). Computed with the same Spark fold the oracle
+    * mirrors, integerized BEFORE collection (floor(part·1e9+0.5) — the
+    * order-independent integer contract), then baked into the scan as
+    * NumSub×NumCodes longs. This is the table a PQ engine keeps in
+    * registers during the scan.
+    */
+  private def lutLiteral(spark: SparkSession, dir: String, q: DataFrame) = {
+    val rows = codebooks(spark, dir).crossJoin(broadcast(q))
+      .select(col("s"), col("code").cast("long"),
+        cents(dot(expr(s"slice(qvec, s * $SubDim + 1, $SubDim)"), col("cvec")), 1e9).as("e9"))
+      .collect()
+    array((0 until NumSub).map { s =>
+      val bySub = rows.filter(_.getInt(0) == s).map(r => r.getLong(1) -> r.getLong(2)).toMap
+      array((0 until NumCodes).map(c => lit(bySub(c.toLong))): _*)
+    }: _*)
+  }
+
+  /** (vec_id, embedding, approx_e9) in a single corpus scan: per row,
+    * each subspace picks its nearest codeword against the literal
+    * codebook and accumulates the literal LUT entry — encode + ADC
+    * scoring fused into one map-side projection. Zero joins, zero
+    * shuffles; the integer partial sums are order-free, so the result is
+    * bitwise the oracle's encode⋈lut⋈groupBy formulation.
+    */
+  private def adcScored(spark: SparkSession, dir: String, q: DataFrame): DataFrame = {
+    val cb = codebookLiteral(spark, dir)
+    val lut = lutLiteral(spark, dir, q)
+    val approxE9 = aggregate(sequence(lit(0), lit(NumSub - 1)), lit(0L), (acc, s) =>
+      acc + element_at(element_at(lut, s + 1),
+        array_min(transform(element_at(cb, s + 1), c =>
+          struct(dist2(slice(col("embedding"), s * SubDim + 1, lit(SubDim)),
+            c.getField("cvec")).as("d2"),
+            c.getField("code").as("code"))))
+          .getField("code").cast("int") + 1))
+    Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .withColumn("approx_e9", approxE9)
+  }
+
+  private def queryVec(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+
   /** Two-stage ANN: PQ approximate scores select a candidate set
     * (ordered on the exact integer partial sums — fully deterministic),
     * then only the candidates are re-ranked with the exact dot product.
-    * At scale stage one reads byte codes only; the float vectors are
-    * fetched for `candidates` rows, not the corpus.
+    * At scale stage one reads byte codes only (here: computes them in
+    * the scan); the float vectors are joined for `candidates` rows —
+    * broadcast, never shuffling the corpus.
     */
   def searchRerank(spark: SparkSession, dir: String, candidates: Int = 50,
       k: Int = 10): DataFrame = {
-    val (q, approx) = approxScores(spark, dir)
-    val cand = approx
+    val q = queryVec(spark, dir)
+    val cand = adcScored(spark, dir, q)
+      .select("vec_id", "approx_e9")
       .orderBy(col("approx_e9").desc, col("vec_id").asc)
       .limit(candidates)
-    cand.join(Tables.embeddings(spark, dir).select("vec_id", "embedding"), "vec_id")
+    broadcast(cand).join(Tables.embeddings(spark, dir).select("vec_id", "embedding"), "vec_id")
       .crossJoin(broadcast(q))
       .withColumn("exact", dot(col("embedding"), col("qvec")))
       .orderBy(col("exact").desc, col("vec_id").asc)
@@ -100,33 +146,17 @@ object PqIndex {
         r6(col("approx_e9") / 1e9).as("approx_score"))
   }
 
-  /** Query projection + ADC lookup table + per-vector approx integer
-    * scores — shared by both search surfaces.
-    */
-  private def approxScores(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
-      .select(col("embedding").as("qvec"))
-    val lut = codebooks(spark, dir).crossJoin(broadcast(q))
-      .select(col("s"), col("code"),
-        dot(expr(s"slice(qvec, s * $SubDim + 1, $SubDim)"), col("cvec")).as("part"))
-    val approx = encode(spark, dir)
-      .join(broadcast(lut), Seq("s", "code"))
-      .groupBy(col("vec_id"))
-      .agg(sum(cents(col("part"), 1e9)).as("approx_e9"))
-    (q, approx)
-  }
-
   /** Asymmetric-distance scoring against query vec 0: the approximate
-    * dot product is Σ_s dot(q_s, codeword(s, code_s)); reported next to
-    * the exact score and the absolute quantization error.
+    * dot product is Σ_s dot(q_s, codeword(s, code_s)), reported next to
+    * the exact score and the absolute quantization error — both computed
+    * in the same single scan (no self-join on vec_id).
     */
   def search(spark: SparkSession, dir: String): DataFrame = {
-    val (q, approx0) = approxScores(spark, dir)
-    val approx = approx0.withColumn("approx_score", col("approx_e9") / 1e9)
-    val exact = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val q = queryVec(spark, dir)
+    adcScored(spark, dir, q)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), dot(col("embedding"), col("qvec")).as("exact_score"))
-    approx.join(exact, "vec_id")
+      .withColumn("approx_score", col("approx_e9") / 1e9)
+      .withColumn("exact_score", dot(col("embedding"), col("qvec")))
       .select(col("vec_id"),
         r6(col("approx_score")).as("approx_score"),
         r6(col("exact_score")).as("exact_score"),

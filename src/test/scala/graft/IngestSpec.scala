@@ -35,6 +35,23 @@ class IngestSpec extends AnyFunSuite {
     assert(back.select("doc_id").distinct().count() === docs.count())
   }
 
+  test("incremental append is idempotent: a re-run ingests zero duplicates") {
+    val dir = Files.createTempDirectory("graft-incr").toString + "/c"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val total = docs.count()
+    // initial corpus: the first half of the docs
+    Ingest.writeCorpus(docs.filter(col("doc_id") % 2 === 0).selectExpr(cols: _*), dir)
+    // a batch overlapping the corpus: only the new half lands
+    val n1 = Ingest.appendCorpus(docs.selectExpr(cols: _*), dir)
+    assert(n1 === docs.filter(col("doc_id") % 2 === 1).count())
+    // re-delivering the same batch appends nothing
+    val n2 = Ingest.appendCorpus(docs.selectExpr(cols: _*), dir)
+    assert(n2 === 0)
+    val corpus = spark.read.parquet(dir)
+    assert(corpus.count() === total)
+    assert(corpus.select("doc_id").distinct().count() === total)
+  }
+
   test("corpus writer partitions by lang for directory pruning") {
     val dir = Files.createTempDirectory("graft-corpus").toString + "/c"
     Ingest.writeCorpus(docs.select("doc_id", "text", "lang", "source", "n_chars"), dir)

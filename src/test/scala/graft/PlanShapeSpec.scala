@@ -44,4 +44,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("dotproductexpr"), p)
     assert(!p.contains("zip_with"), p)
   }
+
+  // "No key shuffle": Tables.fanOut may inject a RoundRobin repartition
+  // (local single-split parallelism; a no-op on a real cluster), and
+  // broadcasts are fine — what must never appear is the corpus hashed or
+  // range-partitioned on a key, or a Window (the r2 argmin-shuffle flaw).
+  private def assertNoKeyShuffle(p: String): Unit = {
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("IVF assignment is a pure map-side projection: no key shuffle, no Window") {
+    val df = graft.operators.IvfIndex.assign(spark, Sf)
+    df.collect()
+    assertNoKeyShuffle(df.queryExecution.executedPlan.toString)
+  }
+
+  test("PQ encoding never shuffles the corpus on a key") {
+    val df = graft.operators.PqIndex.encode(spark, Sf)
+    df.collect()
+    assertNoKeyShuffle(df.queryExecution.executedPlan.toString)
+  }
+
+  test("q_fuzzy joins on the deletion-neighborhood key, not a cartesian") {
+    val p = planOf("q_fuzzy")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_simhash candidates come from an equi-join on the block key") {
+    val p = planOf("dedup_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("bval"), p) // the byte-block value is a join key
+  }
 }

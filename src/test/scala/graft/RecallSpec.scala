@@ -55,6 +55,27 @@ class RecallSpec extends AnyFunSuite {
     hits.foreach(h => assert(brute(h.getLong(1)) === h.getDouble(2)))
   }
 
+  test("k-means refinement does not hurt recall@10 (reported)") {
+    val refined = java.nio.file.Files.createTempDirectory("graft-ref2").toString
+    IvfIndex.writeIndex(spark, Sf, refined, refineIters = 2)
+    def recallRefined(qid: Long, nprobe: Int): Double = {
+      val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === qid)
+        .select(col("embedding").as("qvec"))
+      val ivf = IvfIndex.searchIndex(spark, refined, q, nprobe = nprobe, k = 10)
+        .collect().map(_.getLong(1)).toSet
+      val brute = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+        .crossJoin(broadcast(q))
+        .withColumn("s", dot(col("embedding"), col("qvec")))
+        .orderBy(col("s").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      (ivf & brute).size / 10.0
+    }
+    val seed = queryIds.map(recallAt10(_, 3)).sum / queryIds.size
+    val ref = queryIds.map(recallRefined(_, 3)).sum / queryIds.size
+    info(f"recall@10 nprobe=3: seed=$seed%.2f kmeans-refined=$ref%.2f")
+    assert(ref >= seed - 0.05, s"refinement regressed recall: seed=$seed refined=$ref")
+  }
+
   test("recall grows with nprobe") {
     val lo = queryIds.map(recallAt10(_, 2)).sum / queryIds.size
     val hi = queryIds.map(recallAt10(_, 8)).sum / queryIds.size
