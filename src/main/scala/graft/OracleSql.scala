@@ -621,6 +621,100 @@ object OracleSql {
        |FROM e x JOIN e y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
        |WHERE ${dot("x.embedding", "y.embedding")} / (${nrm("x.embedding")} * ${nrm("y.embedding")}) >= 0.35""".stripMargin
 
+  // ---- lexical / hybrid search -----------------------------------------
+
+  /** One term's BM25 contribution — the identical textual operator order
+    * as LexicalSearch.contribution. Fractional literals are cast to
+    * DOUBLE: DuckDB parses bare decimals as DECIMAL, whose exact
+    * arithmetic rounds differently from Spark's binary doubles.
+    */
+  private def bm25Contrib(i: Int) =
+    s"ln((1.0)::DOUBLE + (n_docs - df_$i + (0.5)::DOUBLE) / (df_$i + (0.5)::DOUBLE))" +
+      s" * (tf_$i * (2.2)::DOUBLE)" +
+      s" / (tf_$i + (1.2)::DOUBLE * ((1.0)::DOUBLE - (0.75)::DOUBLE + (0.75)::DOUBLE * dl * n_docs / sum_dl))"
+
+  private val bm25Ctes =
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |d AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS dl,
+       |  CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf_0,
+       |  CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf_1
+       |  FROM t),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |  CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+       |  CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1 FROM d),
+       |lsc AS (SELECT doc_id, tf_0, tf_1,
+       |  ${cents(bm25Contrib(0), "1000000.0")} + ${cents(bm25Contrib(1), "1000000.0")} AS score_e6
+       |  FROM d CROSS JOIN st)""".stripMargin
+
+  val vsBm25: String =
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, tf_0 AS tf_vector, tf_1 AS tf_hash,
+       |  score_e6 / (1000000.0)::DOUBLE AS score
+       |FROM lsc WHERE score_e6 > 0 ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin
+
+  val vsHybridRrf: String =
+    s"""WITH $qVec0, $scoredAll, $bm25Ctes,
+       |vr AS (SELECT vec_id AS doc_id,
+       |  CAST(row_number() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank_vec
+       |  FROM (SELECT vec_id, sc FROM s ORDER BY sc DESC, vec_id LIMIT 20)),
+       |lr AS (SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank_lex
+       |  FROM (SELECT doc_id, score_e6 FROM lsc WHERE score_e6 > 0
+       |        ORDER BY score_e6 DESC, doc_id LIMIT 20)),
+       |f AS (SELECT coalesce(vr.doc_id, lr.doc_id) AS doc_id, rank_vec, rank_lex
+       |  FROM vr FULL OUTER JOIN lr ON vr.doc_id = lr.doc_id),
+       |rr AS (SELECT doc_id, rank_vec, rank_lex,
+       |  ${cents("coalesce((1.0)::DOUBLE / (60 + rank_vec), (0.0)::DOUBLE) + coalesce((1.0)::DOUBLE / (60 + rank_lex), (0.0)::DOUBLE)", "1000000000.0")} AS rrf_e9
+       |  FROM f)
+       |SELECT doc_id, rank_vec, rank_lex, rrf_e9 / (1000000000.0)::DOUBLE AS rrf
+       |FROM rr ORDER BY rrf_e9 DESC, doc_id LIMIT 10""".stripMargin
+
+  // ---- training-set assembly -------------------------------------------
+
+  val textPii: String = {
+    import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+    s"""WITH raw AS (SELECT doc_id,
+       |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |  '@mail.example.com call 555-0100-' ||
+       |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' from 10.' ||
+       |  CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ||
+       |  ' end' AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')) AS scrub_hash
+       |FROM raw""".stripMargin
+  }
+
+  val qPackSequences: String =
+    s"""WITH d AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+       |c AS (SELECT doc_id, source, n_tok,
+       |  coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM d)
+       |SELECT source, CAST(floor(cum_before / (2048.0)::DOUBLE) AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+  val qMixWeighted: String =
+    s"""WITH k AS (SELECT doc_id, source,
+       |  (CAST(substr(source, 4) AS INT) % 4) AS widx,
+       |  substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+       |  FROM documents),
+       |f AS (SELECT doc_id, source, (widx + 1) * (0.25)::DOUBLE AS weight,
+       |  CASE WHEN h < (CASE widx WHEN 0 THEN '40000000' WHEN 1 THEN '80000000'
+       |    WHEN 2 THEN 'c0000000' ELSE 'zzzzzzzz' END) THEN 1 ELSE 0 END AS kept
+       |  FROM k),
+       |g AS (SELECT source, weight, count(*) AS n_total,
+       |  CAST(sum(kept) AS BIGINT) AS n_kept FROM f GROUP BY 1, 2)
+       |SELECT source, weight, n_total, n_kept,
+       |  ${r6("n_kept / ((1.0)::DOUBLE * n_total)")} AS ratio FROM g""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -671,5 +765,10 @@ object OracleSql {
     "dedup_simhash" -> dedupSimhash,
     "dedup_components" -> dedupComponents,
     "dedup_embed" -> dedupEmbed,
+    "vs_bm25" -> vsBm25,
+    "vs_hybrid_rrf" -> vsHybridRrf,
+    "text_pii" -> textPii,
+    "q_pack_sequences" -> qPackSequences,
+    "q_mix_weighted" -> qMixWeighted,
   )
 }

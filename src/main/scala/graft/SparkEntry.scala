@@ -72,6 +72,13 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_components" -> ((s, d) => Dedup.components(s, d)),
     "dedup_embed" -> ((s, d) => Dedup.embedCosine(s, d)),
+    // A+. lexical / hybrid search
+    "vs_bm25" -> ((s, d) => LexicalSearch.bm25(s, d)),
+    "vs_hybrid_rrf" -> ((s, d) => LexicalSearch.hybridRrf(s, d)),
+    // C+. training-set assembly
+    "text_pii" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
+    "q_pack_sequences" -> ((s, d) => TrainingMix.packSequences(s, d)),
+    "q_mix_weighted" -> ((s, d) => TrainingMix.mixWeighted(s, d)),
     // G. multimodal plumbing (no SQL oracle — rows-only check)
     "mm_binary" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
   )

@@ -116,4 +116,47 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fingerprint"))
       .withColumn("n_same",
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))).cast("long"))
+
+  /** Email / phone / IPv4 patterns shared by the scrubber and its
+    * oracle. Plain character-class regexes only — identical semantics
+    * under Java regex (Spark) and RE2 (DuckDB); no lookaround, no \b.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}-[0-9]{3}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scrubbing: redact emails, phone numbers and IPv4 addresses
+    * with typed placeholders, reporting per-doc match counts. The
+    * driver corpus is synthetic (no real PII), so the query first
+    * injects deterministic PII derived from doc fields — the operator
+    * under test is the scrubber, and every row exercises all three
+    * patterns. Order matters and is fixed: emails first (their local
+    * parts contain digits), then IPs (dotted digits), then phones
+    * (hyphenated digits) — the three patterns are mutually
+    * non-overlapping afterwards.
+    *
+    * Scale shape: pure per-row regex column math in one scan — no
+    * joins, no shuffle, trivially parallel at 100 TB.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com call 555-0100-"),
+      lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(200)).cast("string"),
+      lit(".0."), pmod(col("doc_id"), lit(250)).cast("string"), lit(" end"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(Ipv4Re)).cast("long").as("n_ips"),
+        regexp_count(col("raw"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>").as("scrubbed"))
+      .withColumn("scrub_hash", md5(col("scrubbed")))
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "scrub_hash")
+  }
 }

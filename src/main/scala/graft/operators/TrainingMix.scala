@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Training-set assembly operators: deterministic token-budget shard
+  * packing and weighted per-source mixing — the last mile of an LLM
+  * data pipeline (after dedup/quality filtering, before the trainer
+  * reads shards).
+  *
+  * Scale design: both are one scan + one shuffle-on-the-natural-key.
+  * Packing shuffles on `source` (the window key) only; mixing is a
+  * map-side keep/drop decision (consistent hashing — no RNG state, no
+  * sampling shuffle) followed by a partial-agg count.
+  */
+object TrainingMix {
+
+  /** Tokens per training shard (the packing budget). */
+  val ShardBudget = 2048L
+
+  /** Assign every doc to a training shard by cumulative token budget
+    * within its source (docs in doc_id order; a shard closes when the
+    * running token count crosses the budget), then report per-shard
+    * stats. This is deterministic greedy sequence packing: the trainer
+    * can rebuild the exact shard map from (source, doc_id) alone —
+    * no RNG, no driver state.
+    */
+  def packSequences(spark: SparkSession, dir: String,
+      budget: Long = ShardBudget): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("shard",
+        floor(col("cum_before") / lit(budget.toDouble)).cast("long"))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Deterministic weighted dataset mixing: each source gets a sampling
+    * weight in {0.25, 0.5, 0.75, 1.0} (derived from its source number —
+    * a stand-in for the mixture config a training run declares), and a
+    * doc is kept iff the first 8 hex digits of md5(source:doc_id) fall
+    * under the weight threshold. Consistent hashing makes the sample
+    * reproducible across runs/engines and map-side (no RNG, no shuffle
+    * to sample); hex-string comparison IS the numeric compare since both
+    * engines emit lowercase hex.
+    */
+  def mixWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val wIdx = pmod(substring(col("source"), 4, 16).cast("int"), lit(4))
+    val thr = element_at(
+      array(lit("40000000"), lit("80000000"), lit("c0000000"), lit("zzzzzzzz")),
+      wIdx + 1)
+    val kept = substring(
+      md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))), 1, 8) < thr
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"),
+        ((wIdx + 1) * lit(0.25)).as("weight"), kept.cast("long").as("kept"))
+      .groupBy(col("source"), col("weight"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+      .withColumn("ratio",
+        graft.functions.VectorFunctions.r6(col("n_kept") / (lit(1.0) * col("n_total"))))
+      .select("source", "weight", "n_total", "n_kept", "ratio")
+  }
+}
