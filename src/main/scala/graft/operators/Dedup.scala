@@ -170,18 +170,24 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
+    // one min-label step, preserving the carried "old" column so the
+    // convergence check is a filter on the materialized result, not
+    // another join+shuffle per round
+    def step(l: DataFrame): DataFrame = {
+      val prop = edges.join(l, col("src") === col("doc"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      l.join(prop, col("doc") === col("dst"), "left")
+        .select(col("doc"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"), col("old"))
+    }
     var labels = nodes.withColumn("lbl", col("doc")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val prop = edges.join(labels, col("src") === col("doc"))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-      // carry the previous label through the same join so the
-      // convergence check is a filter on the materialized result, not
-      // another join+shuffle per round
-      val next = labels.join(prop, col("doc") === col("dst"), "left")
-        .select(col("doc"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          col("lbl").as("old"))
-        .localCheckpoint()
+      // two hops per round: halves the materialize+count round trips
+      // (the per-round fixed cost dominates — the label tables are
+      // tiny); a fixed point of one step is a fixed point of two, so
+      // the convergence check is unchanged
+      val next = step(step(labels.withColumn("old", col("lbl")))).localCheckpoint()
       changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.select("doc", "lbl")
     }
