@@ -69,4 +69,55 @@ object SearchApi {
         row_number().over(Window.orderBy(col("logit").desc, col("doc_id").asc)).cast("long"))
       .select("doc_id", "score", "logit", "prob", "label", "rerank_rank", "lang", "text")
   }
+
+  /** Hybrid search: the vector pipeline above fused with a BM25 pass
+    * over the same query text via reciprocal-rank fusion — the
+    * two-modality retrieval a production deployment runs (lexical
+    * recall for exact terms, vector recall for paraphrase). Returns
+    * (doc_id, rank_vec, rank_lex, rrf) ordered by fused score.
+    */
+  def searchHybrid(spark: SparkSession, dir: String, queryText: String,
+      perList: Int = 20, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = spark.range(1).select(embedText(lit(queryText)).as("qvec"))
+    val vecTop = KnnSearch.scored(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"), q)
+      .orderBy(col("score").desc, col("vec_id").asc).limit(perList)
+      .select(col("vec_id").as("doc_id"), col("score"))
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .drop("score")
+    // lexical pass: per-query terms → tf/df stats → BM25, same shape as
+    // LexicalSearch.bm25 but parameterized by the query text
+    val terms = queryText.trim.split("\\s+").toSeq.distinct.take(8)
+    val withTf = terms.zipWithIndex.foldLeft(
+      Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))) { case (df, (t, i)) =>
+      df.withColumn(s"tf_$i", size(filter(col("toks"), x => x === t)).cast("long"))
+    }
+    val statAggs = sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = withTf.agg(count(lit(1)).as("n_docs"), statAggs: _*)
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"tf_$i"); val df = col(s"df_$i")
+      val idf = log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+      val denom = tf + lit(LexicalSearch.K1) * (lit(1.0) - lit(LexicalSearch.B) +
+        lit(LexicalSearch.B) * col("dl") * col("n_docs") / col("sum_dl"))
+      cents(idf * (tf * lit(LexicalSearch.K1Plus1)) / denom, 1e6)
+    }
+    val lexTop = withTf.drop("toks").crossJoin(broadcast(stats))
+      .withColumn("score_e6", contribs.reduce(_ + _))
+      .filter(col("score_e6") > 0)
+      .orderBy(col("score_e6").desc, col("doc_id").asc).limit(perList)
+      .select(col("doc_id"), col("score_e6"))
+      .withColumn("rank_lex",
+        row_number().over(Window.orderBy(col("score_e6").desc, col("doc_id").asc)).cast("long"))
+    vecTop.join(lexTop.select("doc_id", "rank_lex"), Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -107,6 +107,24 @@ class LexicalSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("searchHybrid fuses text-query BM25 with the encoded-vector ranks") {
+    val r = graft.operators.SearchApi
+      .searchHybrid(spark, Sf, "vector hash join table").collect()
+    assert(r.nonEmpty && r.length <= 10)
+    // ordered by fused score with doc_id tiebreak
+    val keys = r.map(x => (-x.getDouble(3), x.getLong(0)))
+    assert(keys.sameElements(keys.sorted))
+    // at least one doc must carry a lexical rank (the query terms are
+    // corpus-frequent words)
+    assert(r.exists(x => !x.isNullAt(2)))
+    // rrf is exactly the sum of present reciprocal ranks
+    r.foreach { x =>
+      val v = if (x.isNullAt(1)) 0.0 else 1.0 / (60 + x.getLong(1))
+      val l = if (x.isNullAt(2)) 0.0 else 1.0 / (60 + x.getLong(2))
+      assert(math.abs(x.getDouble(3) - (v + l)) < 1e-12)
+    }
+  }
+
   test("weighted mixing keeps close to the configured fraction per source") {
     val rows = TrainingMix.mixWeighted(spark, Sf).collect()
     assert(rows.length === 20) // one row per source
