@@ -715,6 +715,23 @@ object OracleSql {
        |SELECT source, weight, n_total, n_kept,
        |  ${r6("n_kept / ((1.0)::DOUBLE * n_total)")} AS ratio FROM g""".stripMargin
 
+  val docChunkCdc: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |e AS (SELECT doc_id, i, tk[i] AS tok
+       |  FROM t, unnest(generate_series(1, len(tk))) AS u(i)),
+       |b AS (SELECT doc_id, i, tok,
+       |  CASE WHEN lag(tok) OVER w IS NOT NULL AND
+       |    instr('0123456789abcdef', substr(md5(lag(tok) OVER w || ' ' || tok), 1, 1)) <= 2
+       |  THEN 1 ELSE 0 END AS bound
+       |  FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+       |c AS (SELECT doc_id, i, tok,
+       |  CAST(sum(bound) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS chunk_idx
+       |  FROM b)
+       |SELECT doc_id, chunk_idx, count(*) AS n_words,
+       |  md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -770,5 +787,6 @@ object OracleSql {
     "text_pii" -> textPii,
     "q_pack_sequences" -> qPackSequences,
     "q_mix_weighted" -> qMixWeighted,
+    "doc_chunk_cdc" -> docChunkCdc,
   )
 }

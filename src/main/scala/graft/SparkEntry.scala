@@ -39,6 +39,7 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)), // no oracle: sketch
     // B. document pipeline
     "doc_chunk" -> ((s, d) => Chunker.chunk(s, d)),
+    "doc_chunk_cdc" -> ((s, d) => Chunker.chunkCdc(s, d)),
     "doc_parse" -> ((s, d) => Chunker.parse(s, d)),
     "doc_clean" -> ((s, d) => Chunker.clean(s, d)),
     "doc_stats" -> ((s, d) => Chunker.stats(s, d)),

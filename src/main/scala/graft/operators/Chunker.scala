@@ -47,6 +47,43 @@ object Chunker {
           .cast("long").as("n_words"))
   }
 
+  /** Content-defined chunking: a cut point opens wherever the rolling
+    * hash of the local token window hits the boundary condition — here,
+    * first md5 nibble of (previous token ⊕ current token) < 2, i.e.
+    * boundary probability 1/8 → ~8-token expected chunks. Unlike
+    * fixed-size chunking, CDC boundaries re-synchronize after an
+    * insertion/deletion, so chunk-level dedup still matches the
+    * unchanged remainder of an edited document (the rsync/LBFS
+    * property; ChunkerSpec proves it).
+    *
+    * Shape: posexplode → lag + running-sum windows partitioned by
+    * doc_id (the sessionize pattern on text) → per-chunk aggregate.
+    * One shuffle on doc_id — chunking genuinely needs doc-local order.
+    */
+  def chunkCdc(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** CDC over any (doc_id, text) DataFrame — split out so specs can
+    * feed edited documents and assert boundary re-synchronization.
+    */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .withColumn("bound",
+        when(col("prev").isNotNull &&
+          expr("instr('0123456789abcdef', substring(md5(concat(prev, ' ', tok)), 1, 1))") <= 2,
+          1L).otherwise(0L))
+      .withColumn("chunk_idx", sum(col("bound")).over(wCum))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_words"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")))).as("chunk_hash"))
+  }
+
   /** Sectionize/categorize: deterministic category tag (idea / quote /
     * question — the reference's chunk categories, utils.py:106-185)
     * derived from the first token's md5 nibble, per-category running

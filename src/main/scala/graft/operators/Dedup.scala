@@ -121,6 +121,13 @@ object Dedup {
     // times (spine + both intersection probes) — worth keeping
     val cand = minhashLsh(spark, dir).select("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the joins against `cand` below prune the exact measure to
+    // candidate pairs. (A semi-join pruning the corpus BEFORE the
+    // shingle explode was measured here and lost: it serializes the
+    // full LSH chain onto the critical path as a broadcast barrier
+    // before the scan can start. At extreme scale, materialize the
+    // candidate ids to a table first and prune the re-shingle scan
+    // against it as a separate stage instead.)
     val sh = docShingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
