@@ -732,6 +732,46 @@ object OracleSql {
        |  md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** The composed corpus filter: quality ≥ 0.4 (same r6'd sigmoid as
+    * text_quality, so the threshold compare sees identical doubles),
+    * langid agreement (same argmax as text_langid), and absence from
+    * the near-dup drop list (the full dedup_drop statement nested as a
+    * subquery — DuckDB allows WITH inside FROM).
+    */
+  val pipelineFilter: String =
+    s"""WITH pt AS (SELECT doc_id, text, source, lang, $toks AS tk FROM documents),
+       |pq AS (SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_toks,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |  CAST(len(list_filter(tk, w -> w IN ($stopList))) AS BIGINT) AS n_stop,
+       |  CAST(length(text) AS BIGINT) AS n_chars_t
+       |FROM pt),
+       |pquality AS (SELECT doc_id, n_toks,
+       |  ${r6("1.0 / (1.0 + exp(-(0.02 * n_toks + 4.0 * (n_stop / (1.0 * n_toks)) - 8.0 * (n_punct / (1.0 * n_chars_t)) - 1.0)))")} AS quality
+       |FROM pq),
+       |pm(cand, word) AS (VALUES $markerValues),
+       |plangs AS (SELECT DISTINCT cand FROM pm),
+       |pd AS (SELECT doc_id, unnest(tk) AS word FROM pt),
+       |ph AS (SELECT doc_id, cand, count(*) AS score FROM pd JOIN pm USING(word) GROUP BY 1, 2),
+       |psc AS (SELECT doc_id, lang, cand, coalesce(score, 0) AS score
+       |  FROM (SELECT doc_id, lang FROM documents) CROSS JOIN plangs LEFT JOIN ph USING(doc_id, cand)),
+       |pbest AS (SELECT doc_id, lang, cand AS pred_lang FROM (
+       |  SELECT doc_id, lang, cand,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM psc)
+       |  WHERE rn = 1),
+       |pdrops AS (SELECT drop_doc FROM ($dedupDrop)),
+       |pk AS (SELECT pt.source, pquality.n_toks,
+       |  CASE WHEN pquality.quality >= (0.4)::DOUBLE AND pbest.pred_lang = pbest.lang
+       |    AND pdrops.drop_doc IS NULL THEN 1 ELSE 0 END AS kept
+       |  FROM pt
+       |  JOIN pquality USING(doc_id)
+       |  JOIN pbest USING(doc_id)
+       |  LEFT JOIN pdrops ON pt.doc_id = pdrops.drop_doc)
+       |SELECT source, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN kept = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS toks_kept,
+       |  ${r6("sum(kept) / (1.0 * count(*))")} AS keep_rate
+       |FROM pk GROUP BY 1""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -788,5 +828,6 @@ object OracleSql {
     "q_pack_sequences" -> qPackSequences,
     "q_mix_weighted" -> qMixWeighted,
     "doc_chunk_cdc" -> docChunkCdc,
+    "pipeline_filter" -> pipelineFilter,
   )
 }

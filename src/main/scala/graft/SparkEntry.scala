@@ -80,6 +80,7 @@ object SparkEntry {
     "text_pii" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "q_pack_sequences" -> ((s, d) => TrainingMix.packSequences(s, d)),
     "q_mix_weighted" -> ((s, d) => TrainingMix.mixWeighted(s, d)),
+    "pipeline_filter" -> ((s, d) => TrainingMix.corpusFilter(s, d)),
     // G. multimodal plumbing (no SQL oracle — rows-only check)
     "mm_binary" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
   )

@@ -25,18 +25,40 @@ object TextAnalysis {
     * tiebreak the relational oracle formulation uses. The only shuffle
     * is the tiny confusion-matrix aggregate.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+  /** Per-row predicted language (the argmax column — reused by langId
+    * and the corpus-filter pipeline).
+    */
+  def predLang(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = tokens(textCol)
     val cands = LangMarkers.map(_._1).distinct.sorted
     val scoreStructs = array(cands.map { cand =>
       val words = LangMarkers.filter(_._1 == cand).map(_._2)
       struct((markerCount(toks, words) * -1L).as("negscore"), lit(cand).as("cand"))
     }: _*)
+    array_min(scoreStructs).getField("cand")
+  }
+
+  /** Per-row quality score (the same r6'd sigmoid `quality` emits —
+    * reused by the corpus-filter pipeline so the whole filter is one
+    * scan-side projection).
+    */
+  def qualityScore(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = tokens(text)
+    val nToks = size(toks).cast("long")
+    val nPunct = (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
+    val nStop = markerCount(toks, StopEn)
+    val nChars = length(text).cast("long")
+    r6(lit(1.0) / (lit(1.0) + exp(-(lit(0.02) * nToks
+      + lit(4.0) * (nStop / (lit(1.0) * nToks))
+      - lit(8.0) * (nPunct / (lit(1.0) * nChars))
+      - lit(1.0)))))
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("lang"), array_min(scoreStructs).getField("cand").as("pred_lang"))
+      .select(col("lang"), predLang(col("text")).as("pred_lang"))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
-  }
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * word length, combined into a sigmoid quality score. All ratios are

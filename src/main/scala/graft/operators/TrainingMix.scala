@@ -43,6 +43,38 @@ object TrainingMix {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** The keep/drop decision a training pipeline actually materializes:
+    * every filter stage composed into one pass — quality score ≥
+    * threshold, language-ID agreement with the declared lang, and not
+    * on the near-dup drop list (MinHash-LSH → exact-Jaccard verified).
+    * Reported per source so the mixture impact of filtering is visible.
+    *
+    * Shape at scale: quality/langid are per-row column math in the
+    * scan; the drop list (verified near-dups only — tiny relative to
+    * the corpus) arrives via a left join that AQE broadcasts; one
+    * aggregate on source.
+    */
+  def corpusFilter(spark: SparkSession, dir: String,
+      minQuality: Double = 0.4): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        TextAnalysis.predLang(col("text")).as("pred_lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    val drops = Dedup.dropDecisions(spark, dir).select(col("drop_doc"))
+    val kept = docs
+      .join(drops, col("doc_id") === col("drop_doc"), "left")
+      .withColumn("kept",
+        when(col("quality") >= minQuality && col("pred_lang") === col("lang")
+          && col("drop_doc").isNull, 1L).otherwise(0L))
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+        sum(when(col("kept") === 1, col("n_toks")).otherwise(0L)).as("toks_kept"))
+      .withColumn("keep_rate",
+        graft.functions.VectorFunctions.r6(col("n_kept") / (lit(1.0) * col("n_docs"))))
+      .select("source", "n_docs", "n_kept", "toks_kept", "keep_rate")
+  }
+
   /** Deterministic weighted dataset mixing: each source gets a sampling
     * weight in {0.25, 0.5, 0.75, 1.0} (derived from its source number —
     * a stand-in for the mixture config a training run declares), and a

@@ -125,6 +125,25 @@ class LexicalSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus filter composes quality, langid and dedup into one keep decision") {
+    val rows = TrainingMix.corpusFilter(spark, Sf).collect()
+    assert(rows.length === 20)
+    val totalDocs = rows.map(_.getLong(1)).sum
+    val totalKept = rows.map(_.getLong(2)).sum
+    assert(totalDocs === Tables.documents(spark, Sf).count())
+    assert(totalKept > 0 && totalKept < totalDocs, s"kept $totalKept of $totalDocs")
+    // cross-check one component: no kept count can exceed the number of
+    // docs surviving the dedup drop list alone
+    val dropped = graft.operators.Dedup.dropDecisions(spark, Sf)
+      .select("drop_doc").distinct().count()
+    assert(totalKept <= totalDocs - dropped)
+    rows.foreach { r =>
+      val rate = r.getDouble(4)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
+    }
+  }
+
   test("weighted mixing keeps close to the configured fraction per source") {
     val rows = TrainingMix.mixWeighted(spark, Sf).collect()
     assert(rows.length === 20) // one row per source
