@@ -772,6 +772,26 @@ object OracleSql {
        |  ${r6("sum(kept) / (1.0 * count(*))")} AS keep_rate
        |FROM pk GROUP BY 1""".stripMargin
 
+  val qWindowRange: String =
+    s"""WITH o AS (SELECT o_custkey, o_orderkey,
+       |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       |  ${cents("o_totalprice", "100.0")} AS price_cents
+       |FROM orders)
+       |SELECT o_custkey, o_orderkey, epoch_s,
+       |  CAST(sum(price_cents) OVER (PARTITION BY o_custkey ORDER BY epoch_s
+       |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT) / (100.0)::DOUBLE
+       |    AS rolling_7d
+       |FROM o""".stripMargin
+
+  val qPivot: String =
+    """SELECT source,
+      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+      |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+      |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+      |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+      |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+      |FROM documents GROUP BY 1""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -829,5 +849,7 @@ object OracleSql {
     "q_mix_weighted" -> qMixWeighted,
     "doc_chunk_cdc" -> docChunkCdc,
     "pipeline_filter" -> pipelineFilter,
+    "q_window_range" -> qWindowRange,
+    "q_pivot" -> qPivot,
   )
 }

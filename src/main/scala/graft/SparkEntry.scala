@@ -22,6 +22,8 @@ object SparkEntry {
     "q1_agg" -> ((s, d) => Relational.q1(s, d)),
     "q3_join" -> ((s, d) => Relational.q3(s, d)),
     "q_window" -> ((s, d) => Relational.windowFuncs(s, d)),
+    "q_window_range" -> ((s, d) => Relational.windowRange(s, d)),
+    "q_pivot" -> ((s, d) => Relational.pivotLang(s, d)),
     "q_topn_group" -> ((s, d) => Relational.topNPerGroup(s, d)),
     "q_rollup" -> ((s, d) => Relational.rollupAgg(s, d)),
     "q_semi_anti" -> ((s, d) => Relational.semiAnti(s, d)),

@@ -122,6 +122,39 @@ object Relational {
           .as("stddev_qty"))
   }
 
+  /** Time-interval rolling aggregation: 7-day trailing revenue per
+    * customer via a RANGE window frame over epoch seconds — the
+    * event-time rolling metric rows-frames cannot express (a frame of
+    * N *rows* is meaningless under irregular order arrival). Epoch-
+    * second longs on both engines make the frame bounds integer-exact.
+    */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("epoch_s"))
+      .rangeBetween(-7L * 86400, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        // NTZ → LTZ is identity under the session's UTC zone, matching
+        // DuckDB's naive-UTC epoch(); NTZ has no direct long cast
+        col("o_orderdate").cast("timestamp").cast("long").as("epoch_s"),
+        cents(col("o_totalprice"), 1e2).as("price_cents"))
+      .withColumn("rolling_7d", (sum(col("price_cents")).over(w)) / 100.0)
+      .select("o_custkey", "o_orderkey", "epoch_s", "rolling_7d")
+  }
+
+  /** Pivot: per-source document counts spread across language columns
+    * (Expand + one partial-agg shuffle — the reporting-layout operator).
+    */
+  def pivotLang(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .na.fill(0L, langs)
+      .select(col("source") +: langs.map(l => col(l).as(s"n_$l")): _*)
+  }
+
   /** Set operations (INTERSECT / EXCEPT) over customer key sets —
     * planned as semi/anti joins, one row of counts out.
     */
