@@ -263,10 +263,10 @@ object OracleSql {
        |  CAST(list_reduce(list_transform(tk, w -> CAST(length(w) AS BIGINT)), (x, y) -> x + y) AS BIGINT) AS sum_wlen
        |FROM t)
        |SELECT doc_id, n_chars_t, n_toks,
-       |  ${r6("n_punct / (1.0 * n_chars_t)")} AS punct_ratio,
+       |  ${r6("n_punct / (1.0 * greatest(n_chars_t, 1))")} AS punct_ratio,
        |  ${r6("n_stop / (1.0 * n_toks)")} AS stop_ratio,
        |  ${r6("sum_wlen / (1.0 * n_toks)")} AS mean_wlen,
-       |  ${r6("1.0 / (1.0 + exp(-(0.02 * n_toks + 4.0 * (n_stop / (1.0 * n_toks)) - 8.0 * (n_punct / (1.0 * n_chars_t)) - 1.0)))")} AS quality
+       |  ${r6("1.0 / (1.0 + exp(-(0.02 * n_toks + 4.0 * (n_stop / (1.0 * n_toks)) - 8.0 * (n_punct / (1.0 * greatest(n_chars_t, 1))) - 1.0)))")} AS quality
        |FROM q""".stripMargin
 
   val textTokens: String =
@@ -747,7 +747,7 @@ object OracleSql {
        |  CAST(length(text) AS BIGINT) AS n_chars_t
        |FROM pt),
        |pquality AS (SELECT doc_id, n_toks,
-       |  ${r6("1.0 / (1.0 + exp(-(0.02 * n_toks + 4.0 * (n_stop / (1.0 * n_toks)) - 8.0 * (n_punct / (1.0 * n_chars_t)) - 1.0)))")} AS quality
+       |  ${r6("1.0 / (1.0 + exp(-(0.02 * n_toks + 4.0 * (n_stop / (1.0 * n_toks)) - 8.0 * (n_punct / (1.0 * greatest(n_chars_t, 1))) - 1.0)))")} AS quality
        |FROM pq),
        |pm(cand, word) AS (VALUES $markerValues),
        |plangs AS (SELECT DISTINCT cand FROM pm),

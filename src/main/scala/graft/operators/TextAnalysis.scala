@@ -47,7 +47,8 @@ object TextAnalysis {
     val nToks = size(toks).cast("long")
     val nPunct = (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
     val nStop = markerCount(toks, StopEn)
-    val nChars = length(text).cast("long")
+    // same zero-length guard as `quality` — the two must stay identical
+    val nChars = greatest(length(text).cast("long"), lit(1L))
     r6(lit(1.0) / (lit(1.0) + exp(-(lit(0.02) * nToks
       + lit(4.0) * (nStop / (lit(1.0) * nToks))
       - lit(8.0) * (nPunct / (lit(1.0) * nChars))
@@ -74,13 +75,16 @@ object TextAnalysis {
           .cast("long").as("n_punct"),
         markerCount(toks, StopEn).as("n_stop"),
         sumTokenLengths(toks).as("sum_wlen"))
-      .withColumn("punct_ratio", r6(col("n_punct") / (lit(1.0) * col("n_chars_t"))))
+      // greatest(n_chars, 1): empty docs have length 0 and would hit
+      // ANSI DIVIDE_BY_ZERO; n_toks is always >= 1 (split of "" is [""])
+      .withColumn("punct_ratio",
+        r6(col("n_punct") / (lit(1.0) * greatest(col("n_chars_t"), lit(1L)))))
       .withColumn("stop_ratio", r6(col("n_stop") / (lit(1.0) * col("n_toks"))))
       .withColumn("mean_wlen", r6(col("sum_wlen") / (lit(1.0) * col("n_toks"))))
       .withColumn("quality",
         r6(lit(1.0) / (lit(1.0) + exp(-(lit(0.02) * col("n_toks")
           + lit(4.0) * (col("n_stop") / (lit(1.0) * col("n_toks")))
-          - lit(8.0) * (col("n_punct") / (lit(1.0) * col("n_chars_t")))
+          - lit(8.0) * (col("n_punct") / (lit(1.0) * greatest(col("n_chars_t"), lit(1L))))
           - lit(1.0))))))
       .select("doc_id", "n_chars_t", "n_toks", "punct_ratio", "stop_ratio", "mean_wlen", "quality")
   }
