@@ -48,6 +48,40 @@ object LshAnn {
     Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
       .withColumn("bucket", bucketOf(col("embedding")))
 
+  /** Persist the LSH index: vectors partitioned by bucket on disk — at
+    * 100 TB a query reads exactly one partition directory (multi-probe:
+    * a handful) instead of the corpus, the same layout-as-index move as
+    * IvfIndex.writeIndex.
+    */
+  def writeIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+    bucketed(spark, dir)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexPath/vectors")
+
+  /** Search the persisted index: bucket the query (driver-side column
+    * math on one row), scan only that bucket's partition — the
+    * `bucket = qbucket` filter prunes at the parquet-partition level.
+    * `probes > 1` adds multi-probe: the nearest sign-flip neighbors of
+    * the query bucket (hamming-adjacent patterns) are scanned too,
+    * trading a few more partitions for recall.
+    */
+  def searchIndex(spark: SparkSession, indexPath: String, query: DataFrame,
+      k: Int = 5, probes: Int = 1): DataFrame = {
+    val q = query.select(col("qvec"), bucketOf(col("qvec")).as("qbucket"))
+    val qRow = q.collect().head // one row: the query is index metadata
+    val qb = qRow.getLong(1)
+    val buckets = (qb +: (0 until NumPlanes).map(p => qb ^ (1L << p)))
+      .take(math.max(1, probes))
+    spark.read.parquet(s"$indexPath/vectors")
+      .withColumn("bucket", col("bucket").cast("long"))
+      .filter(col("bucket").isin(buckets: _*))
+      .crossJoin(broadcast(q.select("qvec")))
+      .withColumn("score", dot(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("bucket"), col("vec_id"), r6(col("score")).as("score"))
+  }
+
   /** ANN search: hash the query, scan only its bucket, top-k by dot. */
   def search(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)

@@ -76,6 +76,23 @@ class RecallSpec extends AnyFunSuite {
     assert(ref >= seed - 0.05, s"refinement regressed recall: seed=$seed refined=$ref")
   }
 
+  test("persisted LSH index search matches the in-memory bucket scan and prunes partitions") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+    graft.operators.LshAnn.writeIndex(spark, Sf, idx)
+    val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val fromIndex = graft.operators.LshAnn.searchIndex(spark, idx, q)
+    val inMemory = graft.operators.LshAnn.search(spark, Sf)
+    assert(fromIndex.collect().map(_.toString).toSeq ===
+      inMemory.collect().map(_.toString).toSeq)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // multi-probe widens the candidate set, never shrinks the result
+    val multi = graft.operators.LshAnn.searchIndex(spark, idx, q, probes = 3)
+      .collect()
+    assert(multi.length >= fromIndex.collect().length)
+  }
+
   test("recall grows with nprobe") {
     val lo = queryIds.map(recallAt10(_, 2)).sum / queryIds.size
     val hi = queryIds.map(recallAt10(_, 8)).sum / queryIds.size
