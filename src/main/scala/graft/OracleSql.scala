@@ -792,6 +792,21 @@ object OracleSql {
       |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
       |FROM documents GROUP BY 1""".stripMargin
 
+  val vsIvfBatch: String =
+    s"""WITH $ivfCtes,
+       |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |bp AS (SELECT query_id, cluster_id, qv FROM (
+       |  SELECT q.query_id, c.cluster_id, q.qv,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${dist2("c.cvec", "q.qv")}, c.cluster_id) AS rn
+       |  FROM bq q CROSS JOIN cent c) WHERE rn <= 3),
+       |bs AS (SELECT p.query_id, e.vec_id, ${dot("e.embedding", "p.qv")} AS s
+       |  FROM embeddings e JOIN asg a USING(vec_id) JOIN bp p ON a.cluster_id = p.cluster_id),
+       |br AS (SELECT query_id, vec_id, s,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM bs)
+       |SELECT query_id, vec_id, rnk, ${r6("s")} AS score FROM br WHERE rnk <= 5""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -851,5 +866,6 @@ object OracleSql {
     "pipeline_filter" -> pipelineFilter,
     "q_window_range" -> qWindowRange,
     "q_pivot" -> qPivot,
+    "vs_ivf_batch" -> vsIvfBatch,
   )
 }

@@ -216,6 +216,38 @@ object IvfIndex {
       .select(col("cluster_id"), col("vec_id"), r6(col("score")).as("score"))
   }
 
+  /** Batch IVF search: the production ANN shape for a query SET. Each
+    * query ranks the (tiny, broadcast) centroid table and keeps its
+    * nprobe nearest clusters; the corpus — with cluster assignment
+    * computed in the same scan — equi-joins the broadcast
+    * (query_id, cluster_id) probe table, so each corpus row is scored
+    * only against the queries probing its cluster
+    * (corpus×queries×nprobe/k rows, never corpus×queries); the
+    * partition-local PartialTopK bounds what reaches the rank shuffle.
+    */
+  def searchBatch(spark: SparkSession, dir: String, nprobe: Int = 3,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probed = qs.crossJoin(broadcast(centroids(spark, dir)))
+      .withColumn("cd2", dist2(col("cvec"), col("qvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cd2").asc, col("cluster_id").asc)))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "cluster_id", "qvec")
+    val scoredRows = assignedEmbeddings(spark, dir)
+      .select("vec_id", "embedding", "cluster_id")
+      .join(broadcast(probed), Seq("cluster_id"))
+      .withColumn("score", dot(col("embedding"), col("qvec")))
+      .select(col("query_id"), col("vec_id"), col("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    graft.plans.PartialTopK(scoredRows, "query_id", "score", "vec_id", k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"), r6(col("score")).as("score"))
+  }
+
   /** IVF search: rank centroids by distance to the query, scan only the
     * `nprobe` nearest clusters, brute-force top-k inside them. The
     * candidate filter is an isin over the assignment column computed in
