@@ -792,6 +792,14 @@ object OracleSql {
       |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
       |FROM documents GROUP BY 1""".stripMargin
 
+  val qGroupingSets: String =
+    s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       |  coalesce(o_orderstatus, 'ALL') AS status,
+       |  count(1) AS n,
+       |  sum(${cents("o_totalprice", "100.0")}) / 100.0 AS sum_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin
+
   val vsIvfBatch: String =
     s"""WITH $ivfCtes,
        |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
@@ -867,5 +875,6 @@ object OracleSql {
     "q_window_range" -> qWindowRange,
     "q_pivot" -> qPivot,
     "vs_ivf_batch" -> vsIvfBatch,
+    "q_grouping_sets" -> qGroupingSets,
   )
 }

@@ -28,6 +28,7 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.rollupAgg(s, d)),
     "q_semi_anti" -> ((s, d) => Relational.semiAnti(s, d)),
     "q_cube" -> ((s, d) => Relational.cubeAgg(s, d)),
+    "q_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "q_setops" -> ((s, d) => Relational.setOps(s, d)),
     "q_corr" -> ((s, d) => Relational.corrStats(s, d)),
     "q_fuzzy" -> ((s, d) => Relational.fuzzyTokens(s, d)),

