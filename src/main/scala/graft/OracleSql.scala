@@ -815,6 +815,52 @@ object OracleSql {
        |  FROM bs)
        |SELECT query_id, vec_id, rnk, ${r6("s")} AS score FROM br WHERE rnk <= 5""".stripMargin
 
+  val vsIvfRecall: String =
+    s"""WITH $ivfCtes,
+       |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |bp AS (SELECT query_id, cluster_id, qv FROM (
+       |  SELECT q.query_id, c.cluster_id, q.qv,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${dist2("c.cvec", "q.qv")}, c.cluster_id) AS rn
+       |  FROM bq q CROSS JOIN cent c) WHERE rn <= 3),
+       |iv AS (SELECT query_id, vec_id FROM (
+       |  SELECT p.query_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY ${dot("e.embedding", "p.qv")} DESC, e.vec_id) AS rnk
+       |  FROM embeddings e JOIN asg a USING(vec_id) JOIN bp p ON a.cluster_id = p.cluster_id)
+       |  WHERE rnk <= 5),
+       |bf AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.query_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${dot("e.embedding", "q.qv")} DESC, e.vec_id) AS rnk
+       |  FROM embeddings e CROSS JOIN bq q) WHERE rnk <= 5)
+       |SELECT bf.query_id,
+       |  CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  ${r6("sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0")} AS recall
+       |FROM bf LEFT JOIN iv ON bf.query_id = iv.query_id AND bf.vec_id = iv.vec_id
+       |GROUP BY 1""".stripMargin
+
+  val dedupReport: String =
+    s"""WITH $bandCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT c.doc_a, c.doc_b,
+       |  ${r6("coalesce(i.n_inter, 0) / (1.0 * (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)))")} AS jaccard
+       |FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes za ON za.doc_id = c.doc_a
+       |JOIN sizes zb ON zb.doc_id = c.doc_b),
+       |agg AS (SELECT count(*) AS n_candidate_pairs,
+       |  CAST(sum(CASE WHEN jaccard >= (0.5)::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS n_verified_pairs,
+       |  CAST(sum(CASE WHEN jaccard >= (0.8)::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_pairs
+       |  FROM jac),
+       |imp AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_implicated FROM (
+       |  SELECT doc_a AS doc_id FROM jac WHERE jaccard >= (0.5)::DOUBLE
+       |  UNION ALL SELECT doc_b FROM jac WHERE jaccard >= (0.5)::DOUBLE))
+       |SELECT * FROM agg CROSS JOIN imp""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -876,5 +922,7 @@ object OracleSql {
     "q_pivot" -> qPivot,
     "vs_ivf_batch" -> vsIvfBatch,
     "q_grouping_sets" -> qGroupingSets,
+    "vs_ivf_recall" -> vsIvfRecall,
+    "dedup_report" -> dedupReport,
   )
 }

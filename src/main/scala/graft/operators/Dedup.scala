@@ -204,6 +204,26 @@ object Dedup {
           .cast("long"))
   }
 
+  /** The one-row duplication summary a corpus owner asks for: how many
+    * LSH candidate pairs, how many verified near-dups (J ≥ verify
+    * threshold), how many drop decisions (J ≥ drop threshold), and how
+    * many distinct documents are implicated. One pass over the shared
+    * chain — the per-stage numbers come from conditional aggregation of
+    * the same verified-pair table, not re-runs.
+    */
+  def report(spark: SparkSession, dir: String, verifyT: Double = 0.5,
+      dropT: Double = 0.8): DataFrame = {
+    val jac = ngramJaccard(spark, dir)
+    jac.agg(
+      count(lit(1)).as("n_candidate_pairs"),
+      sum(when(col("jaccard") >= verifyT, 1L).otherwise(0L)).as("n_verified_pairs"),
+      sum(when(col("jaccard") >= dropT, 1L).otherwise(0L)).as("n_drop_pairs"))
+      .crossJoin(
+        jac.filter(col("jaccard") >= verifyT)
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .agg(countDistinct(col("doc_id")).as("n_docs_implicated")))
+  }
+
   /** Per-doc 32-bit SimHash over the token multiset. Bits come from
     * md5 nibbles (portable across engines, SURVEY.md §6): token hash bit
     * b = bit (b%4, MSB-first) of hex nibble (b/4) of md5(token); the

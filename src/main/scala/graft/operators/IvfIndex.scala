@@ -248,6 +248,33 @@ object IvfIndex {
       .select(col("query_id"), col("vec_id"), col("rnk"), r6(col("score")).as("score"))
   }
 
+  /** ANN quality as a first-class measured query: recall@k of the
+    * nprobe-pruned batch search against the exact brute-force top-k,
+    * per query — the metric an index operator watches in production
+    * (RecallSpec asserts trends; this surface makes the number itself
+    * oracle-checked). Both rankings share tiebreaks, so recall is
+    * deterministic.
+    */
+  def recallReport(spark: SparkSession, dir: String, nprobe: Int = 3,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ivf = searchBatch(spark, dir, nprobe, k).select("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    val brute = KnnSearch.scored(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+        Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+      .select(col("query_id"), col("vec_id"), col("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id")
+    brute.join(ivf.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        r6(col("n_hit") / lit(k.toDouble)).as("recall"))
+  }
+
   /** IVF search: rank centroids by distance to the query, scan only the
     * `nprobe` nearest clusters, brute-force top-k inside them. The
     * candidate filter is an isin over the assignment column computed in
