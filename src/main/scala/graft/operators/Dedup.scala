@@ -213,7 +213,9 @@ object Dedup {
     */
   def report(spark: SparkSession, dir: String, verifyT: Double = 0.5,
       dropT: Double = 0.8): DataFrame = {
-    val jac = ngramJaccard(spark, dir)
+    // the verified-pair table is candidate-pair-sized (tiny); persist it
+    // so the two aggregates below evaluate the LSH+verify chain once
+    val jac = ngramJaccard(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     jac.agg(
       count(lit(1)).as("n_candidate_pairs"),
       sum(when(col("jaccard") >= verifyT, 1L).otherwise(0L)).as("n_verified_pairs"),
