@@ -861,6 +861,28 @@ object OracleSql {
        |  UNION ALL SELECT doc_b FROM jac WHERE jaccard >= (0.5)::DOUBLE))
        |SELECT * FROM agg CROSS JOIN imp""".stripMargin
 
+  val vsQuantizedSearch: String =
+    s"""WITH qr AS (SELECT embedding AS qv_raw,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS qs
+       |  FROM embeddings WHERE vec_id = 0),
+       |qx AS (SELECT qv_raw,
+       |    list_transform(qv_raw, x -> CAST(floor(x::DOUBLE / qs * 127 + 0.5) AS BIGINT)) AS qq
+       |  FROM qr),
+       |cv AS (SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS vs
+       |  FROM embeddings),
+       |cq AS (SELECT vec_id, embedding, vs,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE / vs * 127 + 0.5) AS BIGINT)) AS qv
+       |  FROM cv),
+       |sc AS (SELECT cq.vec_id, cq.embedding, qx.qv_raw,
+       |    list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * qx.qq[i]), (x, y) -> x + y) AS int_dot,
+       |    list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * qx.qq[i]), (x, y) -> x + y) * cq.vs AS approx_key
+       |  FROM cq CROSS JOIN qx),
+       |cand AS (SELECT vec_id, int_dot, ${dot("embedding", "qv_raw")} AS exact
+       |  FROM sc ORDER BY approx_key DESC, vec_id LIMIT 50)
+       |SELECT vec_id, int_dot, ${r6("exact")} AS score
+       |FROM cand ORDER BY exact DESC, vec_id LIMIT 10""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -924,5 +946,6 @@ object OracleSql {
     "q_grouping_sets" -> qGroupingSets,
     "vs_ivf_recall" -> vsIvfRecall,
     "dedup_report" -> dedupReport,
+    "vs_quantized_search" -> vsQuantizedSearch,
   )
 }

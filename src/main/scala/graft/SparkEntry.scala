@@ -57,6 +57,7 @@ object SparkEntry {
     // A. vector search
     "vs_norm" -> ((s, d) => KnnSearch.normalize(s, d)),
     "vs_quantize" -> ((s, d) => KnnSearch.quantize(s, d)),
+    "vs_quantized_search" -> ((s, d) => KnnSearch.quantizedSearch(s, d)),
     "vs_knn_topk" -> ((s, d) => KnnSearch.topK(s, d)),
     "vs_knn_join" -> ((s, d) => KnnSearch.knnJoin(s, d)),
     "vs_range_search" -> ((s, d) => KnnSearch.rangeSearch(s, d)),

@@ -63,6 +63,43 @@ object KnnSearch {
         size(filter(col("qv"), v => abs(v) === 127)).cast("long").as("n_sat"))
   }
 
+  /** Search over the int8-quantized vectors with exact rescoring — the
+    * memory-reduction search mode `quantize` sets up (4× smaller
+    * vectors; candidate scoring in integer arithmetic, which is exact
+    * in both engines — no float drift possible). Stage one ranks by
+    * the integer dot product de-scaled by the vector's own
+    * quantization scale (the query's scale is a positive constant, so
+    * dropping it preserves order); stage two rescores only the
+    * candidates with the exact float dot product.
+    */
+  def quantizedSearch(spark: SparkSession, dir: String, candidates: Int = 50,
+      k: Int = 10): DataFrame = {
+    val e = col("embedding")
+    def qscale(v: Column): Column = array_max(transform(v, x => abs(x.cast("double"))))
+    def qvec(v: Column, s: Column): Column =
+      transform(v, x => floor(x.cast("double") / s * 127 + 0.5).cast("long"))
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(e.as("qv_raw"))
+      .select(col("qv_raw"), qscale(col("qv_raw")).as("qs"))
+      .select(col("qv_raw"), qvec(col("qv_raw"), col("qs")).as("qq"))
+    val cand = Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .withColumn("vs", qscale(e))
+      .withColumn("qv", qvec(e, col("vs")))
+      .crossJoin(broadcast(q))
+      // exact integer dot of the two code vectors, then de-scale by
+      // this vector's quantization step — the approximate rank key
+      .withColumn("int_dot",
+        aggregate(zip_with(col("qv"), col("qq"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      .withColumn("approx_key", col("int_dot") * col("vs"))
+      .orderBy(col("approx_key").desc, col("vec_id").asc)
+      .limit(candidates)
+    cand
+      .withColumn("exact", dot(col("embedding"), col("qv_raw")))
+      .orderBy(col("exact").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("int_dot"), r6(col("exact")).as("score"))
+  }
+
   /** Brute-force top-k for a single query vector (vec_id 0), dot-product
     * score, deterministic tiebreak on vec_id.
     */
