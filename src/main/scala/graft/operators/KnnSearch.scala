@@ -91,6 +91,10 @@ object KnnSearch {
       .withColumn("int_dot",
         aggregate(zip_with(col("qv"), col("qq"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
       .withColumn("approx_key", col("int_dot") * col("vs"))
+      // drop the code arrays before the top-k: only narrow rows (plus
+      // the float vector the rescore needs) ride the TakeOrdered heap
+      .select(col("vec_id"), col("embedding"), col("qv_raw"),
+        col("int_dot"), col("approx_key"))
       .orderBy(col("approx_key").desc, col("vec_id").asc)
       .limit(candidates)
     cand
