@@ -883,6 +883,101 @@ object OracleSql {
        |SELECT vec_id, int_dot, ${r6("exact")} AS score
        |FROM cand ORDER BY exact DESC, vec_id LIMIT 10""".stripMargin
 
+  /** One 32-bit sign-bit word: bit (i-off) set ⟺ component i > 0.
+    * Integer shifts only — exact in both engines.
+    */
+  private def signWord(v: String, lo: Int, off: Int) =
+    s"list_reduce(list_transform(generate_series($lo, ${lo + 31}), " +
+      s"i -> CASE WHEN $v[i] > 0 THEN (1::BIGINT << (i - $off)) ELSE 0::BIGINT END), (a, b) -> a + b)"
+
+  val vsBinarySearch: String =
+    s"""WITH qr AS (SELECT embedding AS qv_raw FROM embeddings WHERE vec_id = 0),
+       |qb AS (SELECT qv_raw, ${signWord("qv_raw", 1, 1)} AS q_lo,
+       |  ${signWord("qv_raw", 33, 33)} AS q_hi FROM qr),
+       |cb AS (SELECT vec_id, embedding, ${signWord("embedding", 1, 1)} AS sig_lo,
+       |  ${signWord("embedding", 33, 33)} AS sig_hi FROM embeddings),
+       |h AS (SELECT c.vec_id, c.embedding, q.qv_raw,
+       |  CAST(bit_count(xor(c.sig_lo, q.q_lo)) + bit_count(xor(c.sig_hi, q.q_hi)) AS BIGINT) AS hamming
+       |  FROM cb c CROSS JOIN qb q),
+       |cand AS (SELECT vec_id, hamming, ${dot("embedding", "qv_raw")} AS exact
+       |  FROM h ORDER BY hamming, vec_id LIMIT 50)
+       |SELECT vec_id, hamming, ${r6("exact")} AS score
+       |FROM cand ORDER BY exact DESC, vec_id LIMIT 10""".stripMargin
+
+  val vsMatryoshka: String =
+    s"""WITH q AS (SELECT embedding AS qv_raw, list_slice(embedding, 1, 16) AS q_sub
+       |  FROM embeddings WHERE vec_id = 0),
+       |s AS (SELECT e.vec_id, e.embedding, q.qv_raw,
+       |  ${dot("list_slice(e.embedding, 1, 16)", "q.q_sub")} AS sub_score
+       |  FROM embeddings e CROSS JOIN q),
+       |cand AS (SELECT vec_id, sub_score, ${dot("embedding", "qv_raw")} AS exact
+       |  FROM s ORDER BY sub_score DESC, vec_id LIMIT 50)
+       |SELECT vec_id, ${r6("sub_score")} AS sub_score, ${r6("exact")} AS score
+       |FROM cand ORDER BY exact DESC, vec_id LIMIT 10""".stripMargin
+
+  val textTfidf: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (SELECT doc_id, token, tf, df,
+       |  ${cents("tf * ln(n_docs / ((1.0)::DOUBLE * df))", "1000000.0")} AS score_e6
+       |  FROM tf JOIN dfq USING(token) CROSS JOIN st WHERE doc_id < 20),
+       |r AS (SELECT doc_id, token, tf, df, score_e6,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, token) AS BIGINT) AS rnk
+       |  FROM sc)
+       |SELECT doc_id, rnk, token, tf, df, score_e6 / (1000000.0)::DOUBLE AS tfidf
+       |FROM r WHERE rnk <= 3""".stripMargin
+
+  val textLmScore: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+       |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_total FROM tok),
+       |c AS (SELECT doc_id, ${cents("ln(cnt / ((1.0)::DOUBLE * n_total))", "1000000.0")} AS lp_e6
+       |  FROM tok JOIN freq USING(token) CROSS JOIN tot),
+       |d AS (SELECT doc_id, CAST(sum(lp_e6) AS BIGINT) AS sum_lp_e6, count(*) AS n_toks
+       |  FROM c GROUP BY 1)
+       |SELECT doc_id, n_toks, ${r6("sum_lp_e6 / ((1000000.0)::DOUBLE * n_toks)")} AS avg_logprob
+       |FROM d ORDER BY avg_logprob, doc_id LIMIT 10""".stripMargin
+
+  val textContamination: String =
+    s"""WITH $shingleCte,
+       |ng AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY 1),
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+       |hits AS (SELECT s.doc_id, count(*) AS n_hit FROM sh s JOIN bench USING(shingle)
+       |  WHERE s.doc_id % 97 != 0 GROUP BY 1)
+       |SELECT h.doc_id, ng.n_grams AS n_grams, h.n_hit AS n_hit,
+       |  ${r6("h.n_hit / ((1.0)::DOUBLE * ng.n_grams)")} AS contamination
+       |FROM hits h JOIN ng USING(doc_id)""".stripMargin
+
+  val qAnomaly: String =
+    s"""WITH m AS (SELECT o_orderpriority, count(*) AS n,
+       |  CAST(sum(${cents("o_totalprice", "1.0")}) AS BIGINT) AS sx,
+       |  CAST(sum(${cents("o_totalprice", "1.0")} * ${cents("o_totalprice", "1.0")}) AS BIGINT) AS sxx
+       |  FROM orders GROUP BY 1),
+       |st AS (SELECT o_orderpriority, sx / ((1.0)::DOUBLE * n) AS mean,
+       |  sqrt(sxx / ((1.0)::DOUBLE * n)
+       |    - (sx / ((1.0)::DOUBLE * n)) * (sx / ((1.0)::DOUBLE * n))) AS std FROM m),
+       |z AS (SELECT o_orderkey, o.o_orderpriority, ${cents("o_totalprice", "1.0")} AS ip,
+       |  (${cents("o_totalprice", "1.0")} - mean) / std AS z
+       |  FROM orders o JOIN st ON o.o_orderpriority = st.o_orderpriority)
+       |SELECT o_orderkey, o_orderpriority, ip * (1.0)::DOUBLE AS price, ${r6("z")} AS z
+       |FROM z ORDER BY abs(z) DESC, o_orderkey LIMIT 15""".stripMargin
+
+  val qEventsPath: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+       |l AS (SELECT user_id, event_id, event_type, us,
+       |  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+       |n AS (SELECT user_id, event_id, event_type, us,
+       |  CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+       |s AS (SELECT user_id, event_id, event_type, us,
+       |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n),
+       |p AS (SELECT user_id, session_id,
+       |  string_agg(event_type, '>' ORDER BY us, event_id) AS path FROM s GROUP BY 1, 2)
+       |SELECT path, count(*) AS n_sessions FROM p
+       |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -947,5 +1042,12 @@ object OracleSql {
     "vs_ivf_recall" -> vsIvfRecall,
     "dedup_report" -> dedupReport,
     "vs_quantized_search" -> vsQuantizedSearch,
+    "vs_binary_search" -> vsBinarySearch,
+    "vs_matryoshka" -> vsMatryoshka,
+    "text_tfidf" -> textTfidf,
+    "text_lm_score" -> textLmScore,
+    "text_contamination" -> textContamination,
+    "q_anomaly" -> qAnomaly,
+    "q_events_path" -> qEventsPath,
   )
 }

@@ -88,6 +88,16 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => TrainingMix.packSequences(s, d)),
     "q_mix_weighted" -> ((s, d) => TrainingMix.mixWeighted(s, d)),
     "pipeline_filter" -> ((s, d) => TrainingMix.corpusFilter(s, d)),
+    // A++. quantized / truncated search modes
+    "vs_binary_search" -> ((s, d) => KnnSearch.binarySearch(s, d)),
+    "vs_matryoshka" -> ((s, d) => KnnSearch.matryoshkaSearch(s, d)),
+    // D+. corpus scoring / hygiene
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
+    "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
+    "text_contamination" -> ((s, d) => Decontam.contamination(s, d)),
+    // E+. analytics
+    "q_anomaly" -> ((s, d) => Relational.anomaly(s, d)),
+    "q_events_path" -> ((s, d) => EventOps.eventPaths(s, d)),
     // G. multimodal plumbing (no SQL oracle — rows-only check)
     "mm_binary" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
   )

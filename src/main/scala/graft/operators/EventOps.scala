@@ -37,6 +37,32 @@ object EventOps {
       .withColumn("duration_s", r6((col("end_us") - col("start_us")) / lit(1000000.0)))
   }
 
+  /** Session path mining: the most common event-type sequences
+    * (clickstream paths) across 30-minute-gap sessions. Scale: one
+    * shuffle on user_id shared by the session windows and the path
+    * assembly (collect_list under the same partitioning); only the
+    * (path, partial-count) rows move in the final frequency shuffle.
+    */
+  def eventPaths(spark: SparkSession, dir: String, topK: Int = 15,
+      gapMicros: Long = 30L * 60 * 1000000): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = base(spark, dir)
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("us") - col("prev") > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
+
   /** view → click → purchase funnel per user via conditional min-ts:
     * first view, first click after that view, first purchase after that
     * click. Scale: three partial-aggregations on user_id reusing one

@@ -104,6 +104,76 @@ object KnnSearch {
       .select(col("vec_id"), col("int_dot"), r6(col("exact")).as("score"))
   }
 
+  /** Sign-bit (1-bit) quantization of one 32-dim half of the embedding,
+    * packed into a single long: bit i set ⟺ component (from+i) > 0.
+    * Two halves cover the 64-dim vectors (32 bits per word keeps the
+    * per-bit weights exactly representable in both engines' integer
+    * paths). Exact integer math — no float drift possible.
+    */
+  private val Pow2 = typedLit((0 until 32).map(i => 1L << i))
+  def signBits(v: Column, from: Int): Column =
+    aggregate(
+      zip_with(slice(v, from, 32), sequence(lit(0), lit(31)),
+        (x, i) => when(x > 0, element_at(Pow2, (i + 1).cast("int"))).otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+
+  /** Binary-quantization search (the vector-db 32×-memory-reduction
+    * mode: 64 floats → 64 bits): candidates ranked by hamming distance
+    * between packed sign-bit signatures (bit_count of xor — integer
+    * ops the whole way), then exact rescoring of the candidate set.
+    * Scale shape: the corpus scan carries only two longs per vector
+    * into the candidate heap; the query signature is a broadcast row;
+    * the corpus never shuffles.
+    */
+  def binarySearch(spark: SparkSession, dir: String, candidates: Int = 50,
+      k: Int = 10): DataFrame = {
+    val e = col("embedding")
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(e.as("qv_raw"))
+      .select(col("qv_raw"),
+        signBits(col("qv_raw"), 1).as("q_lo"), signBits(col("qv_raw"), 33).as("q_hi"))
+    val cand = Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .withColumn("sig_lo", signBits(e, 1))
+      .withColumn("sig_hi", signBits(e, 33))
+      .crossJoin(broadcast(q))
+      .withColumn("hamming",
+        (bit_count(col("sig_lo").bitwiseXOR(col("q_lo")))
+          + bit_count(col("sig_hi").bitwiseXOR(col("q_hi")))).cast("long"))
+      .select(col("vec_id"), col("embedding"), col("qv_raw"), col("hamming"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+      .limit(candidates)
+    cand
+      .withColumn("exact", dot(col("embedding"), col("qv_raw")))
+      .orderBy(col("exact").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("hamming"), r6(col("exact")).as("score"))
+  }
+
+  /** Matryoshka (truncated-dimension) search: stage one ranks by the
+    * dot product over only the first `dims` components — at scale the
+    * short prefix is a separate, 4×-smaller column (or index) and the
+    * full vector is only read for the candidate set — stage two
+    * rescores candidates with the full-dimension dot product.
+    */
+  def matryoshkaSearch(spark: SparkSession, dir: String, dims: Int = 16,
+      candidates: Int = 50, k: Int = 10): DataFrame = {
+    val e = col("embedding")
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(e.as("qv_raw"), slice(e, 1, dims).as("q_sub"))
+    val cand = Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .crossJoin(broadcast(q))
+      .withColumn("sub_score", dot(slice(e, 1, dims), col("q_sub")))
+      .select(col("vec_id"), col("embedding"), col("qv_raw"), col("sub_score"))
+      .orderBy(col("sub_score").desc, col("vec_id").asc)
+      .limit(candidates)
+    cand
+      .withColumn("exact", dot(col("embedding"), col("qv_raw")))
+      .orderBy(col("exact").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), r6(col("sub_score")).as("sub_score"),
+        r6(col("exact")).as("score"))
+  }
+
   /** Brute-force top-k for a single query vector (vec_id 0), dot-product
     * score, deterministic tiebreak on vec_id.
     */

@@ -122,6 +122,34 @@ object Relational {
           .as("stddev_qty"))
   }
 
+  /** Z-score anomaly detection: per-group mean/stddev from integerized
+    * moments (same exact-integer closed form as [[corrStats]]), then
+    * the most extreme orders by |z|. Two passes over the orders scan —
+    * the per-group stats table is tiny (one row per priority class) and
+    * broadcasts back onto the scan, so the only shuffle is the
+    * partial-agg moment pass. Unit-scale integerization keeps the
+    * squared-sum within int64 through ~sf100.
+    */
+  def anomaly(spark: SparkSession, dir: String, topK: Int = 15): DataFrame = {
+    val ip = cents(col("o_totalprice"), 1.0)
+    val stats = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(ip).as("sx"), sum(ip * ip).as("sxx"))
+      .select(col("o_orderpriority"),
+        (col("sx") / (lit(1.0) * col("n"))).as("mean"),
+        sqrt(col("sxx") / (lit(1.0) * col("n"))
+          - (col("sx") / (lit(1.0) * col("n"))) * (col("sx") / (lit(1.0) * col("n"))))
+          .as("std"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), ip.as("ip"))
+      .join(broadcast(stats), "o_orderpriority")
+      .withColumn("z", (col("ip") - col("mean")) / col("std"))
+      .orderBy(abs(col("z")).desc, col("o_orderkey").asc)
+      .limit(topK)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("ip") * lit(1.0)).as("price"), r6(col("z")).as("z"))
+  }
+
   /** Time-interval rolling aggregation: 7-day trailing revenue per
     * customer via a RANGE window frame over epoch seconds — the
     * event-time rolling metric rows-frames cannot express (a frame of

@@ -143,6 +143,62 @@ object TextAnalysis {
       .withColumn("n_same",
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))).cast("long"))
 
+  /** Per-document keyword extraction: top-3 tokens by TF-IDF
+    * (idf = ln(n_docs/df) over the whole corpus), reported for a fixed
+    * doc subset. Scale shape: term frequencies and document frequencies
+    * are partial-aggregated token shuffles (the same movement heavy
+    * hitters pays — unavoidable for corpus-wide df); the scored subset
+    * join is a broadcast of the (tiny) target-doc tf rows against the
+    * df table. The score is integerized per row (floor(tf·idf·1e6)) so
+    * ranking is integer-exact.
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String, maxDocId: Long = 20,
+      topN: Int = 3): DataFrame = {
+    val tok = graft.Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val st = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("token").asc)
+    tf.filter(col("doc_id") < maxDocId)
+      .join(dfreq, "token")
+      .crossJoin(broadcast(st))
+      .withColumn("score_e6",
+        graft.functions.VectorFunctions.cents(
+          col("tf") * log(col("n_docs") / (lit(1.0) * col("df"))), 1e6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("df"),
+        (col("score_e6") / lit(1e6)).as("tfidf"))
+  }
+
+  /** Unigram language-model quality scoring (the CCNet-style perplexity
+    * filter with the LM trained on the corpus itself): each document is
+    * scored by its mean token log-probability under corpus unigram
+    * frequencies; the lowest-scoring documents are the most improbable
+    * (boilerplate / noise candidates). Per-token contributions are
+    * integerized before the per-doc sum, so the distributed sum is
+    * order-independent and the ranking exact.
+    */
+  def lmScore(spark: SparkSession, dir: String, worstK: Int = 10): DataFrame = {
+    val tok = graft.Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val tot = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(freq, "token")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp_e6",
+        graft.functions.VectorFunctions.cents(
+          log(col("cnt") / (lit(1.0) * col("n_total"))), 1e6))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp_e6")).as("sum_lp_e6"), count(lit(1)).as("n_toks"))
+      .withColumn("avg_logprob", r6(col("sum_lp_e6") / (lit(1e6) * col("n_toks"))))
+      .orderBy(col("avg_logprob").asc, col("doc_id").asc)
+      .limit(worstK)
+      .select(col("doc_id"), col("n_toks"), col("avg_logprob"))
+  }
+
   /** Email / phone / IPv4 patterns shared by the scrubber and its
     * oracle. Plain character-class regexes only — identical semantics
     * under Java regex (Spark) and RE2 (DuckDB); no lookaround, no \b.

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Decontam, EventOps, Relational, TextAnalysis}
+
+/** Semantics of the corpus-scoring / hygiene wave: TF-IDF keywords,
+  * unigram-LM quality, benchmark decontamination, z-score anomalies,
+  * session path mining.
+  */
+class CorpusHygieneSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("tfidf: at most 3 keywords per doc, df bounded by n_docs, scores ranked") {
+    val rows = TextAnalysis.tfidfKeywords(spark, Sf).collect()
+    val nDocs = Tables.documents(spark, Sf).count()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 3))
+    assert(rows.forall(r => r.getLong(4) <= nDocs), "df exceeds corpus size")
+    // within a doc, rank order follows score order
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val scores = sorted.map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lm_score: log-probs are negative and the output is the corpus minimum") {
+    val out = TextAnalysis.lmScore(spark, Sf).collect()
+    assert(out.forall(_.getDouble(2) < 0.0))
+    // scores ascend in the returned (worst-first) order modulo ties
+    val s = out.map(_.getDouble(2))
+    assert(s.zip(s.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("contamination: benchmark docs never flag themselves; ratios in (0,1]") {
+    val rows = Decontam.contamination(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 97 != 0), "benchmark doc flagged as contaminated")
+    assert(rows.forall { r =>
+      val c = r.getDouble(3); c > 0.0 && c <= 1.0 && r.getLong(2) <= r.getLong(1)
+    })
+  }
+
+  test("anomaly: output is the |z|-descending extreme tail") {
+    val rows = Relational.anomaly(spark, Sf).collect()
+    assert(rows.length == 15)
+    val zs = rows.map(r => math.abs(r.getDouble(3)))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b }, "not |z|-descending")
+    // totalprice is a bounded sum-of-uniforms: the extreme tail still
+    // sits beyond 1.5 sd even at sf0.001
+    assert(zs.last >= 1.5, s"tail |z| ${zs.last} too mild to be an outlier set")
+  }
+
+  test("event paths: session counts conserve against sessionize") {
+    val totalSessions = EventOps.sessionize(spark, Sf).count()
+    val paths = EventOps.eventPaths(spark, Sf, topK = 1000000).collect()
+    assert(paths.map(_.getLong(1)).sum == totalSessions,
+      "path frequencies must partition the session set")
+    assert(paths.forall(_.getString(0).nonEmpty))
+  }
+}

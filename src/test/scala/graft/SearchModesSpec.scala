@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.KnnSearch
+
+/** Semantics of the reduced-precision search modes (binary
+  * quantization and Matryoshka truncation): signature packing is
+  * bit-correct, and each mode's candidate stage actually recovers the
+  * exact top answers at test scale (a recall floor, not a formal
+  * guarantee).
+  */
+class SearchModesSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("signBits packs the sign pattern exactly") {
+    import spark.implicits._
+    // 64-dim vector: component i positive iff i ∈ {0, 5, 33, 63}
+    val v = (0 until 64).map(i => if (Set(0, 5, 33, 63)(i)) 1.0f else -1.0f)
+    val df = Seq(Tuple1(v)).toDF("embedding")
+      .select(KnnSearch.signBits(col("embedding"), 1).as("lo"),
+        KnnSearch.signBits(col("embedding"), 33).as("hi"))
+    val row = df.head()
+    assert(row.getLong(0) == ((1L << 0) | (1L << 5)))
+    // hi word covers 0-based components 32..63 → bit = i - 32
+    assert(row.getLong(1) == ((1L << 1) | (1L << 31)))
+  }
+
+  test("binary search recovers most of the exact top-10 at sf0.001") {
+    val exact = KnnSearch.topK(spark, Sf, k = 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val bin = KnnSearch.binarySearch(spark, Sf).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // 64-bit signatures over 64-dim vectors: hamming is a coarse proxy;
+    // candidates=50 of 500 must still catch at least half the true top-10
+    assert((exact & bin).size >= 5, s"binary recall too low: ${(exact & bin).size}/10")
+  }
+
+  test("matryoshka search recovers the exact top-1 and most of top-10") {
+    val exact = KnnSearch.topK(spark, Sf, k = 10)
+      .collect().map(_.getLong(0))
+    val mat = KnnSearch.matryoshkaSearch(spark, Sf).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(mat.contains(exact.head), "16-dim prefix stage lost the exact top-1")
+    // 16 of 64 dims is a lossy proxy; measured recall at sf0.001 is 6/10
+    assert((exact.toSet & mat).size >= 6,
+      s"matryoshka recall too low: ${(exact.toSet & mat).size}/10")
+  }
+
+  test("binary hamming is symmetric-bounded: 0 for the query itself") {
+    // vec_id 0 IS the query: its hamming must be 0 and it must rank top-1 by score
+    val rows = KnnSearch.binarySearch(spark, Sf).collect()
+    val self = rows.find(_.getLong(0) == 0L)
+    assert(self.isDefined && self.get.getLong(1) == 0L)
+  }
+}
