@@ -22,7 +22,9 @@ object Decontam {
 
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val grams = graft.Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      // native one-pass shingler (TextFunctions.shingles is its HOF spec
+      // twin — identical output, ~20× slower on long token arrays)
+      .select(col("doc_id"), graft.functions.TextExprs.shingles(tokens(col("text"))).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
         explode(col("sh")).as("gram"))
     val bench = grams.filter(col("doc_id") % 97 === 0).select("gram").distinct()
