@@ -883,6 +883,91 @@ object OracleSql {
        |SELECT vec_id, int_dot, ${r6("exact")} AS score
        |FROM cand ORDER BY exact DESC, vec_id LIMIT 10""".stripMargin
 
+  val vsIvfPq: String =
+    s"""WITH $ivfCtes,
+       |subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+       |cb AS (SELECT s, CAST(vec_id // 17 AS BIGINT) AS code,
+       |  list_slice(embedding, s * 16 + 1, s * 16 + 16) AS cvec2
+       |  FROM embeddings, subs WHERE vec_id % 17 = 0 AND vec_id < 272),
+       |sv AS (SELECT vec_id, s, list_slice(embedding, s * 16 + 1, s * 16 + 16) AS subvec
+       |  FROM embeddings, subs),
+       |dists AS (SELECT sv.vec_id, sv.s, cb.code, ${dist2("sv.subvec", "cb.cvec2")} AS d2q
+       |  FROM sv JOIN cb ON cb.s = sv.s),
+       |asgn AS (SELECT vec_id, s, code FROM (
+       |  SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, code) AS rn
+       |  FROM dists) WHERE rn = 1),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |lut AS (SELECT s, code, ${dot("list_slice(qv, s * 16 + 1, s * 16 + 16)", "cvec2")} AS part FROM cb, q),
+       |ap AS (SELECT a.vec_id,
+       |  CAST(sum(CAST(floor(part * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS e9
+       |  FROM asgn a JOIN lut USING(s, code) GROUP BY 1),
+       |probe AS (SELECT cluster_id FROM (
+       |  SELECT cluster_id, ${dist2("cvec", "qv")} AS cd2 FROM cent, q)
+       |  ORDER BY cd2, cluster_id LIMIT 3),
+       |cand AS (SELECT g.cluster_id, p.vec_id, p.e9 FROM ap p JOIN asg g USING(vec_id)
+       |  WHERE g.cluster_id IN (SELECT cluster_id FROM probe)
+       |  ORDER BY p.e9 DESC, p.vec_id LIMIT 50),
+       |re AS (SELECT c.cluster_id, c.vec_id, c.e9, ${dot("e.embedding", "qv")} AS es
+       |  FROM cand c JOIN embeddings e USING(vec_id), q)
+       |SELECT cluster_id, vec_id, ${r6("e9 / 1000000000.0")} AS approx_score, ${r6("es")} AS score
+       |FROM re ORDER BY es DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Two unrolled PageRank iterations — the relational mirror of
+    * GraphOps.pagerank (damping 0.85, uniform start, integerized
+    * per-edge contributions).
+    */
+  val qPagerank: String = {
+    val base = cents("(0.15)::DOUBLE / n", "1000000000.0")
+    def contribCte(i: Int, prev: String) =
+      s"""c$i AS (SELECT ed.dst, CAST(sum(${cents("(0.85)::DOUBLE * r_e9 / outdeg", "1.0")}) AS BIGINT) AS in_e9
+         |  FROM ed JOIN $prev ON ed.src = $prev.node JOIN od ON ed.src = od.src GROUP BY 1),
+         |r$i AS (SELECT node, $base + coalesce(in_e9, 0) AS r_e9
+         |  FROM nodes CROSS JOIN nt LEFT JOIN c$i ON nodes.node = c$i.dst)""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |ed AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |nodes AS (SELECT DISTINCT src AS node FROM ed),
+       |nt AS (SELECT count(*) AS n FROM nodes),
+       |od AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
+       |r0 AS (SELECT node, ${cents("(1.0)::DOUBLE / n", "1000000000.0")} AS r_e9
+       |  FROM nodes CROSS JOIN nt),
+       |${contribCte(1, "r0")},
+       |${contribCte(2, "r1")}
+       |SELECT node, ${r6("r_e9 / 1000000000.0")} AS pagerank
+       |FROM r2 ORDER BY r_e9 DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** k=5 unrolled MMR picks — the relational mirror of
+    * KnnSearch.mmrSearch's greedy loop (λ=0.7, μ=0.3 as literals).
+    */
+  val vsMmr: String = {
+    val lam = "(0.7)::DOUBLE"
+    val mu = "(0.3)::DOUBLE"
+    val levels = (2 to 5).map { t =>
+      val prev = (1 until t).map(j => s"s$j")
+      val mx =
+        if (prev.size == 1) dot("c.embedding", "s1.embedding")
+        else s"greatest(${prev.map(p => dot("c.embedding", s"$p.embedding")).mkString(", ")})"
+      val crosses = prev.map(p => s"CROSS JOIN $p").mkString(" ")
+      val excl = prev.map(p => s"c.vec_id != $p.vec_id").mkString(" AND ")
+      s"""m$t AS (SELECT c.vec_id, c.embedding, c.rel, $mx AS mx
+         |  FROM pool c $crosses WHERE $excl),
+         |s$t AS (SELECT vec_id, embedding, $lam * rel - $mu * mx AS mmr
+         |  FROM m$t ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to 5)
+      .map(t => s"SELECT CAST($t AS BIGINT) AS rnk, vec_id, ${r6("mmr")} AS mmr FROM s$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |pool AS (SELECT e.vec_id, e.embedding, ${dot("e.embedding", "q.qv")} AS rel
+       |  FROM embeddings e CROSS JOIN q ORDER BY rel DESC, e.vec_id LIMIT 20),
+       |s1 AS (SELECT vec_id, embedding, $lam * rel AS mmr
+       |  FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+       |$levels
+       |$finals""".stripMargin
+  }
+
   /** One 32-bit sign-bit word: bit (i-off) set ⟺ component i > 0.
     * Integer shifts only — exact in both engines.
     */
@@ -1049,5 +1134,8 @@ object OracleSql {
     "text_contamination" -> textContamination,
     "q_anomaly" -> qAnomaly,
     "q_events_path" -> qEventsPath,
+    "vs_ivf_pq" -> vsIvfPq,
+    "q_pagerank" -> qPagerank,
+    "vs_mmr" -> vsMmr,
   )
 }

@@ -88,9 +88,12 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => TrainingMix.packSequences(s, d)),
     "q_mix_weighted" -> ((s, d) => TrainingMix.mixWeighted(s, d)),
     "pipeline_filter" -> ((s, d) => TrainingMix.corpusFilter(s, d)),
-    // A++. quantized / truncated search modes
+    // A++. quantized / truncated / composed search modes
     "vs_binary_search" -> ((s, d) => KnnSearch.binarySearch(s, d)),
     "vs_matryoshka" -> ((s, d) => KnnSearch.matryoshkaSearch(s, d)),
+    "vs_ivf_pq" -> ((s, d) => PqIndex.searchIvfPq(s, d)),
+    "vs_mmr" -> ((s, d) => KnnSearch.mmrSearch(s, d)),
+    "q_pagerank" -> ((s, d) => GraphOps.pagerank(s, d)),
     // D+. corpus scoring / hygiene
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
     "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),

@@ -255,6 +255,57 @@ object KnnSearch {
         col("rerank_rank"))
   }
 
+  /** Maximal-marginal-relevance diversified top-k: greedy selection
+    * maximizing λ·rel(i) − (1−λ)·max_{s∈S} dot(i, s) over a retrieved
+    * candidate pool. The retrieve (the data-sized stage) is the
+    * distributed brute-force top-`poolK`; the greedy loop runs
+    * driver-side over the collected pool — O(poolK) candidate rows,
+    * the same shape as the reference's Python-side rerank of its
+    * top-50 (reference mcp_server.py:150-177) and inherently
+    * sequential (each pick depends on the previous). The Scala fold
+    * for the pairwise dots is the identical left-to-right double sum
+    * the engines use, so the selection is bitwise reproducible (the
+    * oracle unrolls the same k=5 picks as nested CTEs).
+    */
+  def mmrSearch(spark: SparkSession, dir: String, poolK: Int = 20, k: Int = 5,
+      lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    val pool = scored(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec")).withColumn("query_id", lit(0L))
+        .select(col("query_id"), col("qvec")))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(poolK)
+      .select(col("vec_id"), col("embedding"), col("score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def dotSeq(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      val scoredRem = remaining.map { case (id, vec, rel) =>
+        // mu is a separate literal, NOT 1-lambda computed here: 1-0.7
+        // is 0.30000000000000004 in IEEE double, while the oracle's
+        // (0.3)::DOUBLE is the literal — they would diverge bitwise
+        val mmr =
+          if (selected.isEmpty) lambda * rel
+          else lambda * rel - mu * selected.map(s => dotSeq(vec, s._2)).max
+        (id, vec, mmr)
+      }
+      val best = scoredRem.minBy { case (id, _, mmr) => (-mmr, id) }
+      selected += best
+      remaining.remove(remaining.indexWhere(_._1 == best._1))
+    }
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, mmr), i) => (i + 1L, id, r6d(mmr)) }
+      .toSeq.toDF("rnk", "vec_id", "mmr")
+  }
+
   /** Deterministic per-doc date (the documents table carries no date
     * column; this derives one so the reference's first-class date-range
     * search parameter has a demonstrable twin).

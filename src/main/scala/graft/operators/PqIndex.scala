@@ -146,6 +146,40 @@ object PqIndex {
         r6(col("approx_e9") / 1e9).as("approx_score"))
   }
 
+  /** Composed IVF+PQ search — the production large-scale ANN layout
+    * (Faiss IVFPQ / Qdrant-with-quantization): the query probes the
+    * `nprobe` nearest IVF clusters, PQ/ADC approximate scores rank only
+    * the probed clusters' vectors into a candidate set, and candidates
+    * are rescored exactly. One corpus scan computes cluster assignment
+    * AND the fused encode+ADC score (both per-row literal argmins —
+    * zero shuffle); the probe table is a broadcast semi-join, so at
+    * scale (with the index written `partitionBy(cluster_id)`) the scan
+    * itself prunes to nprobe partitions and reads byte codes only.
+    */
+  def searchIvfPq(spark: SparkSession, dir: String, nprobe: Int = 3,
+      candidates: Int = 50, k: Int = 10): DataFrame = {
+    val q = queryVec(spark, dir)
+    val probed = IvfIndex.centroids(spark, dir).crossJoin(broadcast(q))
+      .withColumn("cd2", dist2(col("cvec"), col("qvec")))
+      .orderBy(col("cd2").asc, col("cluster_id").asc)
+      .limit(nprobe)
+      .select("cluster_id")
+    val centsLit = IvfIndex.centroidLiteral(IvfIndex.centroids(spark, dir))
+    val cand = adcScored(spark, dir, q)
+      .withColumn("cluster_id",
+        IvfIndex.nearest(col("embedding"), centsLit).getField("cluster_id"))
+      .join(broadcast(probed), "cluster_id")
+      .select(col("cluster_id"), col("vec_id"), col("embedding"), col("approx_e9"))
+      .orderBy(col("approx_e9").desc, col("vec_id").asc)
+      .limit(candidates)
+    cand.crossJoin(broadcast(q))
+      .withColumn("exact", dot(col("embedding"), col("qvec")))
+      .orderBy(col("exact").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("cluster_id"), col("vec_id"),
+        r6(col("approx_e9") / 1e9).as("approx_score"), r6(col("exact")).as("score"))
+  }
+
   /** Asymmetric-distance scoring against query vec 0: the approximate
     * dot product is Σ_s dot(q_s, codeword(s, code_s)), reported next to
     * the exact score and the absolute quantization error — both computed
