@@ -12,7 +12,9 @@ class PlanShapeSpec extends AnyFunSuite {
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, Sf)
     df.collect() // finalize the adaptive plan
-    df.queryExecution.executedPlan.toString
+    // AQE's toString appends the pre-adaptive "Initial Plan" — assert
+    // only on what actually ran
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
   test("q1_agg pushes the date filter into the parquet scan and partial-aggregates") {
@@ -78,5 +80,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("bval"), p) // the byte-block value is a join key
+  }
+
+  test("binary-quantization signatures are computed in the scan (no key shuffle before top-k)") {
+    val p = planOf("vs_binary_search")
+    // the candidate stage must be a TakeOrdered over the scan, with the
+    // corpus never hashed on a key; only the broadcast query row joins in
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("contamination joins bench grams by broadcast, never shuffling the corpus grams") {
+    val p = planOf("text_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("anomaly broadcasts the per-group stats back onto the orders scan") {
+    val p = planOf("q_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p) // moment pass partial-aggregates
+  }
+
+  test("pagerank's per-iteration rank join is a broadcast, not an edge shuffle") {
+    val p = planOf("q_pagerank")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the one allowed key shuffle family: the edge-dedup + contribution
+    // partial aggs; the rank table itself must never sort-merge with edges
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ivf+pq fuses assignment and ADC into the scan: no Window, no key shuffle") {
+    val df = graft.operators.PqIndex.searchIvfPq(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 }
