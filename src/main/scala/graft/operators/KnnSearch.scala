@@ -278,6 +278,16 @@ object KnnSearch {
       .select(col("vec_id"), col("embedding"), col("score"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    import spark.implicits._
+    mmrGreedy(pool, k, lambda, mu).toDF("rnk", "vec_id", "mmr")
+  }
+
+  /** The greedy MMR selection over a collected candidate pool:
+    * (rnk, vec_id, r6(mmr)) rows. Separated so other facades (e.g.
+    * SearchApi.searchDiverse) can diversify their own retrieve stage.
+    */
+  def mmrGreedy(pool: Array[(Long, Array[Float], Double)], k: Int,
+      lambda: Double, mu: Double): Seq[(Long, Long, Double)] = {
     def dotSeq(a: Array[Float], b: Array[Float]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
@@ -300,10 +310,8 @@ object KnnSearch {
       remaining.remove(remaining.indexWhere(_._1 == best._1))
     }
     def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-    import spark.implicits._
     selected.zipWithIndex
-      .map { case ((id, _, mmr), i) => (i + 1L, id, r6d(mmr)) }
-      .toSeq.toDF("rnk", "vec_id", "mmr")
+      .map { case ((id, _, mmr), i) => (i + 1L, id, r6d(mmr)) }.toSeq
   }
 
   /** Deterministic per-doc date (the documents table carries no date

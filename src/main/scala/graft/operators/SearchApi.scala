@@ -70,6 +70,30 @@ object SearchApi {
       .select("doc_id", "score", "logit", "prob", "label", "rerank_rank", "lang", "text")
   }
 
+  /** Diversified search: encode the query text, retrieve a candidate
+    * pool, then apply maximal-marginal-relevance selection so the k
+    * results cover distinct regions of the embedding space instead of
+    * k near-duplicates of the best hit — the de-duplicated answer list
+    * a RAG front-end actually wants. Returns the picks joined back to
+    * document metadata, in MMR order.
+    */
+  def searchDiverse(spark: SparkSession, dir: String, queryText: String,
+      poolK: Int = 20, k: Int = 5, lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    val q = spark.range(1).select(embedText(lit(queryText)).as("qvec"))
+    val pool = KnnSearch.scored(Tables.embeddings(spark, dir).select("vec_id", "embedding"), q)
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(poolK)
+      .select(col("vec_id"), col("embedding"), col("score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val picks = KnnSearch.mmrGreedy(pool, k, lambda, mu).toDF("rnk", "vec_id", "mmr")
+    picks.join(Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text")),
+        picks("vec_id") === col("doc_id"))
+      .orderBy(col("rnk").asc)
+      .select("rnk", "doc_id", "mmr", "lang", "text")
+  }
+
   /** Hybrid search: the vector pipeline above fused with a BM25 pass
     * over the same query text via reciprocal-rank fusion — the
     * two-modality retrieval a production deployment runs (lexical

@@ -125,6 +125,16 @@ class LexicalSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("searchDiverse returns k distinct docs in MMR order with metadata attached") {
+    val r = graft.operators.SearchApi
+      .searchDiverse(spark, Sf, "vector hash join table").collect()
+    assert(r.length == 5)
+    assert(r.map(_.getLong(1)).distinct.length == 5)
+    assert(r.map(_.getLong(0)).toSeq == (1L to 5L))
+    // metadata joined: every pick carries its document text
+    assert(r.forall(x => x.getString(4).nonEmpty))
+  }
+
   test("corpus filter composes quality, langid and dedup into one keep decision") {
     val rows = TrainingMix.corpusFilter(spark, Sf).collect()
     assert(rows.length === 20)
