@@ -938,6 +938,22 @@ object OracleSql {
        |FROM r2 ORDER BY r_e9 DESC, node LIMIT 20""".stripMargin
   }
 
+  /** MaxSim late-interaction scoring — the relational mirror of
+    * KnnSearch.multivecSearch (4×16-dim parts, Σ_s max_t sub-dots).
+    */
+  val vsMultivec: String = {
+    val maxsim = (0 until 4).map { s =>
+      s"greatest(${(0 until 4).map { t =>
+        dot(s"list_slice(q.qv, ${s * 16 + 1}, ${s * 16 + 16})",
+          s"list_slice(e.embedding, ${t * 16 + 1}, ${t * 16 + 16})")
+      }.mkString(", ")})"
+    }.mkString(" + ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |sc AS (SELECT e.vec_id, $maxsim AS ms FROM embeddings e CROSS JOIN q)
+       |SELECT vec_id, ${r6("ms")} AS maxsim
+       |FROM sc ORDER BY ms DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   /** k=5 unrolled MMR picks — the relational mirror of
     * KnnSearch.mmrSearch's greedy loop (λ=0.7, μ=0.3 as literals).
     */
@@ -1137,5 +1153,6 @@ object OracleSql {
     "vs_ivf_pq" -> vsIvfPq,
     "q_pagerank" -> qPagerank,
     "vs_mmr" -> vsMmr,
+    "vs_multivec" -> vsMultivec,
   )
 }

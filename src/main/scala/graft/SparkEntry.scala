@@ -40,6 +40,7 @@ object SparkEntry {
     "q_events_retention" -> ((s, d) => EventOps.retention(s, d)),
     "q_json" -> ((s, d) => EventOps.jsonAgg(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)), // no oracle: sketch
+    "q_approx_quantile" -> ((s, d) => Relational.approxQuantiles(s, d)), // no oracle: sketch
     // B. document pipeline
     "doc_chunk" -> ((s, d) => Chunker.chunk(s, d)),
     "doc_chunk_cdc" -> ((s, d) => Chunker.chunkCdc(s, d)),
@@ -93,6 +94,7 @@ object SparkEntry {
     "vs_matryoshka" -> ((s, d) => KnnSearch.matryoshkaSearch(s, d)),
     "vs_ivf_pq" -> ((s, d) => PqIndex.searchIvfPq(s, d)),
     "vs_mmr" -> ((s, d) => KnnSearch.mmrSearch(s, d)),
+    "vs_multivec" -> ((s, d) => KnnSearch.multivecSearch(s, d)),
     "q_pagerank" -> ((s, d) => GraphOps.pagerank(s, d)),
     // D+. corpus scoring / hygiene
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),

@@ -255,6 +255,32 @@ object KnnSearch {
         col("rerank_rank"))
   }
 
+  /** Multi-vector late-interaction search (ColBERT-style MaxSim): doc
+    * and query are each treated as 4 independent 16-dim sub-vectors
+    * (token-embedding stand-ins); score = Σ_s max_t dot(q_s, d_t) —
+    * each query part matches its best doc part, so partial/paraphrase
+    * matches score where a single pooled vector would wash out.
+    * All 16 sub-dots are per-row column math in one scan (codegen'd,
+    * zero shuffle); top-k via TakeOrdered.
+    */
+  def multivecSearch(spark: SparkSession, dir: String, parts: Int = 4,
+      subDim: Int = 16, k: Int = 10): DataFrame = {
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val maxsim = (0 until parts).map { s =>
+      greatest((0 until parts).map { t =>
+        dot(slice(col("qvec"), s * subDim + 1, subDim),
+          slice(col("embedding"), t * subDim + 1, subDim))
+      }: _*)
+    }.reduce(_ + _)
+    Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .crossJoin(broadcast(q))
+      .withColumn("maxsim", maxsim)
+      .orderBy(col("maxsim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), r6(col("maxsim")).as("maxsim"))
+  }
+
   /** Maximal-marginal-relevance diversified top-k: greedy selection
     * maximizing λ·rel(i) − (1−λ)·max_{s∈S} dot(i, s) over a retrieved
     * candidate pool. The retrieve (the data-sized stage) is the

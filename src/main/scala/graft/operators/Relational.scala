@@ -323,6 +323,26 @@ object Relational {
     * Scale: the HLL sketch is a fixed-size buffer merged map-side — the
     * shuffle carries one sketch per group, not the value set.
     */
+  /** Approximate quantiles (the mergeable percentile sketch — the
+    * distributed answer when exact percentile's full sort-per-group is
+    * too expensive) next to the exact values, with the observed error.
+    * Like q_approx_distinct this is a sketch surface: rows-only oracle,
+    * spec bounds the relative error.
+    */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("ap"),
+        expr("percentile(l_extendedprice, 0.5)").as("ex50"),
+        expr("percentile(l_extendedprice, 0.99)").as("ex99"))
+      .select(col("l_returnflag"),
+        r6(element_at(col("ap"), 1)).as("approx_p50"),
+        r6(element_at(col("ap"), 2)).as("approx_p99"),
+        r6(col("ex50")).as("exact_p50"),
+        r6(col("ex99")).as("exact_p99"),
+        r6(abs(element_at(col("ap"), 1) - col("ex50")) / col("ex50")).as("rel_err_p50"))
+
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))

@@ -46,6 +46,20 @@ object EventStream {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Streaming anomaly flagging: per-event-type reference stats (mean,
+    * std — trained batch-side, e.g. by Relational.anomaly's moment
+    * pass) broadcast into the stream; events beyond `zMax` standard
+    * deviations are flagged. Stateless map-side work — no watermark, no
+    * state store, scales to any event rate; the same expression runs on
+    * a batch DataFrame for backfill (spec asserts batch≡stream).
+    */
+  def anomalyStream(events: DataFrame, stats: DataFrame,
+      zMax: Double = 3.0): DataFrame =
+    events.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .filter(abs(col("z")) >= zMax)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+
   /** Tumbling (or sliding, if `slide` is set) window aggregation with a
     * 10-minute watermark for late data.
     */

@@ -52,6 +52,15 @@ class CorpusHygieneSpec extends AnyFunSuite {
     assert(zs.last >= 1.5, s"tail |z| ${zs.last} too mild to be an outlier set")
   }
 
+  test("approx quantiles stay within sketch accuracy of the exact percentiles") {
+    val rows = Relational.approxQuantiles(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(5) <= 0.05, s"p50 relative error ${r.getDouble(5)} too large")
+      assert(r.getDouble(3) <= r.getDouble(4), "exact p50 > exact p99")
+    }
+  }
+
   test("event paths: session counts conserve against sessionize") {
     val totalSessions = EventOps.sessionize(spark, Sf).count()
     val paths = EventOps.eventPaths(spark, Sf, topK = 1000000).collect()

@@ -80,6 +80,25 @@ class SearchModesSpec extends AnyFunSuite {
       "MMR set is no more diverse than the plain top-5")
   }
 
+  test("multivec maxsim dominates the pooled dot product (per-part max ≥ aligned part)") {
+    import org.apache.spark.sql.functions._
+    val mv = KnnSearch.multivecSearch(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mv.size == 10)
+    // Σ_s max_t dot(q_s, d_t) ≥ Σ_s dot(q_s, d_s) = dot(q, d) — exactly,
+    // for every doc (the aligned part is one of the maxed-over choices)
+    val pooled = KnnSearch.scored(
+        Tables.embeddings(spark, Sf).select("vec_id", "embedding"),
+        Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec")))
+      .filter(col("vec_id").isin(mv.keys.toSeq: _*))
+      .select("vec_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    mv.foreach { case (id, ms) =>
+      assert(ms >= pooled(id) - 1e-6, s"maxsim $ms < pooled ${pooled(id)} for vec $id")
+    }
+  }
+
   test("binary hamming is symmetric-bounded: 0 for the query itself") {
     // vec_id 0 IS the query: its hamming must be 0 and it must rank top-1 by score
     val rows = KnnSearch.binarySearch(spark, Sf).collect()

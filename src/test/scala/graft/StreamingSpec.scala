@@ -34,6 +34,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly flags match the batch filter on the same data") {
+    val dir = tmp()
+    eventsBatch.repartition(4).write.mode("overwrite").parquet(dir)
+    val stats = eventsBatch.groupBy("event_type")
+      .agg(avg("value").as("mean"), stddev_pop(col("value")).as("std"))
+    val stream = spark.readStream.schema(eventsBatch.schema).parquet(dir)
+    val q = EventStream.anomalyStream(stream, stats, zMax = 2.0)
+      .writeStream.outputMode("append").format("memory").queryName("anom").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("anom").orderBy("event_id").collect().toSeq
+      val want = EventStream.anomalyStream(eventsBatch, stats, zMax = 2.0)
+        .orderBy("event_id").collect().toSeq
+      assert(got.nonEmpty && got === want)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches batch sessionize") {
     val dir = tmp()
     eventsBatch.repartition(4).write.mode("overwrite").parquet(dir)
