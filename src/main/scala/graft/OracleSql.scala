@@ -938,6 +938,31 @@ object OracleSql {
        |FROM r2 ORDER BY r_e9 DESC, node LIMIT 20""".stripMargin
   }
 
+  val qRangeJoin: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+       |  epoch_us(ts) // 60000000 AS bk FROM events),
+       |f AS (SELECT event_id AS id_f, user_id AS user_f, event_type AS type_f,
+       |  us AS us_f, bk AS probe FROM e),
+       |s AS (SELECT event_id AS id_s, user_id AS user_s, event_type AS type_s,
+       |  us AS us_s, unnest([bk, bk - 1]) AS probe FROM e)
+       |SELECT type_f, type_s, count(*) AS n_pairs
+       |FROM f JOIN s USING(probe)
+       |WHERE (us_f < us_s OR (us_f = us_s AND id_f < id_s))
+       |  AND us_s - us_f <= 60000000 AND user_f != user_s
+       |GROUP BY 1, 2""".stripMargin
+
+  val vsDrift: String =
+    s"""WITH pe AS (SELECT CAST(vec_id % 2 AS BIGINT) AS half, i AS pos,
+       |  embedding[i]::DOUBLE AS v
+       |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims),
+       |ag AS (SELECT half, pos,
+       |  CAST(sum(CAST(floor(v * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+       |  count(*) AS n FROM pe GROUP BY 1, 2),
+       |m AS (SELECT half, pos, s / (1000000000.0 * n) AS mean FROM ag)
+       |SELECT CAST(r.pos AS BIGINT) AS dim, ${r6("r.mean")} AS mean_ref,
+       |  ${r6("c.mean")} AS mean_cur, ${r6("abs(c.mean - r.mean)")} AS shift
+       |FROM m r JOIN m c ON r.pos = c.pos AND r.half = 0 AND c.half = 1""".stripMargin
+
   /** MaxSim late-interaction scoring — the relational mirror of
     * KnnSearch.multivecSearch (4×16-dim parts, Σ_s max_t sub-dots).
     */
@@ -1154,5 +1179,7 @@ object OracleSql {
     "q_pagerank" -> qPagerank,
     "vs_mmr" -> vsMmr,
     "vs_multivec" -> vsMultivec,
+    "q_range_join" -> qRangeJoin,
+    "vs_drift" -> vsDrift,
   )
 }

@@ -95,6 +95,8 @@ object SparkEntry {
     "vs_ivf_pq" -> ((s, d) => PqIndex.searchIvfPq(s, d)),
     "vs_mmr" -> ((s, d) => KnnSearch.mmrSearch(s, d)),
     "vs_multivec" -> ((s, d) => KnnSearch.multivecSearch(s, d)),
+    "vs_drift" -> ((s, d) => KnnSearch.driftReport(s, d)),
+    "q_range_join" -> ((s, d) => EventOps.rangeJoinPairs(s, d)),
     "q_pagerank" -> ((s, d) => GraphOps.pagerank(s, d)),
     // D+. corpus scoring / hygiene
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),

@@ -63,6 +63,37 @@ object EventOps {
       .limit(topK)
   }
 
+  /** Banded range join: cross-user event pairs within 60 seconds,
+    * counted by (earlier type, later type). A naive formulation is an
+    * O(n²) time-interval cross join; banding each event into a
+    * 60-second bucket and probing {own, previous} buckets turns it
+    * into an equi-join with bounded fan-out (×2) — the standard
+    * range-join blocking that survives any scale. Pairs are ordered by
+    * (time, event_id), so each qualifying pair is generated exactly
+    * once: same-bucket pairs via the own-bucket probe, cross-boundary
+    * pairs via the previous-bucket probe.
+    */
+  def rangeJoinPairs(spark: SparkSession, dir: String,
+      windowMicros: Long = 60L * 1000000): DataFrame = {
+    // integer division for the band key — exact in both engines (double
+    // division + cast would round differently)
+    val ev = base(spark, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("us"), expr(s"us div $windowMicros").as("bk"))
+    val first = ev.select(col("event_id").as("id_f"), col("user_id").as("user_f"),
+      col("event_type").as("type_f"), col("us").as("us_f"), col("bk").as("probe"))
+    val second = ev
+      .select(col("event_id").as("id_s"), col("user_id").as("user_s"),
+        col("event_type").as("type_s"), col("us").as("us_s"),
+        explode(array(col("bk"), col("bk") - 1)).as("probe"))
+    first.join(second, "probe")
+      .filter((col("us_f") < col("us_s")
+          || (col("us_f") === col("us_s") && col("id_f") < col("id_s")))
+        && col("us_s") - col("us_f") <= windowMicros
+        && col("user_f") =!= col("user_s"))
+      .groupBy(col("type_f"), col("type_s"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** view → click → purchase funnel per user via conditional min-ts:
     * first view, first click after that view, first purchase after that
     * click. Scale: three partial-aggregations on user_id reusing one

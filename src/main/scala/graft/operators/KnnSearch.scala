@@ -255,6 +255,31 @@ object KnnSearch {
         col("rerank_rank"))
   }
 
+  /** Embedding drift monitor: per-dimension mean shift between a
+    * reference corpus half and a "current" half (vec_id parity as the
+    * deterministic split) — the distribution check a production vector
+    * store runs when the upstream encoder changes. Per-row integerized
+    * sums make the distributed means exact; one posexplode + one
+    * partial-agg shuffle of (dim, sum, count) rows.
+    */
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    val halves = Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .withColumn("half", (col("vec_id") % 2).cast("long"))
+      .select(col("half"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("half"), col("pos"))
+      .agg(sum(graft.functions.VectorFunctions.cents(col("v").cast("double"), 1e9)).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("mean", col("s") / (lit(1e9) * col("n")))
+    val ref = halves.filter(col("half") === 0)
+      .select(col("pos"), col("mean").as("mean_ref"))
+    val cur = halves.filter(col("half") === 1)
+      .select(col("pos").as("pos_c"), col("mean").as("mean_cur"))
+    ref.join(cur, ref("pos") === cur("pos_c"))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        r6(col("mean_ref")).as("mean_ref"), r6(col("mean_cur")).as("mean_cur"),
+        r6(abs(col("mean_cur") - col("mean_ref"))).as("shift"))
+  }
+
   /** Multi-vector late-interaction search (ColBERT-style MaxSim): doc
     * and query are each treated as 4 independent 16-dim sub-vectors
     * (token-embedding stand-ins); score = Σ_s max_t dot(q_s, d_t) —

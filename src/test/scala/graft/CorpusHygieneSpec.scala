@@ -61,6 +61,35 @@ class CorpusHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("banded range join finds exactly the naive cross-join's pairs") {
+    import org.apache.spark.sql.functions._
+    val banded = EventOps.rangeJoinPairs(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // ground truth: the O(n²) formulation on the small SF
+    val ev = Tables.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val a = ev.select(col("event_id").as("id_f"), col("user_id").as("user_f"),
+      col("event_type").as("type_f"), col("us").as("us_f"))
+    val b = ev.select(col("event_id").as("id_s"), col("user_id").as("user_s"),
+      col("event_type").as("type_s"), col("us").as("us_s"))
+    val naive = a.crossJoin(b)
+      .filter((col("us_f") < col("us_s")
+          || (col("us_f") === col("us_s") && col("id_f") < col("id_s")))
+        && col("us_s") - col("us_f") <= 60L * 1000000
+        && col("user_f") =!= col("user_s"))
+      .groupBy("type_f", "type_s").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(banded == naive, s"banded $banded != naive $naive")
+  }
+
+  test("drift report covers every dimension; parity halves show no real drift") {
+    val rows = graft.operators.KnnSearch.driftReport(spark, Sf).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (1L to 64L))
+    // a random parity split of one distribution: mean shift stays tiny
+    assert(rows.forall(_.getDouble(3) < 0.1), "parity halves drifted implausibly")
+  }
+
   test("event paths: session counts conserve against sessionize") {
     val totalSessions = EventOps.sessionize(spark, Sf).count()
     val paths = EventOps.eventPaths(spark, Sf, topK = 1000000).collect()
