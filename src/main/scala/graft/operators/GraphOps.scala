@@ -43,11 +43,14 @@ object GraphOps {
     */
   def pagerank(spark: SparkSession, dir: String, iters: Int = 2,
       topK: Int = 20): DataFrame = {
-    // do NOT persist ed: its subtree is plan-identical everywhere it
-    // appears, so Spark's ReusedExchange already computes the
-    // orders⋈lineitem+distinct shuffle once — a persist was measured
-    // here and LOST (adds a materialization barrier + cache writes:
-    // 6.5 s → 11 s at sf0.1)
+    // do NOT persist ed (or the deduped pair table inside edges()):
+    // the subtree is plan-identical everywhere it appears, so Spark's
+    // ReusedExchange already computes the orders⋈lineitem+distinct
+    // shuffle once per execution — both persist variants were measured
+    // here and LOST (string-edge persist: 6.5 s → 11 s; narrow
+    // (long,long)-pair persist: 4 s → 10 s warm at sf0.1 — the cache
+    // materialization barrier + InMemoryRelation scans cost more than
+    // re-reading the reused shuffle files)
     val ed = edges(spark, dir)
     val nodes = ed.select(col("src").as("node")).distinct()
     val nt = nodes.agg(count(lit(1)).as("n"))
