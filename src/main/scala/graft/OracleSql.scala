@@ -938,6 +938,46 @@ object OracleSql {
        |FROM r2 ORDER BY r_e9 DESC, node LIMIT 20""".stripMargin
   }
 
+  val vsKnnClassify: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+       |  CAST(label AS BIGINT) AS true_label FROM embeddings WHERE vec_id % 100 = 0),
+       |nn AS (SELECT query_id, true_label, vec_id, lbl FROM (
+       |  SELECT q.query_id, q.true_label, e.vec_id, CAST(e.label AS BIGINT) AS lbl,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${dot("e.embedding", "q.qv")} DESC, e.vec_id) AS rnk
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id) WHERE rnk <= 5),
+       |v AS (SELECT query_id, true_label, lbl, count(*) AS n_votes FROM nn GROUP BY 1, 2, 3),
+       |p AS (SELECT query_id, true_label, lbl AS pred_label, n_votes,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, lbl) AS rn FROM v)
+       |SELECT query_id, true_label, pred_label, n_votes FROM p WHERE rn = 1""".stripMargin
+
+  val qHistogram: String =
+    """SELECT o_orderstatus, CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bucket,
+      |  CAST(floor(o_totalprice / 30000.0) AS BIGINT) * 30000.0 AS lo_edge,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1, 2, 3""".stripMargin
+
+  val qMinhashEst: String = {
+    val agree = (0 until 16)
+      .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $bandCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT c.doc_a, c.doc_b,
+       |  ${r6("coalesce(i.n_inter, 0) / (1.0 * (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)))")} AS jaccard
+       |FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes za ON za.doc_id = c.doc_a
+       |JOIN sizes zb ON zb.doc_id = c.doc_b),
+       |est AS (SELECT j.doc_a, j.doc_b, ($agree) / 16.0 AS est_jaccard, j.jaccard
+       |  FROM jac j JOIN piv a ON a.doc_id = j.doc_a JOIN piv b ON b.doc_id = j.doc_b)
+       |SELECT doc_a, doc_b, ${r6("est_jaccard")} AS est_jaccard, jaccard,
+       |  ${r6("abs(est_jaccard - jaccard)")} AS abs_err
+       |FROM est""".stripMargin
+  }
+
   val qRangeJoin: String =
     s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
        |  epoch_us(ts) // 60000000 AS bk FROM events),
@@ -1181,5 +1221,8 @@ object OracleSql {
     "vs_multivec" -> vsMultivec,
     "q_range_join" -> qRangeJoin,
     "vs_drift" -> vsDrift,
+    "vs_knn_classify" -> vsKnnClassify,
+    "q_histogram" -> qHistogram,
+    "q_minhash_est" -> qMinhashEst,
   )
 }

@@ -97,6 +97,9 @@ object SparkEntry {
     "vs_multivec" -> ((s, d) => KnnSearch.multivecSearch(s, d)),
     "vs_drift" -> ((s, d) => KnnSearch.driftReport(s, d)),
     "q_range_join" -> ((s, d) => EventOps.rangeJoinPairs(s, d)),
+    "vs_knn_classify" -> ((s, d) => KnnSearch.knnClassify(s, d)),
+    "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
+    "q_minhash_est" -> ((s, d) => Dedup.minhashEstimate(s, d)),
     "q_pagerank" -> ((s, d) => GraphOps.pagerank(s, d)),
     // D+. corpus scoring / hygiene
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),

@@ -145,6 +145,32 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 
+  /** Sketch calibration: the MinHash-estimated Jaccard (fraction of
+    * the 16 permutations whose minima agree) against the exact
+    * 3-shingle Jaccard, per LSH candidate pair — the accuracy report
+    * that justifies trusting the sketch at scales where the exact
+    * measure is unaffordable. Signatures join the (tiny) candidate
+    * table; the exact side reuses the candidates-only verify.
+    */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir)
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until NumPerms).map(j => col(s"m$j").as(s"a$j")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until NumPerms).map(j => col(s"m$j").as(s"b$j")): _*)
+    val agree = (0 until NumPerms)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    ngramJaccard(spark, dir)
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_jaccard", agree / lit(16.0))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.VectorFunctions.r6(col("est_jaccard")).as("est_jaccard"),
+        col("jaccard"),
+        graft.functions.VectorFunctions
+          .r6(abs(col("est_jaccard") - col("jaccard"))).as("abs_err"))
+  }
+
   /** The actionable end of the MinHash pipeline: for every verified
     * near-dup pair (exact Jaccard ≥ threshold on LSH candidates), drop
     * the higher doc_id and keep the lower — grouped so each dropped doc

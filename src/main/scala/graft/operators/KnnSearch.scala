@@ -255,6 +255,37 @@ object KnnSearch {
         col("rerank_rank"))
   }
 
+  /** k-NN majority-vote classification: each held-out query vector is
+    * labeled by the modal label of its 5 nearest neighbors (itself
+    * excluded) — embeddings-as-features, the classic k-NN classifier
+    * as a relational pipeline. Same scan shape as [[knnJoin]]
+    * (broadcast queries, PartialTopK before the rank shuffle); the
+    * vote count and argmax run on k×|queries| rows.
+    */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qs = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").cast("long").as("true_label"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    val nn = Tables.fanOut(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("label").cast("long").as("lbl")))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", dot(col("embedding"), col("qvec")))
+      .select(col("query_id"), col("true_label"), col("vec_id"), col("lbl"), col("score"))
+    val top = graft.plans.PartialTopK(nn, "query_id", "score", "vec_id", k)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("lbl").asc)
+    top.groupBy(col("query_id"), col("true_label"), col("lbl"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("true_label"), col("lbl").as("pred_label"),
+        col("n_votes"))
+  }
+
   /** Embedding drift monitor: per-dimension mean shift between a
     * reference corpus half and a "current" half (vec_id parity as the
     * deterministic split) — the distribution check a production vector

@@ -323,6 +323,21 @@ object Relational {
     * Scale: the HLL sketch is a fixed-size buffer merged map-side — the
     * shuffle carries one sketch per group, not the value set.
     */
+  /** Equal-width histogram of order totals per order status — the
+    * binning primitive every profiling/EDA layer needs. The bucket key
+    * is a per-row projection, so the histogram is one partial-agg
+    * shuffle of (status, bucket, partial-count) rows regardless of
+    * data size.
+    */
+  def histogram(spark: SparkSession, dir: String, width: Double = 30000.0): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        floor(col("o_totalprice") / width).cast("long").as("bucket"))
+      .groupBy(col("o_orderstatus"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo_edge", col("bucket") * width)
+      .select("o_orderstatus", "bucket", "lo_edge", "n")
+
   /** Approximate quantiles (the mergeable percentile sketch — the
     * distributed answer when exact percentile's full sort-per-group is
     * too expensive) next to the exact values, with the observed error.

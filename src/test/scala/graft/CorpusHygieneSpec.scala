@@ -61,6 +61,32 @@ class CorpusHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("knn classify: one prediction per query, votes bounded by k") {
+    val rows = graft.operators.KnnSearch.knnClassify(spark, Sf).collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 5))
+    assert(rows.forall(r => (0L to 9L).contains(r.getLong(2))))
+  }
+
+  test("histogram partitions the orders exactly, with consistent edges") {
+    val rows = Relational.histogram(spark, Sf).collect()
+    val total = Tables.orders(spark, Sf).count()
+    assert(rows.map(_.getLong(3)).sum == total, "histogram counts must sum to row count")
+    assert(rows.forall(r => r.getDouble(2) == r.getLong(1) * 30000.0))
+  }
+
+  test("minhash estimate tracks the exact jaccard (sketch calibration)") {
+    val rows = graft.operators.Dedup.minhashEstimate(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // estimates are k/16 fractions
+    assert(rows.forall { r =>
+      val e = r.getDouble(2); e >= 0.0 && e <= 1.0 && (e * 16).round / 16.0 == e
+    })
+    // unbiased estimator with 16 perms: mean |err| stays moderate
+    val meanErr = rows.map(_.getDouble(4)).sum / rows.length
+    assert(meanErr < 0.35, s"sketch is uncalibrated: mean |err| $meanErr")
+  }
+
   test("banded range join finds exactly the naive cross-join's pairs") {
     import org.apache.spark.sql.functions._
     val banded = EventOps.rangeJoinPairs(spark, Sf).collect()
