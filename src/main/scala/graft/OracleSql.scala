@@ -938,6 +938,22 @@ object OracleSql {
        |FROM r2 ORDER BY r_e9 DESC, node LIMIT 20""".stripMargin
   }
 
+  val vsRocchio: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |t5 AS (SELECT e.vec_id, e.embedding FROM embeddings e CROSS JOIN q
+       |  ORDER BY ${dot("e.embedding", "q.qv")} DESC, e.vec_id LIMIT 5),
+       |pe AS (SELECT i AS pos, embedding[i]::DOUBLE AS v FROM t5
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims),
+       |mm AS (SELECT pos,
+       |  CAST(sum(CAST(floor(v * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+       |  count(*) AS n FROM pe GROUP BY 1),
+       |fb AS (SELECT list(s / (1000000000.0 * n) ORDER BY pos) AS fbv FROM mm),
+       |q2 AS (SELECT list_transform(generate_series(1, 64),
+       |  i -> qv[i]::DOUBLE + (0.5)::DOUBLE * fbv[i]) AS qv2 FROM q, fb),
+       |sc AS (SELECT e.vec_id, ${dot("e.embedding", "q2.qv2")} AS s2
+       |  FROM embeddings e CROSS JOIN q2)
+       |SELECT vec_id, ${r6("s2")} AS score FROM sc ORDER BY s2 DESC, vec_id LIMIT 10""".stripMargin
+
   val vsKnnClassify: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
        |  CAST(label AS BIGINT) AS true_label FROM embeddings WHERE vec_id % 100 = 0),
@@ -1224,5 +1240,6 @@ object OracleSql {
     "vs_knn_classify" -> vsKnnClassify,
     "q_histogram" -> qHistogram,
     "q_minhash_est" -> qMinhashEst,
+    "vs_rocchio" -> vsRocchio,
   )
 }

@@ -98,6 +98,7 @@ object SparkEntry {
     "vs_drift" -> ((s, d) => KnnSearch.driftReport(s, d)),
     "q_range_join" -> ((s, d) => EventOps.rangeJoinPairs(s, d)),
     "vs_knn_classify" -> ((s, d) => KnnSearch.knnClassify(s, d)),
+    "vs_rocchio" -> ((s, d) => KnnSearch.rocchioSearch(s, d)),
     "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
     "q_minhash_est" -> ((s, d) => Dedup.minhashEstimate(s, d)),
     "q_pagerank" -> ((s, d) => GraphOps.pagerank(s, d)),

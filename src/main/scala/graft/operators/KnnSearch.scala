@@ -255,6 +255,45 @@ object KnnSearch {
         col("rerank_rank"))
   }
 
+  /** Rocchio pseudo-relevance feedback: retrieve top-5, fold their
+    * per-dimension mean (β=0.5) back into the query vector, re-search
+    * with the expanded query — the classic recall-booster when the
+    * original query under-specifies. The feedback mean is built from
+    * per-row integerized sums (order-independent), so the expanded
+    * query — and therefore the final ranking — is bitwise
+    * reproducible. Two corpus scans total; the feedback set and the
+    * expanded query are broadcast rows.
+    */
+  def rocchioSearch(spark: SparkSession, dir: String, feedbackK: Int = 5,
+      k: Int = 10): DataFrame = {
+    val q0 = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val top = Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .crossJoin(broadcast(q0))
+      .withColumn("score", dot(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(feedbackK)
+      .select(col("vec_id"), col("embedding"))
+    val fb = top.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(sum(graft.functions.VectorFunctions.cents(col("v").cast("double"), 1e9)).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("s") / (lit(1e9) * col("n"))).as("m")))),
+        x => x.getField("m")).as("fbv"))
+    val q2 = q0.crossJoin(broadcast(fb))
+      .select(zip_with(col("qvec"), col("fbv"),
+        (a, b) => a.cast("double") + lit(0.5) * b).as("qv2"))
+    Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .crossJoin(broadcast(q2))
+      .withColumn("s2", dot(col("embedding"), col("qv2")))
+      .orderBy(col("s2").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), r6(col("s2")).as("score"))
+  }
+
   /** k-NN majority-vote classification: each held-out query vector is
     * labeled by the modal label of its 5 nearest neighbors (itself
     * excluded) — embeddings-as-features, the classic k-NN classifier

@@ -99,6 +99,15 @@ class SearchModesSpec extends AnyFunSuite {
     }
   }
 
+  test("rocchio expansion keeps the query's own neighborhood on top") {
+    val base = KnnSearch.topK(spark, Sf, k = 10).collect().map(_.getLong(0)).toSet
+    val exp = KnnSearch.rocchioSearch(spark, Sf).collect().map(_.getLong(0)).toSet
+    // β=0.5 feedback from the top-5 nudges, not replaces: the expanded
+    // ranking must still share most of the original top-10
+    assert((base & exp).size >= 6, s"rocchio drifted: ${(base & exp).size}/10 overlap")
+    assert(exp.contains(0L), "the query vector itself fell out of its own results")
+  }
+
   test("binary hamming is symmetric-bounded: 0 for the query itself") {
     // vec_id 0 IS the query: its hamming must be 0 and it must rank top-1 by score
     val rows = KnnSearch.binarySearch(spark, Sf).collect()
