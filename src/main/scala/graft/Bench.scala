@@ -47,12 +47,32 @@ object Bench {
       }
       name -> (if (runs.contains(-1.0)) -1.0 else runs.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // failures carry a -1 sentinel per query; never fold them into the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    def s3(v: Double) = f"$v%.3f"
+    // Full per-query detail goes to a file: the driver captures only the
+    // LAST 2000 chars of output and parses the JSON line from that tail,
+    // so with 80+ queries a full-precision map overflows the buffer and
+    // the whole round loses its bench numbers (BENCH_r03 "parsed": null).
+    val fullJson = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json"),
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","failed":$failed,"queries":$fullJson,"sf":"$sfDir"}""" + "\n")
+    catch { case _: Throwable => () }
+    // Printed line: slowest queries first, trimmed to fit the tail buffer
+    // (2000 chars minus sbt's "[success] ..." epilogue, with headroom).
+    val budget = 1650
+    val header = s"""{"metric":"total","value":${s3(total)},"unit":"sec","failed":$failed,"queries":{"""
+    val footer = s"""},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    val bySlowest = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + s3(v) }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = header.length + footer.length
+    bySlowest.foreach { e =>
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    println(header + kept.mkString(",") + footer)
     spark.stop()
   }
 }

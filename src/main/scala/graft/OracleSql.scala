@@ -796,7 +796,7 @@ object OracleSql {
     s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        |  coalesce(o_orderstatus, 'ALL') AS status,
        |  count(1) AS n,
-       |  sum(${cents("o_totalprice", "100.0")}) / 100.0 AS sum_price
+       |  CAST(sum(${cents("o_totalprice", "100.0")}) AS BIGINT) AS sum_price_cents
        |FROM orders
        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin
 

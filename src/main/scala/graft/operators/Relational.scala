@@ -182,7 +182,7 @@ object Relational {
       s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
          |  coalesce(o_orderstatus, 'ALL') AS status,
          |  count(1) AS n,
-         |  sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+         |  sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS sum_price_cents
          |FROM orders_gs
          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)
   }
