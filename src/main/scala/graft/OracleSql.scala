@@ -1160,6 +1160,91 @@ object OracleSql {
        |SELECT path, count(*) AS n_sessions FROM p
        |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin
 
+  /** Gopher-style repetition rules — mirrors TextAnalysis.gopherRules:
+    * nested list lambdas give the same top-2-gram mode, the keep
+    * thresholds compare the r6-rounded doubles on both sides.
+    */
+  val textGopher: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |g AS (SELECT doc_id, tk,
+       |  CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk) - 1),
+       |    i -> tk[i] || ' ' || tk[i + 1]) ELSE CAST([] AS VARCHAR[]) END AS g2,
+       |  CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk) - 2),
+       |    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) ELSE CAST([] AS VARCHAR[]) END AS g3
+       |FROM t),
+       |s AS (SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_toks,
+       |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+       |  CAST(len(g2) AS BIGINT) AS n_g2,
+       |  CAST(coalesce(list_max(list_transform(g2, x -> len(list_filter(g2, y -> y = x)))), 0) AS BIGINT) AS top2_cnt,
+       |  CAST(len(g3) AS BIGINT) AS n_g3,
+       |  CAST(len(list_distinct(g3)) AS BIGINT) AS n_g3_uniq,
+       |  CAST(list_reduce(list_transform(tk, w -> CAST(length(w) AS BIGINT)), (x, y) -> x + y) AS BIGINT) AS sum_wlen
+       |FROM g),
+       |r AS (SELECT doc_id, n_toks,
+       |  ${r6("n_uniq / (1.0 * n_toks)")} AS uniq_frac,
+       |  CASE WHEN n_g2 > 0 THEN ${r6("top2_cnt / (1.0 * n_g2)")} ELSE 0.0 END AS top2_frac,
+       |  CASE WHEN n_g3 > 0 THEN ${r6("(n_g3 - n_g3_uniq) / (1.0 * n_g3)")} ELSE 0.0 END AS dup3_frac,
+       |  ${r6("sum_wlen / (1.0 * n_toks)")} AS mean_wlen
+       |FROM s)
+       |SELECT doc_id, n_toks, uniq_frac, top2_frac, dup3_frac, mean_wlen,
+       |  CAST(top2_frac <= 0.08 AND uniq_frac >= 0.42 AND mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS BIGINT) AS keep
+       |FROM r""".stripMargin
+
+  /** Exact 8-token-window substring dedup — mirrors
+    * Dedup.substringDupes (distinct windows per doc, group cap 8).
+    */
+  val dedupSubstring: String = {
+    val win8 = (0 until 8).map(o => s"tk[i + $o]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |w AS (SELECT doc_id, unnest(list_distinct(
+       |  CASE WHEN len(tk) >= 8 THEN list_transform(generate_series(1, len(tk) - 7),
+       |    i -> $win8)
+       |  ELSE CAST([] AS VARCHAR[]) END)) AS win FROM t),
+       |wh AS (SELECT doc_id, md5(win) AS h FROM w),
+       |grp AS (SELECT h FROM (SELECT h, count(*) AS nd FROM wh GROUP BY 1) WHERE nd BETWEEN 2 AND 8)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_windows
+       |FROM wh a JOIN grp USING(h) JOIN wh b USING(h)
+       |WHERE a.doc_id < b.doc_id GROUP BY 1, 2""".stripMargin
+  }
+
+  /** A/B conversion readout — mirrors EventOps.abTest. */
+  val qEventsAb: String =
+    s"""WITH e AS (SELECT user_id, event_type, value FROM events),
+       |u AS (SELECT user_id,
+       |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN ${cents("value", "100.0")} ELSE 0 END) AS BIGINT) AS rev_cents
+       |FROM e GROUP BY 1)
+       |SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+       |  count(*) AS n_users,
+       |  CAST(sum(converted) AS BIGINT) AS n_converted,
+       |  ${r6("sum(converted) / (1.0 * count(*))")} AS conv_rate,
+       |  CAST(sum(rev_cents) AS BIGINT) AS rev_cents
+       |FROM u GROUP BY 1""".stripMargin
+
+  /** Markov transition matrix — mirrors EventOps.markovTransitions. */
+  val qEventsMarkov: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+       |l AS (SELECT event_type AS from_type,
+       |  lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type FROM e),
+       |c AS (SELECT from_type, to_type, count(*) AS n FROM l
+       |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       |  ${r6("n / (1.0 * (CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)))")} AS p
+       |FROM c""".stripMargin
+
+  /** IVF cluster label purity — mirrors IvfIndex.clusterPurity. */
+  val vsClusterPurity: String =
+    s"""WITH $ivfCtes,
+       |cl AS (SELECT a.cluster_id, CAST(e.label AS BIGINT) AS label, count(*) AS n
+       |  FROM asg a JOIN embeddings e USING(vec_id) GROUP BY 1, 2),
+       |rk AS (SELECT cluster_id, label, n,
+       |  CAST(sum(n) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_vecs,
+       |  row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, label) AS rn FROM cl)
+       |SELECT cluster_id, n_vecs, label AS top_label, CAST(n AS BIGINT) AS n_top,
+       |  ${r6("n / (1.0 * n_vecs)")} AS purity
+       |FROM rk WHERE rn = 1""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -1241,5 +1326,10 @@ object OracleSql {
     "q_histogram" -> qHistogram,
     "q_minhash_est" -> qMinhashEst,
     "vs_rocchio" -> vsRocchio,
+    "text_gopher" -> textGopher,
+    "dedup_substring" -> dedupSubstring,
+    "q_events_ab" -> qEventsAb,
+    "q_events_markov" -> qEventsMarkov,
+    "vs_cluster_purity" -> vsClusterPurity,
   )
 }

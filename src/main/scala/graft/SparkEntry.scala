@@ -111,6 +111,12 @@ object SparkEntry {
     "q_events_path" -> ((s, d) => EventOps.eventPaths(s, d)),
     // G. multimodal plumbing (no SQL oracle — rows-only check)
     "mm_binary" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
+
+    "text_gopher" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    "dedup_substring" -> ((s, d) => Dedup.substringDupes(s, d)),
+    "q_events_ab" -> ((s, d) => EventOps.abTest(s, d)),
+    "q_events_markov" -> ((s, d) => EventOps.markovTransitions(s, d)),
+    "vs_cluster_purity" -> ((s, d) => IvfIndex.clusterPurity(s, d)),
   )
 
   /** DuckDB mirrors (see OracleSql). `mm_binary` is intentionally

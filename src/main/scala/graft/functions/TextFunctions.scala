@@ -30,6 +30,18 @@ object TextFunctions {
     array_distinct(when(size(toks) >= k, mk).otherwise(array().cast("array<string>")))
   }
 
+  /** All k-word grams WITH multiplicity, in document order — the
+    * repetition-statistic unit (Gopher-style quality rules), where
+    * [[shingles]] is the distinct twin used for set-similarity dedup.
+    * Same <k-token guard (Spark's `sequence` descends when n < 1).
+    */
+  def gramsAll(toks: Column, k: Int): Column = {
+    val idx = sequence(lit(1), size(toks) - (k - 1))
+    val mk = transform(idx, i =>
+      concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*))
+    when(size(toks) >= k, mk).otherwise(array().cast("array<string>"))
+  }
+
   /** Count of tokens that belong to a fixed marker set (multiplicity
     * preserved) — DuckDB mirror: len(list_filter(toks, t -> t IN (...))).
     */

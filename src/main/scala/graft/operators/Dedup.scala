@@ -349,4 +349,36 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("cluster_id"), col("vec_a"), col("vec_b"), r6(col("cos")).as("cos_sim"))
   }
+
+  /** Exact substring dedup at token-window granularity (Lee et al.
+    * 2022 "Deduplicating Training Data Makes Language Models Better",
+    * §3.1 ExactSubstr, adapted to fixed 8-token windows): documents
+    * sharing any verbatim 8-token span are reported as
+    * (doc_a, doc_b, n_windows) with the count of distinct shared
+    * windows.
+    *
+    * Scale shape: the window table is a map-side explode (distinct
+    * windows per doc — the native one-pass shingler); ONE shuffle
+    * groups by window hash; pair generation happens inside each hash
+    * group via array combinatorics, and groups larger than `maxGroup`
+    * docs (boilerplate spans — the O(n²)-pair hazard) are dropped
+    * before any pair is materialized, exactly the frequent-band guard
+    * production LSH pipelines use. The corpus itself never self-joins.
+    */
+  def substringDupes(spark: SparkSession, dir: String, windowTokens: Int = 8,
+      maxGroup: Int = 8): DataFrame = {
+    val wins = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.shingles(tokens(col("text")), windowTokens))
+          .as("win"))
+      .select(col("doc_id"), md5(col("win")).as("h"))
+    wins.groupBy(col("h"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxGroup))
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_windows"))
+  }
 }

@@ -166,4 +166,51 @@ object EventOps {
         max(col("k")).as("max_k"))
       .withColumn("avg_k", r6(col("sum_k") / (lit(1.0) * col("n"))))
       .select("event_type", "n", "sum_k", "max_k", "avg_k")
+
+  /** A/B experiment readout: users are assigned a deterministic variant
+    * (user_id mod 2 — the hash-bucket assignment every experimentation
+    * platform uses), conversion is "user has a purchase event", and the
+    * per-variant row reports users, converters, conversion rate and
+    * purchase revenue.
+    *
+    * Scale: one shuffle on user_id for the per-user flags (partial-agg
+    * combines map-side), then a 2-row aggregate. Revenue is integerized
+    * per event before any sum (order-independent).
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = base(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"),
+        sum(when(col("event_type") === "purchase",
+          graft.functions.VectorFunctions.cents(col("value"), 100.0))
+          .otherwise(0L)).as("rev_cents"))
+    perUser
+      .groupBy(pmod(col("user_id"), lit(2)).cast("long").as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"),
+        sum(col("rev_cents")).as("rev_cents"))
+      .withColumn("conv_rate", r6(col("n_converted") / (lit(1.0) * col("n_users"))))
+      .select("variant", "n_users", "n_converted", "conv_rate", "rev_cents")
+  }
+
+  /** First-order Markov transition matrix over the event stream: counts
+    * and probabilities of consecutive (from_type → to_type) transitions
+    * per user (the next-event model behind session prediction).
+    *
+    * Scale: the same single user_id shuffle sessionize pays (lead under
+    * the user window); transition counting is a partial-agg shuffle of
+    * (from, to, partial-count) rows only; the probability normalization
+    * runs on the aggregated k² rows.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    base(spark, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", r6(col("n") /
+        (lit(1.0) * sum(col("n")).over(Window.partitionBy(col("from_type"))))))
+      .select("from_type", "to_type", "n", "p")
+  }
 }

@@ -102,6 +102,35 @@ object IvfIndex {
       .withColumn("avg_d2", r6(col("sum_d2e9") / (lit(1e9) * col("n"))))
       .select("cluster_id", "n", "avg_d2")
 
+  /** Index-quality readout: per-cluster label purity — cluster size,
+    * the modal `label` and its share. High purity means the coarse
+    * quantizer respects the label structure (clusters are semantically
+    * coherent); a production index build tracks this next to recall.
+    *
+    * Scale: the assignment is the zero-shuffle literal argmin in the
+    * embeddings scan; the (cluster, label) count is one partial-agg
+    * shuffle; the argmax/total run on the aggregated k×labels rows.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val best = nearest(col("embedding"), centroidLiteral(centroids(spark, dir)))
+    val counts = Tables.fanOut(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"), col("label")))
+      .select(col("label").cast("long").as("label"),
+        best.getField("cluster_id").as("cluster_id"))
+      .groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n").desc, col("label").asc)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    counts
+      .withColumn("n_vecs", sum(col("n")).over(wTot))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .withColumn("purity", r6(col("n") / (lit(1.0) * col("n_vecs"))))
+      .select(col("cluster_id"), col("n_vecs"), col("label").as("top_label"),
+        col("n").as("n_top"), col("purity"))
+  }
+
   /** One integerized Lloyd step: per-(cluster, dim) means computed from
     * per-row integerized sums (order-independent — the oracle's serial
     * sum and Spark's partial-agg tree agree bitwise), reassembled into

@@ -199,6 +199,54 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_toks"), col("avg_logprob"))
   }
 
+  /** Gopher-style repetition / quality rules (Rae et al. 2021 §A1.1,
+    * adapted to token n-grams — the corpus has no line structure):
+    * per document,
+    *  - `uniq_frac`: distinct tokens / tokens (low → repetitive),
+    *  - `top2_frac`: occurrences of the most frequent 2-gram / all
+    *    2-grams (the "top n-gram fraction" rule),
+    *  - `dup3_frac`: fraction of 3-gram instances that are repeats
+    *    (the "duplicate n-gram fraction" rule),
+    *  - `mean_wlen`: mean token length (bounds rule),
+    * and the composed `keep` decision.
+    *
+    * Scale shape: pure per-row array math in ONE scan — no explode, no
+    * join, no shuffle, trivially parallel at 100 TB. The top-2-gram
+    * mode is an O(G²) nested HOF per row, bounded by document gram
+    * count (G ≈ tokens), not corpus size.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.gramsAll
+    val toks = tokens(col("text"))
+    val g2 = gramsAll(toks, 2)
+    val g3 = gramsAll(toks, 3)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        size(g2).cast("long").as("n_g2"),
+        when(size(g2) > 0,
+          array_max(transform(g2, x => size(filter(g2, y => y === x)))))
+          .otherwise(lit(0)).cast("long").as("top2_cnt"),
+        size(g3).cast("long").as("n_g3"),
+        size(array_distinct(g3)).cast("long").as("n_g3_uniq"),
+        sumTokenLengths(toks).as("sum_wlen"))
+      .withColumn("uniq_frac", r6(col("n_uniq") / (lit(1.0) * col("n_toks"))))
+      .withColumn("top2_frac",
+        when(col("n_g2") > 0, r6(col("top2_cnt") / (lit(1.0) * col("n_g2"))))
+          .otherwise(lit(0.0)))
+      .withColumn("dup3_frac",
+        when(col("n_g3") > 0,
+          r6((col("n_g3") - col("n_g3_uniq")) / (lit(1.0) * col("n_g3"))))
+          .otherwise(lit(0.0)))
+      .withColumn("mean_wlen", r6(col("sum_wlen") / (lit(1.0) * col("n_toks"))))
+      .withColumn("keep",
+        (col("top2_frac") <= 0.08 && col("uniq_frac") >= 0.42
+          && col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0).cast("long"))
+      .select("doc_id", "n_toks", "uniq_frac", "top2_frac", "dup3_frac",
+        "mean_wlen", "keep")
+  }
+
   /** Email / phone / IPv4 patterns shared by the scrubber and its
     * oracle. Plain character-class regexes only — identical semantics
     * under Java regex (Spark) and RE2 (DuckDB); no lookaround, no \b.

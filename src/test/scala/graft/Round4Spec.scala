@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, EventOps, IvfIndex, TextAnalysis}
+
+/** Round-4 operators: Gopher repetition rules, exact substring dedup,
+  * A/B readout, Markov transitions, cluster purity.
+  */
+class Round4Spec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("gopher rules cover every doc and the keep flag matches its inputs") {
+    val g = TextAnalysis.gopherRules(spark, Sf).cache()
+    assert(g.count() === Tables.documents(spark, Sf).count())
+    // fractions are genuine fractions
+    assert(g.filter(col("uniq_frac") < 0 || col("uniq_frac") > 1).count() === 0)
+    assert(g.filter(col("top2_frac") < 0 || col("top2_frac") > 1).count() === 0)
+    assert(g.filter(col("dup3_frac") < 0 || col("dup3_frac") > 1).count() === 0)
+    // keep is exactly the composed threshold decision on the emitted columns
+    val bad = g.filter(col("keep") =!=
+      (col("top2_frac") <= 0.08 && col("uniq_frac") >= 0.42
+        && col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0).cast("long"))
+    assert(bad.count() === 0)
+    g.unpersist()
+  }
+
+  test("substring dupes: every reported pair shares that many 8-token windows") {
+    import graft.functions.TextFunctions.tokens
+    val pairs = Dedup.substringDupes(spark, Sf).collect()
+    assert(pairs.nonEmpty && pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    val winSets = Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.shingles(tokens(col("text")), 8).as("w"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    pairs.foreach { r =>
+      val shared = winSets(r.getLong(0)).intersect(winSets(r.getLong(1))).size
+      assert(shared === r.getLong(2),
+        s"pair (${r.getLong(0)},${r.getLong(1)}) claims ${r.getLong(2)} windows, has $shared")
+    }
+  }
+
+  test("ab test partitions all users and conserves purchase revenue") {
+    val ab = EventOps.abTest(spark, Sf).cache()
+    val ev = Tables.events(spark, Sf)
+    assert(ab.count() === 2)
+    assert(ab.agg(sum("n_users")).head().getLong(0) ===
+      ev.select(countDistinct(col("user_id"))).head().getLong(0))
+    val totalRev = ev.filter(col("event_type") === "purchase")
+      .agg(sum(graft.functions.VectorFunctions.cents(col("value"), 100.0)))
+      .head().getLong(0)
+    assert(ab.agg(sum("rev_cents")).head().getLong(0) === totalRev)
+    assert(ab.filter(col("n_converted") > col("n_users")).count() === 0)
+    ab.unpersist()
+  }
+
+  test("markov transition probabilities normalize per from_type") {
+    val m = EventOps.markovTransitions(spark, Sf).cache()
+    // each user with k events contributes k-1 transitions
+    val ev = Tables.events(spark, Sf)
+    val expected = ev.count() - ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(m.agg(sum("n")).head().getLong(0) === expected)
+    val sums = m.groupBy("from_type").agg(sum("p").as("sp"))
+      .filter(abs(col("sp") - 1.0) > 1e-4)
+    assert(sums.count() === 0)
+    m.unpersist()
+  }
+
+  test("cluster purity: modal share and totals are consistent") {
+    val p = IvfIndex.clusterPurity(spark, Sf).cache()
+    assert(p.agg(sum("n_vecs")).head().getLong(0) ===
+      Tables.embeddings(spark, Sf).count())
+    assert(p.filter(col("n_top") > col("n_vecs")).count() === 0)
+    assert(p.filter(col("purity") <= 0 || col("purity") > 1).count() === 0)
+    p.unpersist()
+  }
+}
