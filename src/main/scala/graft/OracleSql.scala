@@ -1245,6 +1245,64 @@ object OracleSql {
        |  ${r6("n / (1.0 * n_vecs)")} AS purity
        |FROM rk WHERE rn = 1""".stripMargin
 
+  /** Token-distribution entropy — mirrors TextAnalysis.entropyScore.
+    * Per-term contributions are integerized longs, so the fold order
+    * (DuckDB list_distinct vs Spark array_distinct) cannot matter.
+    */
+  val textEntropy: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |s AS (SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_toks,
+       |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+       |  CAST(coalesce(list_reduce(list_transform(list_distinct(tk),
+       |    t2 -> CAST(floor((-(len(list_filter(tk, y -> y = t2)) / (1.0 * len(tk)))
+       |      * ln(len(list_filter(tk, y -> y = t2)) / (1.0 * len(tk)))) * 1000000.0 + 0.5) AS BIGINT)),
+       |    (a, b) -> a + b), 0) AS BIGINT) AS ent_e6
+       |FROM t)
+       |SELECT doc_id, n_toks, n_uniq,
+       |  ${r6("ent_e6 / 1000000.0")} AS entropy,
+       |  CASE WHEN n_uniq > 1 THEN ${r6("ent_e6 / (1000000.0 * ln(n_uniq))")} ELSE 0.0 END AS norm_entropy
+       |FROM s""".stripMargin
+
+  /** Bigram LM scoring — mirrors TextAnalysis.bigramLm. */
+  val textBigramLm: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |b AS (SELECT doc_id, unnest(
+       |  CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk) - 1),
+       |    i -> tk[i] || ' ' || tk[i + 1]) ELSE CAST([] AS VARCHAR[]) END) AS bg FROM t),
+       |cb AS (SELECT bg, count(*) AS cbg FROM b GROUP BY 1),
+       |cp AS (SELECT split_part(bg, ' ', 1) AS pre, count(*) AS cpre FROM b GROUP BY 1),
+       |j AS (SELECT doc_id,
+       |  CAST(floor(ln(cbg / (1.0 * cpre)) * 1000000.0 + 0.5) AS BIGINT) AS lp_e6
+       |  FROM b JOIN cb USING(bg) JOIN cp ON split_part(b.bg, ' ', 1) = cp.pre),
+       |g AS (SELECT doc_id, CAST(sum(lp_e6) AS BIGINT) AS sum_lp_e6, count(*) AS n_bigrams
+       |  FROM j GROUP BY 1)
+       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |  ${r6("sum_lp_e6 / (1000000.0 * n_bigrams)")} AS avg_logprob
+       |FROM g ORDER BY avg_logprob, doc_id LIMIT 10""".stripMargin
+
+  /** Windowed funnel — mirrors EventOps.windowedFunnel (7-day steps). */
+  val qFunnelWindowed: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |v AS (SELECT user_id, min(us) AS view_us FROM e WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, min(us) AS click_us FROM e JOIN v USING(user_id)
+       |  WHERE event_type = 'click' AND us > view_us AND us <= view_us + 604800000000 GROUP BY 1),
+       |p AS (SELECT e.user_id, min(us) AS purchase_us FROM e JOIN c USING(user_id)
+       |  WHERE event_type = 'purchase' AND us > click_us AND us <= click_us + 604800000000 GROUP BY 1)
+       |SELECT (SELECT count(*) FROM v) AS n_view,
+       |  (SELECT count(*) FROM c) AS n_click,
+       |  (SELECT count(*) FROM p) AS n_purchase,
+       |  ${r6("(SELECT count(*) FROM c) / (1.0 * (SELECT count(*) FROM v))")} AS click_rate,
+       |  ${r6("(SELECT count(*) FROM p) / (1.0 * (SELECT count(*) FROM v))")} AS purchase_rate""".stripMargin
+
+  /** Skew-safe salted aggregation — the oracle is the PLAIN group-by
+    * (the salted two-stage plan must be exactly equivalent).
+    */
+  val qSkewAgg: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  CAST(sum(${cents("value", "100.0")}) AS BIGINT) AS sum_cents
+       |FROM events GROUP BY 1""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -1331,5 +1389,9 @@ object OracleSql {
     "q_events_ab" -> qEventsAb,
     "q_events_markov" -> qEventsMarkov,
     "vs_cluster_purity" -> vsClusterPurity,
+    "text_entropy" -> textEntropy,
+    "text_bigram_lm" -> textBigramLm,
+    "q_funnel_windowed" -> qFunnelWindowed,
+    "q_skew_agg" -> qSkewAgg,
   )
 }

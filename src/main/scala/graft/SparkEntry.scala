@@ -117,6 +117,10 @@ object SparkEntry {
     "q_events_ab" -> ((s, d) => EventOps.abTest(s, d)),
     "q_events_markov" -> ((s, d) => EventOps.markovTransitions(s, d)),
     "vs_cluster_purity" -> ((s, d) => IvfIndex.clusterPurity(s, d)),
+    "text_entropy" -> ((s, d) => TextAnalysis.entropyScore(s, d)),
+    "text_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
+    "q_funnel_windowed" -> ((s, d) => EventOps.windowedFunnel(s, d)),
+    "q_skew_agg" -> ((s, d) => EventOps.skewAgg(s, d)),
   )
 
   /** DuckDB mirrors (see OracleSql). `mm_binary` is intentionally

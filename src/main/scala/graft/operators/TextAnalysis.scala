@@ -247,6 +247,68 @@ object TextAnalysis {
         "mean_wlen", "keep")
   }
 
+  /** Token-distribution Shannon entropy per document (the low-entropy
+    * boilerplate detector): H = -Σ_t (c_t/n)·ln(c_t/n) over distinct
+    * tokens, with each term integerized (floor(x·1e6+0.5) as long)
+    * before the fold so the sum is order-independent — DuckDB's
+    * `list_distinct` order need not match Spark's. `norm_entropy`
+    * rescales by the maximum ln(n_uniq).
+    *
+    * Scale shape: pure per-row array math in one scan — zero shuffle.
+    * The per-term count is an O(T²) nested HOF bounded by document
+    * length, not corpus size.
+    */
+  def entropyScore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val termE6 = transform(array_distinct(toks), t => {
+      val p = size(filter(toks, y => y === t)) / (lit(1.0) * n)
+      cents(-p * log(p), 1e6)
+    })
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        n.cast("long").as("n_toks"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        aggregate(termE6, lit(0L), (a, x) => a + x).as("ent_e6"))
+      .withColumn("entropy", r6(col("ent_e6") / lit(1e6)))
+      .withColumn("norm_entropy",
+        when(col("n_uniq") > 1, r6(col("ent_e6") / (lit(1e6) * log(col("n_uniq")))))
+          .otherwise(lit(0.0)))
+      .select("doc_id", "n_toks", "n_uniq", "entropy", "norm_entropy")
+  }
+
+  /** Bigram language-model scoring (the conditional upgrade of
+    * [[lmScore]]'s unigram filter): each document's mean
+    * ln P(w_i | w_{i-1}) under corpus bigram statistics
+    * (P = count(w_{i-1} w_i) / count(w_{i-1} ·)), worst documents
+    * surfaced. Per-bigram contributions are integerized before the
+    * per-doc sum.
+    *
+    * Scale shape: the bigram explode is map-side; corpus counts are two
+    * partial-agg shuffles; doc scoring joins the exploded bigrams
+    * against the (much smaller) count tables on their natural keys.
+    */
+  def bigramLm(spark: SparkSession, dir: String, worstK: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions.gramsAll
+    import graft.functions.VectorFunctions.cents
+    val bg = graft.Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(gramsAll(tokens(col("text")), 2)).as("bg"))
+    val cbg = bg.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val cpre = bg.groupBy(substring_index(col("bg"), " ", 1).as("pre"))
+      .agg(count(lit(1)).as("cpre"))
+    bg.join(cbg, "bg")
+      .withColumn("pre", substring_index(col("bg"), " ", 1))
+      .join(cpre, "pre")
+      .withColumn("lp_e6", cents(log(col("cbg") / (lit(1.0) * col("cpre"))), 1e6))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp_e6")).as("sum_lp_e6"), count(lit(1)).as("n_bigrams"))
+      .withColumn("avg_logprob", r6(col("sum_lp_e6") / (lit(1e6) * col("n_bigrams"))))
+      .orderBy(col("avg_logprob").asc, col("doc_id").asc)
+      .limit(worstK)
+      .select("doc_id", "n_bigrams", "avg_logprob")
+  }
+
   /** Email / phone / IPv4 patterns shared by the scrubber and its
     * oracle. Plain character-class regexes only — identical semantics
     * under Java regex (Spark) and RE2 (DuckDB); no lookaround, no \b.

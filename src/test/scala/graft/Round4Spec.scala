@@ -67,6 +67,45 @@ class Round4Spec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("entropy is bounded by ln(n_uniq) and zero for constant docs") {
+    val e = TextAnalysis.entropyScore(spark, Sf).cache()
+    assert(e.count() === Tables.documents(spark, Sf).count())
+    assert(e.filter(col("entropy") < 0).count() === 0)
+    // H <= ln(distinct types), modulo the 1e-6 integerization
+    assert(e.filter(col("entropy") > log(col("n_uniq")) + 1e-3).count() === 0)
+    assert(e.filter(col("n_uniq") === 1 && col("entropy") =!= 0.0).count() === 0)
+    assert(e.filter(col("norm_entropy") < 0 || col("norm_entropy") > 1.001).count() === 0)
+    e.unpersist()
+  }
+
+  test("bigram LM: log-probs are non-positive and rows ordered worst-first") {
+    val b = TextAnalysis.bigramLm(spark, Sf).collect()
+    assert(b.length === 10)
+    assert(b.forall(_.getDouble(2) <= 0.0))
+    assert(b.map(_.getDouble(2)).toSeq === b.map(_.getDouble(2)).sorted.toSeq)
+  }
+
+  test("windowed funnel stages shrink and are bounded by the unbounded funnel") {
+    val f = EventOps.windowedFunnel(spark, Sf).head()
+    val (nv, nc, np) = (f.getLong(0), f.getLong(1), f.getLong(2))
+    assert(nv >= nc && nc >= np)
+    val unbounded = EventOps.funnel(spark, Sf)
+    assert(nv === unbounded.filter(col("view_us").isNotNull).count())
+    assert(nc <= unbounded.filter(col("click_us").isNotNull).count())
+  }
+
+  test("salted aggregation is exactly the plain groupBy") {
+    val salted = EventOps.skewAgg(spark, Sf)
+      .orderBy("event_type").collect().toSeq
+    val plain = Tables.events(spark, Sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.VectorFunctions.cents(col("value"), 100.0)).as("sum_cents"))
+      .orderBy("event_type").collect().toSeq
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ===
+      plain.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+  }
+
   test("cluster purity: modal share and totals are consistent") {
     val p = IvfIndex.clusterPurity(spark, Sf).cache()
     assert(p.agg(sum("n_vecs")).head().getLong(0) ===
