@@ -1303,6 +1303,45 @@ object OracleSql {
        |  CAST(sum(${cents("value", "100.0")}) AS BIGINT) AS sum_cents
        |FROM events GROUP BY 1""".stripMargin
 
+  /** RFM segmentation — mirrors EventOps.rfmSegments (integerized
+    * quintile-threshold compares; quantile_cont ≡ Spark percentile).
+    */
+  val qRfm: String = {
+    def thr(c: String, q: String) = cents(s"quantile_cont($c, $q)", "1000000.0")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, value FROM events),
+       |pu AS (SELECT user_id, max(us) AS last_us, count(*) AS freq,
+       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN ${cents("value", "100.0")} ELSE 0 END) AS BIGINT) AS mon_cents
+       |FROM e GROUP BY 1),
+       |mx AS (SELECT max(us) AS max_us FROM e),
+       |u AS (SELECT user_id, (max_us - last_us) // 86400000000 AS rec_days, freq, mon_cents FROM pu, mx),
+       |th AS (SELECT
+       |  ${thr("rec_days", "0.2")} AS r1, ${thr("rec_days", "0.4")} AS r2,
+       |  ${thr("rec_days", "0.6")} AS r3, ${thr("rec_days", "0.8")} AS r4,
+       |  ${thr("freq", "0.2")} AS f1, ${thr("freq", "0.4")} AS f2,
+       |  ${thr("freq", "0.6")} AS f3, ${thr("freq", "0.8")} AS f4,
+       |  ${thr("mon_cents", "0.2")} AS m1, ${thr("mon_cents", "0.4")} AS m2,
+       |  ${thr("mon_cents", "0.6")} AS m3, ${thr("mon_cents", "0.8")} AS m4
+       |FROM u),
+       |sc AS (SELECT
+       |  5 - (CAST(rec_days * 1000000 > r1 AS INT) + CAST(rec_days * 1000000 > r2 AS INT)
+       |     + CAST(rec_days * 1000000 > r3 AS INT) + CAST(rec_days * 1000000 > r4 AS INT)) AS r_score,
+       |  1 + (CAST(freq * 1000000 > f1 AS INT) + CAST(freq * 1000000 > f2 AS INT)
+       |     + CAST(freq * 1000000 > f3 AS INT) + CAST(freq * 1000000 > f4 AS INT)) AS f_score,
+       |  1 + (CAST(mon_cents * 1000000 > m1 AS INT) + CAST(mon_cents * 1000000 > m2 AS INT)
+       |     + CAST(mon_cents * 1000000 > m3 AS INT) + CAST(mon_cents * 1000000 > m4 AS INT)) AS m_score,
+       |  mon_cents FROM u, th)
+       |SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+       |  CAST(m_score AS BIGINT) AS m_score, count(*) AS n_users,
+       |  CAST(sum(mon_cents) AS BIGINT) AS mon_cents
+       |FROM sc GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  /** Embedding OOD scores — mirrors IvfIndex.oodScores. */
+  val vsOodScore: String =
+    s"""WITH $ivfCtes
+       |SELECT vec_id, cluster_id, ${r6("d2")} AS ood_score
+       |FROM asg ORDER BY d2 DESC, vec_id LIMIT 15""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -1393,5 +1432,7 @@ object OracleSql {
     "text_bigram_lm" -> textBigramLm,
     "q_funnel_windowed" -> qFunnelWindowed,
     "q_skew_agg" -> qSkewAgg,
+    "q_rfm" -> qRfm,
+    "vs_ood_score" -> vsOodScore,
   )
 }

@@ -121,6 +121,9 @@ object SparkEntry {
     "text_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "q_funnel_windowed" -> ((s, d) => EventOps.windowedFunnel(s, d)),
     "q_skew_agg" -> ((s, d) => EventOps.skewAgg(s, d)),
+    "q_rfm" -> ((s, d) => EventOps.rfmSegments(s, d)),
+    "vs_ood_score" -> ((s, d) => IvfIndex.oodScores(s, d)),
+    "text_heavy_sketch" -> ((s, d) => TextAnalysis.heavySketch(s, d)), // no oracle: sketch
   )
 
   /** DuckDB mirrors (see OracleSql). `mm_binary` is intentionally

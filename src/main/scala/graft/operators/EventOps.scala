@@ -234,6 +234,45 @@ object EventOps {
       col("event_type"), col("v_cents"), spreadCols = Seq(col("event_id")))
       .select(col("key").as("event_type"), col("n"), col("sum_cents"))
 
+  /** RFM segmentation: per-user Recency (days since last activity),
+    * Frequency (events) and Monetary (purchase revenue), each scored
+    * into quintiles against corpus-wide percentile thresholds, reported
+    * as the (r, f, m) segment grid with user counts and revenue.
+    *
+    * Scale: per-user stats are one partial-agg shuffle; the 12
+    * thresholds are a single 1-row aggregate broadcast back; scoring is
+    * map-side. No global sort, no ntile — the rank-free formulation is
+    * what survives 10⁹ users. Threshold compares are integerized
+    * (×1e6, floor+0.5) so a last-ulp percentile difference between
+    * engines cannot flip a bucket: quintile fractions of integer
+    * inputs are multiples of 0.2, landing mid-gap after the +0.5.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val e = base(spark, dir)
+    val perUser = e.groupBy(col("user_id"))
+      .agg(max(col("us")).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(when(col("event_type") === "purchase", cents(col("value"), 100.0))
+          .otherwise(0L)).as("mon_cents"))
+    val u = perUser.crossJoin(broadcast(e.agg(max(col("us")).as("max_us"))))
+      .withColumn("rec_days", expr("(max_us - last_us) div 86400000000"))
+    val th = u.agg(
+      expr("percentile(rec_days, array(0.2, 0.4, 0.6, 0.8))").as("rp"),
+      expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fp"),
+      expr("percentile(mon_cents, array(0.2, 0.4, 0.6, 0.8))").as("mp"))
+    def above(v: org.apache.spark.sql.Column, thArr: String): org.apache.spark.sql.Column =
+      (0 until 4).map(i =>
+        (v * 1000000L > cents(element_at(col(thArr), i + 1), 1e6)).cast("long"))
+        .reduce(_ + _)
+    u.crossJoin(broadcast(th))
+      .withColumn("r_score", lit(5L) - above(col("rec_days"), "rp"))
+      .withColumn("f_score", lit(1L) + above(col("freq"), "fp"))
+      .withColumn("m_score", lit(1L) + above(col("mon_cents"), "mp"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"), sum(col("mon_cents")).as("mon_cents"))
+  }
+
   /** First-order Markov transition matrix over the event stream: counts
     * and probabilities of consecutive (from_type → to_type) transitions
     * per user (the next-event model behind session prediction).

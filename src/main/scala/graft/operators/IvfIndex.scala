@@ -131,6 +131,18 @@ object IvfIndex {
         col("n").as("n_top"), col("purity"))
   }
 
+  /** Embedding outlier scoring for data curation: the vectors farthest
+    * from ANY centroid (their assignment distance d² is the
+    * out-of-distribution score — large means no cluster explains them;
+    * the quantizer's "garbage" detector). Zero-shuffle assignment in
+    * the scan + a bounded TakeOrdered for the global top-k.
+    */
+  def oodScores(spark: SparkSession, dir: String, k: Int = 15): DataFrame =
+    assign(spark, dir)
+      .orderBy(col("d2").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("cluster_id"), r6(col("d2")).as("ood_score"))
+
   /** One integerized Lloyd step: per-(cluster, dim) means computed from
     * per-row integerized sums (order-independent — the oracle's serial
     * sum and Spark's partial-agg tree agree bitwise), reassembled into

@@ -143,6 +143,24 @@ object TextAnalysis {
       .withColumn("n_same",
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))).cast("long"))
 
+  /** Approximate heavy hitters per language via the Misra–Gries sketch
+    * (O(k) state per group vs the exact query's full-vocabulary
+    * groupBy): top-5 surviving tokens by estimated count. A sketch —
+    * no SQL oracle; HeavyHitterSketchSpec bounds the error against the
+    * exact counts and asserts the guarantee set survives.
+    */
+  def heavySketch(spark: SparkSession, dir: String, counters: Int = 64,
+      topN: Int = 5): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(counters))
+    graft.Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"))
+      .agg(mg(col("token")).as("sk"))
+      .select(col("lang"), posexplode(slice(col("sk"), 1, topN)).as(Seq("pos", "e")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+        col("e._1").as("token"), col("e._2").as("est_count"))
+  }
+
   /** Per-document keyword extraction: top-3 tokens by TF-IDF
     * (idf = ln(n_docs/df) over the whole corpus), reported for a fixed
     * doc subset. Scale shape: term frequencies and document frequencies

@@ -118,4 +118,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("gopher rules and entropy are single-scan map-side projections") {
+    val g = graft.operators.TextAnalysis.gopherRules(spark, Sf)
+    g.collect()
+    assertNoKeyShuffle(g.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0))
+    val e = graft.operators.TextAnalysis.entropyScore(spark, Sf)
+    e.collect()
+    assertNoKeyShuffle(e.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0))
+  }
+
+  test("substring dedup never self-joins the corpus (no nested-loop, no cartesian)") {
+    val p = planOf("dedup_substring")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("salted agg is exactly two partial-agg exchanges (salt stage + merge stage)") {
+    val df = graft.operators.EventOps.skewAgg(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 2, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
 }

@@ -106,6 +106,53 @@ class Round4Spec extends AnyFunSuite {
       plain.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
   }
 
+  test("rfm segments cover every user and scores stay in 1..5") {
+    val r = EventOps.rfmSegments(spark, Sf).cache()
+    val nUsers = Tables.events(spark, Sf)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(r.agg(sum("n_users")).head().getLong(0) === nUsers)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      assert(r.filter(col(c) < 1 || col(c) > 5).count() === 0, c)
+    }
+    r.unpersist()
+  }
+
+  test("ood scores are the k largest assignment distances, descending") {
+    val o = IvfIndex.oodScores(spark, Sf).collect()
+    assert(o.length === 15)
+    val scores = o.map(_.getDouble(2)).toSeq
+    assert(scores === scores.sorted.reverse)
+    // the reported minimum really is >= every unreported distance
+    val floor = scores.min
+    val below = IvfIndex.assign(spark, Sf)
+      .filter(graft.functions.VectorFunctions.r6(col("d2")) > floor).count()
+    assert(below <= 15)
+  }
+
+  test("misra-gries sketch keeps every guaranteed heavy hitter with bounded error") {
+    val k = 64
+    val exact = Tables.documents(spark, Sf)
+      .select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = exact.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val sketch = TextAnalysis.heavySketch(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(2)) -> r.getLong(3)).toMap
+    // every item with freq > N/(k+1) must be present at rank <= 5 if in top-5;
+    // check the global top token per lang (far above the threshold)
+    totals.foreach { case (lang, n) =>
+      val top = exact.filter(_._1._1 == lang).maxBy(m => (m._2, m._1._2))
+      assert(top._2 > n / (k + 1), s"test premise: top token heavy in $lang")
+      assert(sketch.contains((lang, top._1._2)), s"top token of $lang missing")
+    }
+    // estimates never exceed truth and are within N/(k+1) below it
+    sketch.foreach { case ((lang, tok), est) =>
+      val truth = exact((lang, tok))
+      assert(est <= truth, s"$lang/$tok overestimated")
+      assert(truth - est <= totals(lang) / (k + 1), s"$lang/$tok outside MG bound")
+    }
+  }
+
   test("cluster purity: modal share and totals are consistent") {
     val p = IvfIndex.clusterPurity(spark, Sf).cache()
     assert(p.agg(sum("n_vecs")).head().getLong(0) ===
