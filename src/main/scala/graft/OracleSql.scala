@@ -1342,6 +1342,50 @@ object OracleSql {
        |SELECT vec_id, cluster_id, ${r6("d2")} AS ood_score
        |FROM asg ORDER BY d2 DESC, vec_id LIMIT 15""".stripMargin
 
+  /** IVF rebalance plan — mirrors IvfIndex.rebalancePlan (integer
+    * cross-multiplication compares, no division).
+    */
+  val vsIndexRebalance: String =
+    s"""WITH $ivfCtes,
+       |sz AS (SELECT cluster_id, count(*) AS n FROM asg GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS k FROM sz)
+       |SELECT cluster_id, n,
+       |  CASE WHEN n * k > total * 2 THEN 'split'
+       |       WHEN n * k * 2 < total THEN 'merge'
+       |       ELSE 'keep' END AS action
+       |FROM sz, tot""".stripMargin
+
+  /** One-row dataset card — mirrors TrainingMix.datasetCard: the
+    * documents-scan statistics (tokens, integerized quality sigmoid,
+    * gopher keep) aggregated once, plus the MinHash candidate-pair
+    * count from the banded chain (`cand` comes from bandCtes).
+    */
+  val qDatasetCard: String =
+    s"""WITH $bandCtes,
+       |ct AS (SELECT doc_id, text, lang, $toks AS tk FROM documents),
+       |cg AS (SELECT doc_id, lang, text, tk,
+       |  CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk) - 1),
+       |    i -> tk[i] || ' ' || tk[i + 1]) ELSE CAST([] AS VARCHAR[]) END AS g2
+       |FROM ct),
+       |cq AS (SELECT doc_id, lang,
+       |  CAST(len(tk) AS BIGINT) AS n_tok,
+       |  CAST(floor(${r6(s"1.0 / (1.0 + exp(-(0.02 * len(tk) + 4.0 * (len(list_filter(tk, w -> w IN ($stopList))) / (1.0 * len(tk))) - 8.0 * ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / (1.0 * greatest(length(text), 1))) - 1.0)))")} * 1000000.0 + 0.5) AS BIGINT) AS q6,
+       |  CASE WHEN
+       |    (CASE WHEN len(g2) > 0 THEN ${r6("coalesce(list_max(list_transform(g2, x -> len(list_filter(g2, y -> y = x)))), 0) / (1.0 * len(g2))")} ELSE 0.0 END) <= 0.08
+       |    AND ${r6("len(list_distinct(tk)) / (1.0 * len(tk))")} >= 0.42
+       |    AND ${r6("list_reduce(list_transform(tk, w -> CAST(length(w) AS BIGINT)), (x, y) -> x + y) / (1.0 * len(tk))")} BETWEEN 3.0 AND 10.0
+       |  THEN 1 ELSE 0 END AS keep
+       |FROM cg),
+       |agg AS (SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |  CAST(sum(q6) AS BIGINT) AS sum_q6,
+       |  CAST(sum(keep) AS BIGINT) AS n_keep FROM cq)
+       |SELECT n_docs, n_langs, total_tokens,
+       |  ${r6("sum_q6 / (1000000.0 * n_docs)")} AS mean_quality,
+       |  ${r6("n_keep / (1.0 * n_docs)")} AS pct_keep,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS dup_pairs
+       |FROM agg""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -1434,5 +1478,7 @@ object OracleSql {
     "q_skew_agg" -> qSkewAgg,
     "q_rfm" -> qRfm,
     "vs_ood_score" -> vsOodScore,
+    "vs_index_rebalance" -> vsIndexRebalance,
+    "q_dataset_card" -> qDatasetCard,
   )
 }

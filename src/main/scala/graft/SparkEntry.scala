@@ -124,6 +124,8 @@ object SparkEntry {
     "q_rfm" -> ((s, d) => EventOps.rfmSegments(s, d)),
     "vs_ood_score" -> ((s, d) => IvfIndex.oodScores(s, d)),
     "text_heavy_sketch" -> ((s, d) => TextAnalysis.heavySketch(s, d)), // no oracle: sketch
+    "vs_index_rebalance" -> ((s, d) => IvfIndex.rebalancePlan(s, d)),
+    "q_dataset_card" -> ((s, d) => TrainingMix.datasetCard(s, d)),
   )
 
   /** DuckDB mirrors (see OracleSql). `mm_binary` is intentionally

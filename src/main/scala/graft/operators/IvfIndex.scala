@@ -143,6 +143,23 @@ object IvfIndex {
       .limit(k)
       .select(col("vec_id"), col("cluster_id"), r6(col("d2")).as("ood_score"))
 
+  /** Index-maintenance planning: per-cluster rebalance actions. A
+    * cluster more than 2× the mean size is a scan hot-spot ("split");
+    * one under half the mean wastes a probe ("merge"); the comparisons
+    * are pure integer cross-multiplications (n·k vs 2·total), so the
+    * plan is engine-exact with no division anywhere.
+    */
+  def rebalancePlan(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = assign(spark, dir).groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+    val tot = sizes.agg(sum(col("n")).as("total"), count(lit(1)).as("k"))
+    sizes.crossJoin(broadcast(tot))
+      .withColumn("action",
+        when(col("n") * col("k") > col("total") * 2, lit("split"))
+          .when(col("n") * col("k") * 2 < col("total"), lit("merge"))
+          .otherwise(lit("keep")))
+      .select(col("cluster_id"), col("n"), col("action"))
+  }
+
   /** One integerized Lloyd step: per-(cluster, dim) means computed from
     * per-row integerized sums (order-independent — the oracle's serial
     * sum and Spark's partial-agg tree agree bitwise), reassembled into

@@ -233,37 +233,39 @@ object TextAnalysis {
     * mode is an O(G²) nested HOF per row, bounded by document gram
     * count (G ≈ tokens), not corpus size.
     */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-row gopher statistics as one struct column
+    * (n_toks, uniq_frac, top2_frac, dup3_frac, mean_wlen, keep) — the
+    * single source of truth shared by [[gopherRules]] and the dataset
+    * card, so the keep decision cannot drift between consumers.
+    */
+  def gopherStats(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import graft.functions.TextFunctions.gramsAll
-    val toks = tokens(col("text"))
+    val toks = tokens(text)
     val g2 = gramsAll(toks, 2)
     val g3 = gramsAll(toks, 3)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(toks).cast("long").as("n_toks"),
-        size(array_distinct(toks)).cast("long").as("n_uniq"),
-        size(g2).cast("long").as("n_g2"),
-        when(size(g2) > 0,
-          array_max(transform(g2, x => size(filter(g2, y => y === x)))))
-          .otherwise(lit(0)).cast("long").as("top2_cnt"),
-        size(g3).cast("long").as("n_g3"),
-        size(array_distinct(g3)).cast("long").as("n_g3_uniq"),
-        sumTokenLengths(toks).as("sum_wlen"))
-      .withColumn("uniq_frac", r6(col("n_uniq") / (lit(1.0) * col("n_toks"))))
-      .withColumn("top2_frac",
-        when(col("n_g2") > 0, r6(col("top2_cnt") / (lit(1.0) * col("n_g2"))))
-          .otherwise(lit(0.0)))
-      .withColumn("dup3_frac",
-        when(col("n_g3") > 0,
-          r6((col("n_g3") - col("n_g3_uniq")) / (lit(1.0) * col("n_g3"))))
-          .otherwise(lit(0.0)))
-      .withColumn("mean_wlen", r6(col("sum_wlen") / (lit(1.0) * col("n_toks"))))
-      .withColumn("keep",
-        (col("top2_frac") <= 0.08 && col("uniq_frac") >= 0.42
-          && col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0).cast("long"))
-      .select("doc_id", "n_toks", "uniq_frac", "top2_frac", "dup3_frac",
-        "mean_wlen", "keep")
+    val nToks = size(toks).cast("long")
+    val nG2 = size(g2).cast("long")
+    val nG3 = size(g3).cast("long")
+    val top2Cnt = when(size(g2) > 0,
+      array_max(transform(g2, x => size(filter(g2, y => y === x)))))
+      .otherwise(lit(0)).cast("long")
+    val uniqFrac = r6(size(array_distinct(toks)).cast("long") / (lit(1.0) * nToks))
+    val top2Frac = when(nG2 > 0, r6(top2Cnt / (lit(1.0) * nG2))).otherwise(lit(0.0))
+    val dup3Frac = when(nG3 > 0,
+      r6((nG3 - size(array_distinct(g3)).cast("long")) / (lit(1.0) * nG3)))
+      .otherwise(lit(0.0))
+    val meanWlen = r6(sumTokenLengths(toks) / (lit(1.0) * nToks))
+    val keep = (top2Frac <= 0.08 && uniqFrac >= 0.42
+      && meanWlen >= 3.0 && meanWlen <= 10.0).cast("long")
+    struct(nToks.as("n_toks"), uniqFrac.as("uniq_frac"), top2Frac.as("top2_frac"),
+      dup3Frac.as("dup3_frac"), meanWlen.as("mean_wlen"), keep.as("keep"))
   }
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), gopherStats(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_toks"), col("g.uniq_frac"), col("g.top2_frac"),
+        col("g.dup3_frac"), col("g.mean_wlen"), col("g.keep"))
 
   /** Token-distribution Shannon entropy per document (the low-entropy
     * boilerplate detector): H = -Σ_t (c_t/n)·ln(c_t/n) over distinct

@@ -100,4 +100,35 @@ object TrainingMix {
         graft.functions.VectorFunctions.r6(col("n_kept") / (lit(1.0) * col("n_total"))))
       .select("source", "weight", "n_total", "n_kept", "ratio")
   }
+
+  /** One-row "dataset card": the corpus summary a training run records
+    * next to its shards — size, language spread, token volume, mean
+    * quality, Gopher keep rate, and the near-duplicate pair count.
+    *
+    * Scale shape: every per-document statistic (tokens, quality
+    * sigmoid, gopher keep) is computed in ONE shared documents scan and
+    * collapsed by a single partial-agg; only the duplicate-pair count
+    * pays the (separate, banded) MinHash chain, merged in as a
+    * broadcast 1-row join. Per-doc quality is integerized (×1e6) before
+    * the corpus sum so the mean is order-independent.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{cents, r6}
+    val scan = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        cents(TextAnalysis.qualityScore(col("text")), 1e6).as("q6"),
+        TextAnalysis.gopherStats(col("text")).getField("keep").as("keep"))
+    val docAgg = scan.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_tok")).as("total_tokens"),
+      sum(col("q6")).as("sum_q6"),
+      sum(col("keep")).as("n_keep"))
+    val dups = Dedup.minhashLsh(spark, dir).agg(count(lit(1)).as("dup_pairs"))
+    docAgg.crossJoin(broadcast(dups))
+      .withColumn("mean_quality", r6(col("sum_q6") / (lit(1e6) * col("n_docs"))))
+      .withColumn("pct_keep", r6(col("n_keep") / (lit(1.0) * col("n_docs"))))
+      .select("n_docs", "n_langs", "total_tokens", "mean_quality", "pct_keep", "dup_pairs")
+  }
 }

@@ -153,6 +153,31 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("rebalance plan: actions match the integer thresholds and cover all clusters") {
+    val plan = IvfIndex.rebalancePlan(spark, Sf).collect()
+    val total = plan.map(_.getLong(1)).sum
+    val k = plan.length.toLong
+    assert(total === Tables.embeddings(spark, Sf).count())
+    plan.foreach { r =>
+      val (n, action) = (r.getLong(1), r.getString(2))
+      val expected =
+        if (n * k > total * 2) "split" else if (n * k * 2 < total) "merge" else "keep"
+      assert(action === expected, s"cluster ${r.getLong(0)}")
+    }
+  }
+
+  test("dataset card aggregates match their standalone operator twins") {
+    val card = graft.operators.TrainingMix.datasetCard(spark, Sf).head()
+    val docs = Tables.documents(spark, Sf)
+    assert(card.getLong(0) === docs.count())
+    assert(card.getLong(1) === docs.select(countDistinct(col("lang"))).head().getLong(0))
+    val keepRate = TextAnalysis.gopherRules(spark, Sf)
+      .agg(sum("keep"), count(lit(1))).head()
+    assert(card.getDouble(4) ===
+      math.floor(keepRate.getLong(0).toDouble / keepRate.getLong(1) * 1e6 + 0.5) / 1e6)
+    assert(card.getLong(5) === Dedup.minhashLsh(spark, Sf).count())
+  }
+
   test("cluster purity: modal share and totals are consistent") {
     val p = IvfIndex.clusterPurity(spark, Sf).cache()
     assert(p.agg(sum("n_vecs")).head().getLong(0) ===

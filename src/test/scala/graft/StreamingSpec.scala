@@ -251,6 +251,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming misra-gries sketch keeps the guaranteed heavy hitters") {
+    val k = 64
+    val dir = tmp()
+    val toks = Tables.documents(spark, Sf)
+      .select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    toks.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(toks.schema).parquet(dir)
+    val q = graft.streaming.SketchStream.heavyHitters(stream, k = k)
+      .writeStream.outputMode("update").format("memory").queryName("mgsketch").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("mgsketch")
+        .select("lang", "token", "est_count", "epoch")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val lastEpoch = rows.groupBy(_._1).map { case (l, rs) => l -> rs.map(_._4).max }
+      val finalRows = rows
+        .filter(r => lastEpoch(r._1) == r._4)
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val exact = toks.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val totals = exact.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+      // the dominant token per lang is guaranteed to survive streaming
+      totals.foreach { case (lang, n) =>
+        val top = exact.filter(_._1._1 == lang).maxBy(m => (m._2, m._1._2))
+        assert(top._2 > n / (k + 1), s"premise: $lang top token is heavy")
+        assert(finalRows.contains((lang, top._1._2)), s"$lang top token missing from stream sketch")
+      }
+      // estimates obey the MG band on the streamed path too
+      finalRows.foreach { case ((lang, tok), est) =>
+        val truth = exact((lang, tok))
+        assert(est <= truth && truth - est <= totals(lang) / (k + 1), s"$lang/$tok out of band")
+      }
+    } finally q.stop()
+  }
+
   test("batch-mode sessionize (final flush) matches batch EventOps") {
     val got = SessionStream.sessionize(eventsBatch)
       .orderBy("user_id", "start_us")
