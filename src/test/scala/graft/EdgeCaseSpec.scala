@@ -62,6 +62,39 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher stats survive empty / single-token / all-duplicate docs") {
+    val g = weird.select(col("doc_id"),
+        graft.operators.TextAnalysis.gopherStats(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_toks"), col("s.uniq_frac"), col("s.top2_frac"),
+        col("s.dup3_frac"), col("s.mean_wlen"), col("s.keep"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // empty text tokenizes to [""]: one token, no grams, zero fractions
+    assert(g(2L) === ((1L, 1.0, 0.0, 0.0, 0.0)))
+    assert(g(1L)._3 === 0.0) // single token: no 2-grams
+    // "dup dup dup dup dup": one distinct token, fully repetitive
+    assert(g(6L)._2 === 0.2)
+    assert(g(6L)._3 === 1.0) // every 2-gram is the same
+    assert(g(6L)._4 === 0.666667) // 3 identical 3-grams → dup frac r6(2/3)
+  }
+
+  test("entropy term fold handles degenerate docs without nulls") {
+    import graft.functions.TextFunctions.tokens
+    import graft.functions.VectorFunctions.cents
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val termE6 = transform(array_distinct(toks), t => {
+      val p = size(filter(toks, y => y === t)) / (lit(1.0) * n)
+      cents(-p * log(p), 1e6)
+    })
+    val out = weird.select(col("doc_id"),
+        aggregate(termE6, lit(0L), (a, x) => a + x).as("e6"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) === 0L) // [""] — single type, zero entropy
+    assert(out(6L) === 0L) // constant doc — zero entropy
+    assert(out(5L) > 0L)   // 26 uniform types — maximal positive entropy
+  }
+
   test("minhash signatures of shingle-less docs are null-safe for banding") {
     val sigs = weird.select(col("doc_id"),
       graft.functions.MinHashExpr.minhashSig(
