@@ -1386,6 +1386,42 @@ object OracleSql {
        |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS dup_pairs
        |FROM agg""".stripMargin
 
+  /** CUSUM changepoint — mirrors EventOps.changepoint (all-integer
+    * S_d = D·prefix_d − d·total scaling).
+    */
+  val qChangepoint: String =
+    s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, ${cents("value", "100.0")} AS vc FROM events),
+       |daily AS (SELECT day, CAST(sum(vc) AS BIGINT) AS rev_cents FROM e GROUP BY 1),
+       |tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total, count(*) AS nd FROM daily),
+       |c AS (SELECT day, rev_cents,
+       |  CAST(sum(rev_cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx FROM daily)
+       |SELECT day, rev_cents, CAST(nd * cum - idx * total AS BIGINT) AS s,
+       |  CAST(abs(nd * cum - idx * total) AS BIGINT) AS abs_s
+       |FROM c, tot ORDER BY abs_s DESC, day LIMIT 3""".stripMargin
+
+  /** Trained per-dim scalar quantization — mirrors
+    * KnnSearch.quantizeTrained.
+    */
+  val vsQuantizeTrained: String =
+    s"""WITH dd AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |st AS (SELECT i, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
+       |  FROM embeddings CROSS JOIN dd GROUP BY 1),
+       |ml AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+       |enc AS (SELECT vec_id, embedding, mns, mxs,
+       |  list_transform(generate_series(1, 64), i ->
+       |    CAST(CASE WHEN mxs[i] > mns[i]
+       |      THEN floor((embedding[i]::DOUBLE - mns[i]) / (mxs[i] - mns[i]) * 255 + 0.5)
+       |      ELSE 0 END AS BIGINT)) AS qc
+       |  FROM embeddings, ml)
+       |SELECT vec_id, qc[1] AS c0, qc[2] AS c1, qc[3] AS c2, qc[4] AS c3,
+       |  CAST(list_reduce(qc, (a, b) -> a + b) AS BIGINT) AS sum_code,
+       |  CAST(list_reduce(list_transform(generate_series(1, 64), i ->
+       |    CAST(floor((embedding[i]::DOUBLE - (mns[i] + qc[i] / 255.0 * (mxs[i] - mns[i])))
+       |      * (embedding[i]::DOUBLE - (mns[i] + qc[i] / 255.0 * (mxs[i] - mns[i])))
+       |      * 1000000000.0 + 0.5) AS BIGINT)), (a, b) -> a + b) AS BIGINT) AS recon_e9
+       |FROM enc""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -1480,5 +1516,7 @@ object OracleSql {
     "vs_ood_score" -> vsOodScore,
     "vs_index_rebalance" -> vsIndexRebalance,
     "q_dataset_card" -> qDatasetCard,
+    "q_changepoint" -> qChangepoint,
+    "vs_quantize_trained" -> vsQuantizeTrained,
   )
 }

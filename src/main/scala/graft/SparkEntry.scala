@@ -126,6 +126,8 @@ object SparkEntry {
     "text_heavy_sketch" -> ((s, d) => TextAnalysis.heavySketch(s, d)), // no oracle: sketch
     "vs_index_rebalance" -> ((s, d) => IvfIndex.rebalancePlan(s, d)),
     "q_dataset_card" -> ((s, d) => TrainingMix.datasetCard(s, d)),
+    "q_changepoint" -> ((s, d) => EventOps.changepoint(s, d)),
+    "vs_quantize_trained" -> ((s, d) => KnnSearch.quantizeTrained(s, d)),
   )
 
   /** DuckDB mirrors (see OracleSql). `mm_binary` is intentionally

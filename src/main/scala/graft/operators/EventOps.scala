@@ -273,6 +273,35 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"), sum(col("mon_cents")).as("mon_cents"))
   }
 
+  /** CUSUM changepoint detection on the daily value series: the days
+    * where the cumulative deviation from the global mean is most
+    * extreme (level-shift candidates). Integer-exact: instead of
+    * cum − d·mean (a rational), both sides are scaled by the day count
+    * — S_d = D·prefix_d − d·total — so every compare is on longs.
+    *
+    * Scale: the corpus collapses to one row per DAY in a partial-agg
+    * shuffle first; the global window then runs over that bounded
+    * series (10⁴ rows for 30 years), never over events.
+    */
+  def changepoint(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val daily = base(spark, dir)
+      .groupBy(expr("us div 86400000000").as("day"))
+      .agg(sum(cents(col("value"), 100.0)).as("rev_cents"))
+    val w = Window.orderBy(col("day"))
+    val tot = daily.agg(sum(col("rev_cents")).as("total"), count(lit(1)).as("nd"))
+    daily
+      .withColumn("cum", sum(col("rev_cents"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("s", col("nd") * col("cum") - col("idx") * col("total"))
+      .withColumn("abs_s", abs(col("s")))
+      .orderBy(col("abs_s").desc, col("day").asc)
+      .limit(topK)
+      .select("day", "rev_cents", "s", "abs_s")
+  }
+
   /** First-order Markov transition matrix over the event stream: counts
     * and probabilities of consecutive (from_type → to_type) transitions
     * per user (the next-event model behind session prediction).

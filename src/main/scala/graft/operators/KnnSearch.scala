@@ -63,6 +63,52 @@ object KnnSearch {
         size(filter(col("qv"), v => abs(v) === 127)).cast("long").as("n_sat"))
   }
 
+  /** TRAINED scalar quantization: per-dimension corpus min/max (the
+    * learned calibration a production int8 index ships) instead of
+    * [[quantize]]'s per-vector max-abs. Codes are
+    * floor((v−min)/(max−min)·255+0.5); the per-vector reconstruction
+    * MSE is integerized per dimension before the sum.
+    *
+    * Scale shape: training is ONE partial-agg pass over the exploded
+    * (dim, value) pairs → 64 rows of index metadata, collected and
+    * baked into the encode expression as literal arrays (the
+    * IvfIndex.centroidLiteral pattern); encoding is then a zero-shuffle
+    * map-side projection over the corpus scan.
+    */
+  def quantizeTrained(spark: SparkSession, dir: String, dims: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val stats = Tables.fanOut(Tables.embeddings(spark, dir))
+      .select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
+      .orderBy(col("i")).collect()
+    val mns = lit(stats.map(_.getDouble(1)))
+    val mxs = lit(stats.map(_.getDouble(2)))
+    def code(i: Column): Column = {
+      val v = element_at(col("embedding"), i).cast("double")
+      val mn = element_at(mns, i)
+      val mx = element_at(mxs, i)
+      when(mx > mn, floor((v - mn) / (mx - mn) * 255 + 0.5)).otherwise(lit(0L)).cast("long")
+    }
+    def errE9(i: Column): Column = {
+      val v = element_at(col("embedding"), i).cast("double")
+      val mn = element_at(mns, i)
+      val mx = element_at(mxs, i)
+      val dec = mn + code(i).cast("double") / 255.0 * (mx - mn)
+      cents((v - dec) * (v - dec), 1e9)
+    }
+    Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .withColumn("qc", transform(sequence(lit(1), lit(dims)), code(_)))
+      .select(col("vec_id"),
+        element_at(col("qc"), 1).as("c0"),
+        element_at(col("qc"), 2).as("c1"),
+        element_at(col("qc"), 3).as("c2"),
+        element_at(col("qc"), 4).as("c3"),
+        aggregate(col("qc"), lit(0L), (a, x) => a + x).as("sum_code"),
+        aggregate(transform(sequence(lit(1), lit(dims)), errE9(_)), lit(0L), (a, x) => a + x)
+          .as("recon_e9"))
+  }
+
   /** Search over the int8-quantized vectors with exact rescoring — the
     * memory-reduction search mode `quantize` sets up (4× smaller
     * vectors; candidate scoring in integer arithmetic, which is exact

@@ -178,6 +178,44 @@ class Round4Spec extends AnyFunSuite {
     assert(card.getLong(5) === Dedup.minhashLsh(spark, Sf).count())
   }
 
+  test("changepoint CUSUM matches a driver-side recomputation") {
+    import graft.functions.VectorFunctions.cents
+    val daily = Tables.events(spark, Sf)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(cents(col("value"), 100.0)).as("rev"))
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = daily.map(_._2).sum
+    val nd = daily.length.toLong
+    var cum = 0L
+    val naive = daily.zipWithIndex.map { case ((day, rev), i) =>
+      cum += rev
+      (day, math.abs(nd * cum - (i + 1) * total))
+    }.sortBy { case (day, s) => (-s, day) }.take(3)
+    val got = EventOps.changepoint(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.toSeq === naive.toSeq)
+  }
+
+  test("trained quantizer: codes span [0,255] and reconstruction error is step-bounded") {
+    val q = graft.operators.KnnSearch.quantizeTrained(spark, Sf).cache()
+    assert(q.count() === Tables.embeddings(spark, Sf).count())
+    Seq("c0", "c1", "c2", "c3").foreach { c =>
+      assert(q.filter(col(c) < 0 || col(c) > 255).count() === 0, c)
+    }
+    // some dimension attains its own min (code 0) and max (code 255)
+    assert(q.filter(col("c0") === 0).count() > 0 || q.filter(col("c1") === 0).count() > 0)
+    assert(q.filter(col("c0") === 255).count() > 0 || q.filter(col("c1") === 255).count() > 0)
+    // per-dim error <= (range/510)^2 at the decision boundary; bound with
+    // the widest dimension range across the corpus
+    val stats = Tables.embeddings(spark, Sf)
+      .select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("i").agg((max(col("v")) - min(col("v"))).as("range"))
+      .agg(max(col("range"))).head().getFloat(0).toDouble
+    val bound = 64L * math.ceil(math.pow(stats / 510.0, 2) * 1e9 + 1).toLong
+    assert(q.filter(col("recon_e9") > bound).count() === 0)
+    q.unpersist()
+  }
+
   test("cluster purity: modal share and totals are consistent") {
     val p = IvfIndex.clusterPurity(spark, Sf).cache()
     assert(p.agg(sum("n_vecs")).head().getLong(0) ===
