@@ -1422,6 +1422,31 @@ object OracleSql {
        |      * 1000000000.0 + 0.5) AS BIGINT)), (a, b) -> a + b) AS BIGINT) AS recon_e9
        |FROM enc""".stripMargin
 
+  /** TPC-H Q5 local-supplier revenue — mirrors Relational.q5. */
+  val q5Join: String =
+    s"""SELECT n_name,
+       |  sum(${cents("l_extendedprice * (1.0 - l_discount)", "10000.0")}) / 10000.0 AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY 1""".stripMargin
+
+  /** DAU/MAU stickiness — mirrors EventOps.dauMau (fan-out-30 MAU). */
+  val qDauMau: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+       |cov AS (SELECT user_id, day + o AS cday
+       |  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS o) t),
+       |mau AS (SELECT cday, CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM cov GROUP BY 1),
+       |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM ud GROUP BY 1)
+       |SELECT day, dau, mau, ${r6("dau / (1.0 * mau)")} AS stickiness
+       |FROM dau JOIN mau ON day = cday""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -1518,5 +1543,7 @@ object OracleSql {
     "q_dataset_card" -> qDatasetCard,
     "q_changepoint" -> qChangepoint,
     "vs_quantize_trained" -> vsQuantizeTrained,
+    "q5_join" -> q5Join,
+    "q_dau_mau" -> qDauMau,
   )
 }

@@ -128,6 +128,8 @@ object SparkEntry {
     "q_dataset_card" -> ((s, d) => TrainingMix.datasetCard(s, d)),
     "q_changepoint" -> ((s, d) => EventOps.changepoint(s, d)),
     "vs_quantize_trained" -> ((s, d) => KnnSearch.quantizeTrained(s, d)),
+    "q5_join" -> ((s, d) => Relational.q5(s, d)),
+    "q_dau_mau" -> ((s, d) => EventOps.dauMau(s, d)),
   )
 
   /** DuckDB mirrors (see OracleSql). `mm_binary` is intentionally

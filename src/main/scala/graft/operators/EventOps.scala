@@ -302,6 +302,30 @@ object EventOps {
       .select("day", "rev_cents", "s", "abs_s")
   }
 
+  /** DAU/MAU stickiness per day: daily active users over trailing-30-day
+    * active users. The trailing distinct is computed WITHOUT a windowed
+    * COUNT DISTINCT (which would re-sort events per day): each distinct
+    * (user, active-day) row fans out to the ≤30 future days it keeps
+    * the user "monthly-active" for — a bounded ×30 explode of the
+    * already-deduplicated user-day table, then plain partial-agg
+    * distinct counts. Only days with activity are reported.
+    */
+  def dauMau(spark: SparkSession, dir: String, windowDays: Int = 30): DataFrame = {
+    val ud = base(spark, dir)
+      .select(col("user_id"), expr("us div 86400000000").as("day"))
+      .distinct()
+    val mau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1))).as("cday"))
+      .groupBy(col("cday"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    ud.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .join(mau, col("day") === col("cday"))
+      .select(col("day"), col("dau"), col("mau"),
+        r6(col("dau") / (lit(1.0) * col("mau"))).as("stickiness"))
+  }
+
   /** First-order Markov transition matrix over the event stream: counts
     * and probabilities of consecutive (from_type → to_type) transitions
     * per user (the next-event model behind session prediction).

@@ -62,6 +62,43 @@ object Relational {
         col("revenue"))
   }
 
+  /** TPC-H Q5 shape: local-supplier revenue by nation — the canonical
+    * 6-way star join (region→nation→customer→orders→lineitem→supplier
+    * with the c_nationkey = s_nationkey "local" constraint).
+    *
+    * Scale: region/nation/customer/supplier are broadcast dims; the
+    * only fact-fact shuffle is lineitem⋈orders on orderkey; the
+    * order-date filter pushes into the parquet scan. Revenue is
+    * integerized per row before the group sum.
+    */
+  def q5(spark: SparkSession, dir: String, region: String = "ASIA",
+      year: Int = 1997): DataFrame = {
+    val natInRegion = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(natInRegion), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit(s"$year-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit(s"${year + 1}-01-01")))
+      .select("o_orderkey", "o_custkey")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(natInRegion.select(col("n_nationkey").as("sn_key"), col("n_name"))),
+        col("s_nationkey") === col("sn_key"))
+      .groupBy(col("n_name"))
+      .agg((sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1e4)) / 10000.0)
+        .as("revenue"))
+      .select("n_name", "revenue")
+  }
+
   /** Window functions: row_number / lag / running sum per customer.
     * Scale: one shuffle on the partition key, then a single sort within
     * partitions serves all three window functions (same window spec).

@@ -216,6 +216,24 @@ class Round4Spec extends AnyFunSuite {
     q.unpersist()
   }
 
+  test("q5 local-supplier join: only ASIA nations, all dims broadcast") {
+    val df = graft.operators.Relational.q5(spark, Sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 5) // 5 nations per region
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // the single fact-fact join stays hash/broadcast at this SF
+  }
+
+  test("dau/mau: dau never exceeds mau and the first day has dau == mau") {
+    val d = EventOps.dauMau(spark, Sf).orderBy("day").collect()
+    assert(d.nonEmpty)
+    assert(d.forall(r => r.getLong(1) <= r.getLong(2)))
+    assert(d.forall(r => r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+    // nothing precedes the first active day, so its trailing window is itself
+    assert(d.head.getLong(1) === d.head.getLong(2))
+  }
+
   test("cluster purity: modal share and totals are consistent") {
     val p = IvfIndex.clusterPurity(spark, Sf).cache()
     assert(p.agg(sum("n_vecs")).head().getLong(0) ===
