@@ -315,8 +315,10 @@ object TextAnalysis {
     val bg = graft.Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(gramsAll(tokens(col("text")), 2)).as("bg"))
     val cbg = bg.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
-    val cpre = bg.groupBy(substring_index(col("bg"), " ", 1).as("pre"))
-      .agg(count(lit(1)).as("cpre"))
+    // prefix counts roll up from the bigram counts (vocab-sized input),
+    // NOT from the exploded corpus — one corpus-wide shuffle instead of two
+    val cpre = cbg.groupBy(substring_index(col("bg"), " ", 1).as("pre"))
+      .agg(sum(col("cbg")).as("cpre"))
     bg.join(cbg, "bg")
       .withColumn("pre", substring_index(col("bg"), " ", 1))
       .join(cpre, "pre")
