@@ -1447,6 +1447,45 @@ object OracleSql {
        |SELECT day, dau, mau, ${r6("dau / (1.0 * mau)")} AS stickiness
        |FROM dau JOIN mau ON day = cday""".stripMargin
 
+  /** Market-basket lift — mirrors Relational.basketLift. */
+  val qBasketLift: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+       |pc AS (SELECT l_partkey, count(*) AS n_part FROM op GROUP BY 1),
+       |pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 3)
+       |SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+       |  CAST(pa.n_part AS BIGINT) AS n_a, CAST(pb.n_part AS BIGINT) AS n_b,
+       |  ${r6("(n_ab * n_orders) / ((1.0 * pa.n_part) * pb.n_part)")} AS lift
+       |FROM pr JOIN pc pa ON part_a = pa.l_partkey JOIN pc pb ON part_b = pb.l_partkey, no
+       |ORDER BY lift DESC, part_a, part_b LIMIT 15""".stripMargin
+
+  /** Perceptual-hash payload dedup — mirrors Multimodal.phashDedup
+    * (the payload is the UTF-8 text, so the stub decode is invertible
+    * and the 4-byte-block SimHash is fully relational; same md5-nibble
+    * vote formulation as dedupSimhash).
+    */
+  val mmPhash: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(list_transform(generate_series(1, (length(text) + 3) // 4),
+       |    i -> substr(text, (i - 1) * 4 + 1, 4))) AS w FROM documents),
+       |bb AS (SELECT unnest(generate_series(0, 31)) AS b),
+       |v AS (SELECT doc_id, b,
+       |  CASE WHEN CAST(floor((strpos('0123456789abcdef', substr(md5(w), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
+       |      / (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS INT) % 2 = 1
+       |    THEN 1 ELSE -1 END AS vt
+       |  FROM tok CROSS JOIN bb),
+       |sb AS (SELECT doc_id, b, sum(vt) AS s FROM v GROUP BY 1, 2),
+       |sg AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM sb GROUP BY 1),
+       |blk AS (SELECT doc_id, sig, blkb AS blk, (sig >> (8 * blkb)) & 255 AS bval
+       |  FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS blkb) blks),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sig_a, y.sig AS sig_b
+       |  FROM blk x JOIN blk y ON x.blk = y.blk AND x.bval = y.bval AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -1545,5 +1584,7 @@ object OracleSql {
     "vs_quantize_trained" -> vsQuantizeTrained,
     "q5_join" -> q5Join,
     "q_dau_mau" -> qDauMau,
+    "q_basket_lift" -> qBasketLift,
+    "mm_phash" -> mmPhash,
   )
 }

@@ -130,6 +130,8 @@ object SparkEntry {
     "vs_quantize_trained" -> ((s, d) => KnnSearch.quantizeTrained(s, d)),
     "q5_join" -> ((s, d) => Relational.q5(s, d)),
     "q_dau_mau" -> ((s, d) => EventOps.dauMau(s, d)),
+    "q_basket_lift" -> ((s, d) => Relational.basketLift(s, d)),
+    "mm_phash" -> ((s, d) => Multimodal.phashDedup(s, d)),
   )
 
   /** DuckDB mirrors (see OracleSql). `mm_binary` is intentionally

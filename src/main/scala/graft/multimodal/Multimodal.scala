@@ -52,6 +52,45 @@ object Multimodal {
       .toDF()
   }
 
+  /** Perceptual-hash near-duplicate detection over the binary payload
+    * (the image-dedup pipeline shape): "decode" the payload (stub —
+    * bytes back to text here; a real pipeline would decode pixels),
+    * hash fixed 4-byte blocks into a 32-bit SimHash signature, generate
+    * candidates by signature byte-block banding (pigeonhole-exhaustive
+    * for hamming ≤ 3 blocks, same as Dedup.simhashBlocks — never
+    * all-pairs), and keep pairs at hamming ≤ `maxHamming`.
+    *
+    * Unlike `decodeFeatures` (whose model stub keeps it rows-only),
+    * the block hashing is fully relational, so this multimodal entry IS
+    * oracle-checked.
+    */
+  def phashDedup(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+    import org.apache.spark.sql.Column
+    val decoded = decode(col("payload"), "UTF-8")
+    val nBlocks = ((length(decoded) + lit(3)) / lit(4)).cast("int")
+    val idx = when(nBlocks > 0, sequence(lit(1), nBlocks))
+      .otherwise(array().cast("array<int>"))
+    val blocks = transform(idx, (i: Column) =>
+      decoded.substr((i - lit(1)) * lit(4) + lit(1), lit(4)))
+    val sigs = graft.Tables.fanOut(withBinary(Tables.documents(spark, dir)))
+      .select(col("doc_id"), graft.functions.TextExprs.simhash(blocks).as("sig"))
+    val blkArr = array((0 until 4).map(b => struct(lit(b).as("blk"),
+      shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bval"))): _*)
+    val blks = sigs
+      .select(col("doc_id"), col("sig"), explode(blkArr).as("e"))
+      .select(col("doc_id"), col("sig"), col("e.blk").as("blk"), col("e.bval").as("bval"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    blks.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("blk"), col("bval"))
+      .join(blks.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("blk"), col("bval")), Seq("blk", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Metadata-level resize: recompute target dimensions preserving
     * aspect ratio, payload untouched (a real pipeline would hand the
     * (payload, target) pairs to the decoder batch). Pure column math —

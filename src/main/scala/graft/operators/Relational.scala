@@ -99,6 +99,42 @@ object Relational {
       .select("n_name", "revenue")
   }
 
+  /** Market-basket association mining on co-purchased parts: for part
+    * pairs appearing together in ≥ `minSupport` orders, report joint
+    * support and lift = P(ab)·N / (P(a)·P(b)), top pairs by lift.
+    *
+    * Scale: pair generation happens INSIDE each order's (small) part
+    * array after one groupBy-order shuffle — the standard bounded
+    * basket fan-out, never a corpus self-join; per-part supports are a
+    * partial-agg count; both support tables join the (already tiny)
+    * pair-count table.
+    */
+  def basketLift(spark: SparkSession, dir: String, minSupport: Long = 3,
+      topK: Int = 15): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = op.select(countDistinct(col("l_orderkey")).as("n_orders"))
+    val partCnt = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val pairs = op.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) >= 2)
+      .select(explode(flatten(transform(col("parts"), (a, i) =>
+        transform(slice(col("parts"), i + 2, size(col("parts"))), b =>
+          struct(a.as("part_a"), b.as("part_b")))))).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(partCnt.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), "part_a")
+      .join(partCnt.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift",
+        r6(col("n_ab") * col("n_orders") / (lit(1.0) * col("n_a") * col("n_b"))))
+      .orderBy(col("lift").desc, col("part_a").asc, col("part_b").asc)
+      .limit(topK)
+      .select("part_a", "part_b", "n_ab", "n_a", "n_b", "lift")
+  }
+
   /** Window functions: row_number / lag / running sum per customer.
     * Scale: one shuffle on the partition key, then a single sort within
     * partitions serves all three window functions (same window spec).

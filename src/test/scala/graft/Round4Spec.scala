@@ -234,6 +234,55 @@ class Round4Spec extends AnyFunSuite {
     assert(d.head.getLong(1) === d.head.getLong(2))
   }
 
+  test("basket lift: supports recompute exactly and ranking is by lift") {
+    val rows = graft.operators.Relational.basketLift(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= 3))
+    val lifts = rows.map(_.getDouble(5)).toSeq
+    assert(lifts === lifts.sorted.reverse)
+    // recompute the top pair's counts directly
+    val top = rows.head
+    val op = Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_partkey").distinct().cache()
+    val na = op.filter(col("l_partkey") === top.getLong(0)).count()
+    val nb = op.filter(col("l_partkey") === top.getLong(1)).count()
+    val nab = op.filter(col("l_partkey") === top.getLong(0))
+      .select("l_orderkey")
+      .join(op.filter(col("l_partkey") === top.getLong(1)).select("l_orderkey"), "l_orderkey")
+      .count()
+    assert((top.getLong(3), top.getLong(4), top.getLong(2)) === ((na, nb, nab)))
+    op.unpersist()
+  }
+
+  test("phash dedup matches a naive recomputation; hamming<=3 pairs are exhaustive") {
+    val got = graft.multimodal.Multimodal.phashDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    // driver-side signature recomputation (same algebra as TextExprs.simhash)
+    def sigOf(text: String): Long = {
+      val votes = new Array[Int](32)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      text.grouped(4).foreach { blk =>
+        val d = md.digest(blk.getBytes("UTF-8"))
+        val h = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) | ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+        var b = 0
+        while (b < 32) { votes(b) += (((h >>> (31 - b)) & 1) * 2 - 1); b += 1 }
+      }
+      (0 until 32).foldLeft(0L)((s, b) => if (votes(b) > 0) s | (1L << b) else s)
+    }
+    val sigs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> sigOf(r.getString(1)))
+    val naive = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 6
+    } yield (a, b) -> h.toLong).toMap
+    // every reported pair has the exactly-recomputed hamming
+    got.foreach { case (p, h) => assert(naive.get(p).contains(h), s"pair $p hamming") }
+    // pigeonhole: 4 byte blocks catch every pair at hamming <= 3
+    naive.filter(_._2 <= 3).keys.foreach(p =>
+      assert(got.contains(p), s"guaranteed pair $p missing"))
+  }
+
   test("cluster purity: modal share and totals are consistent") {
     val p = IvfIndex.clusterPurity(spark, Sf).cache()
     assert(p.agg(sum("n_vecs")).head().getLong(0) ===
