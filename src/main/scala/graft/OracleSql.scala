@@ -1486,6 +1486,45 @@ object OracleSql {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6""".stripMargin
 
+  /** Residual IVF+PQ — mirrors PqIndex.searchIvfPqResidual: vectors
+    * PQ-encode their residual from the assigned centroid; the IP score
+    * decomposes as dot(q,c) + Σ_s lut(s, code_s), both integerized e9.
+    */
+  val vsIvfPqResidual: String =
+    s"""WITH $ivfCtes,
+       |subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |rres AS (SELECT e.vec_id, a.cluster_id,
+       |  list_transform(generate_series(1, 64), i -> e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE) AS rvec
+       |  FROM embeddings e JOIN asg a USING(vec_id) JOIN cent c USING(cluster_id)),
+       |rcb AS (SELECT s, CAST(vec_id // 17 AS BIGINT) AS code,
+       |  list_slice(rvec, s * 16 + 1, s * 16 + 16) AS rcvec
+       |  FROM rres, subs WHERE vec_id % 17 = 0 AND vec_id < 272),
+       |rsv AS (SELECT vec_id, cluster_id, s, list_slice(rvec, s * 16 + 1, s * 16 + 16) AS subvec
+       |  FROM rres, subs),
+       |dists AS (SELECT rsv.vec_id, rsv.s, rcb.code, ${dist2("rsv.subvec", "rcb.rcvec")} AS d2q
+       |  FROM rsv JOIN rcb ON rcb.s = rsv.s),
+       |asgn AS (SELECT vec_id, s, code FROM (
+       |  SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, code) AS rn
+       |  FROM dists) WHERE rn = 1),
+       |lut AS (SELECT s, code, ${dot("list_slice(qv, s * 16 + 1, s * 16 + 16)", "rcvec")} AS part FROM rcb, q),
+       |ap AS (SELECT a.vec_id,
+       |  CAST(sum(CAST(floor(part * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS res_e9
+       |  FROM asgn a JOIN lut USING(s, code) GROUP BY 1),
+       |konst AS (SELECT cluster_id, ${cents(s"${dot("cvec", "qv")}", "1000000000.0")} AS const_e9 FROM cent, q),
+       |probe AS (SELECT cluster_id FROM (
+       |  SELECT cluster_id, ${dist2("cvec", "qv")} AS cd2 FROM cent, q)
+       |  ORDER BY cd2, cluster_id LIMIT 3),
+       |cand AS (SELECT r.cluster_id, ap.vec_id, konst.const_e9 + ap.res_e9 AS e9
+       |  FROM ap JOIN (SELECT DISTINCT vec_id, cluster_id FROM rres) r USING(vec_id)
+       |  JOIN konst USING(cluster_id)
+       |  WHERE r.cluster_id IN (SELECT cluster_id FROM probe)
+       |  ORDER BY e9 DESC, ap.vec_id LIMIT 50),
+       |re AS (SELECT c.cluster_id, c.vec_id, c.e9, ${dot("e.embedding", "qv")} AS es
+       |  FROM cand c JOIN embeddings e USING(vec_id), q)
+       |SELECT cluster_id, vec_id, ${r6("e9 / 1000000000.0")} AS approx_score, ${r6("es")} AS score
+       |FROM re ORDER BY es DESC, vec_id LIMIT 10""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -1586,5 +1625,6 @@ object OracleSql {
     "q_dau_mau" -> qDauMau,
     "q_basket_lift" -> qBasketLift,
     "mm_phash" -> mmPhash,
+    "vs_ivfpq_residual" -> vsIvfPqResidual,
   )
 }

@@ -132,6 +132,7 @@ object SparkEntry {
     "q_dau_mau" -> ((s, d) => EventOps.dauMau(s, d)),
     "q_basket_lift" -> ((s, d) => Relational.basketLift(s, d)),
     "mm_phash" -> ((s, d) => Multimodal.phashDedup(s, d)),
+    "vs_ivfpq_residual" -> ((s, d) => PqIndex.searchIvfPqResidual(s, d)),
   )
 
   /** DuckDB mirrors (see OracleSql). `mm_binary` is intentionally

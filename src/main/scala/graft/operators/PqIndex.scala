@@ -180,6 +180,103 @@ object PqIndex {
         r6(col("approx_e9") / 1e9).as("approx_score"), r6(col("exact")).as("score"))
   }
 
+  /** Residual codebooks: the PQ sample vectors minus their assigned IVF
+    * centroid (elementwise double subtraction — the same
+    * `e[i]::DOUBLE − c[i]::DOUBLE` map the oracle runs), split into
+    * subspaces. Residuals are the quantity real IVFPQ encodes: they are
+    * centered near zero, so a shared codebook fits them far better than
+    * raw vectors.
+    */
+  def residualCodebooks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val centsLit = IvfIndex.centroidLiteral(IvfIndex.centroids(spark, dir))
+    val subs = broadcast((0 until NumSub).toDF("s"))
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 17 === 0 && col("vec_id") < NumCodes * 17)
+      .withColumn("best", IvfIndex.nearest(col("embedding"), centsLit))
+      .withColumn("cvec",
+        element_at(filter(centsLit,
+          c => c.getField("cluster_id") === col("best.cluster_id")), 1).getField("cvec"))
+      .select(expr("vec_id div 17").as("code"),
+        zip_with(col("embedding"), col("cvec"),
+          (a, b) => a.cast("double") - b.cast("double")).as("rvec"))
+      .crossJoin(subs)
+      .select(col("s"), col("code"),
+        expr(s"slice(rvec, s * $SubDim + 1, $SubDim)").as("rcvec"))
+  }
+
+  private def residualCodebookLiteral(spark: SparkSession, dir: String) = {
+    val bySub = residualCodebooks(spark, dir)
+      .select(col("s"), col("code").cast("long"), col("rcvec"))
+      .collect()
+      .groupBy(_.getInt(0))
+    array((0 until NumSub).map { s =>
+      array(bySub(s).sortBy(_.getLong(1)).map { r =>
+        struct(lit(r.getLong(1)).as("code"), lit(r.getSeq[Double](2).toArray).as("rcvec"))
+      }.toIndexedSeq: _*)
+    }: _*)
+  }
+
+  /** Residual IVF+PQ search — the faithful Faiss-IVFPQ layout: vectors
+    * are PQ-encoded as RESIDUALS from their IVF centroid, and the
+    * inner-product score decomposes as dot(q, c) + Σ_s dot(q_s, r̂_s):
+    * a per-cluster constant (10 longs, broadcast) plus the residual-LUT
+    * sum. The corpus scan fuses cluster assignment, residual
+    * computation and residual-codeword argmin into one zero-shuffle
+    * projection; everything downstream of the scan handles `candidates`
+    * rows at most.
+    */
+  def searchIvfPqResidual(spark: SparkSession, dir: String, nprobe: Int = 3,
+      candidates: Int = 50, k: Int = 10): DataFrame = {
+    val q = queryVec(spark, dir)
+    val cents0 = IvfIndex.centroids(spark, dir)
+    val centsLit = IvfIndex.centroidLiteral(cents0)
+    val rcbLit = residualCodebookLiteral(spark, dir)
+    // per-query LUT over residual codewords, integerized before collection
+    val lutRows = residualCodebooks(spark, dir).crossJoin(broadcast(q))
+      .select(col("s"), col("code").cast("long"),
+        cents(dot(expr(s"slice(qvec, s * $SubDim + 1, $SubDim)"), col("rcvec")), 1e9).as("e9"))
+      .collect()
+    val lut = array((0 until NumSub).map { s =>
+      val bySub = lutRows.filter(_.getInt(0) == s).map(r => r.getLong(1) -> r.getLong(2)).toMap
+      array((0 until NumCodes).map(c => lit(bySub(c.toLong))): _*)
+    }: _*)
+    val probed = cents0.crossJoin(broadcast(q))
+      .withColumn("cd2", dist2(col("cvec"), col("qvec")))
+      .orderBy(col("cd2").asc, col("cluster_id").asc)
+      .limit(nprobe).select("cluster_id")
+    val constDf = cents0.crossJoin(broadcast(q))
+      .select(col("cluster_id"), cents(dot(col("cvec"), col("qvec")), 1e9).as("const_e9"))
+    val best = IvfIndex.nearest(col("embedding"), centsLit)
+    val resE9 = aggregate(sequence(lit(0), lit(NumSub - 1)), lit(0L), (acc, s) =>
+      acc + element_at(element_at(lut, s + 1),
+        array_min(transform(element_at(rcbLit, s + 1), c =>
+          struct(dist2(slice(col("rvec"), s * SubDim + 1, lit(SubDim)),
+            c.getField("rcvec")).as("d2"),
+            c.getField("code").as("code"))))
+          .getField("code").cast("int") + 1))
+    val cand = Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .withColumn("cluster_id", best.getField("cluster_id"))
+      .withColumn("cvec",
+        element_at(filter(centsLit,
+          c => c.getField("cluster_id") === col("cluster_id")), 1).getField("cvec"))
+      .withColumn("rvec", zip_with(col("embedding"), col("cvec"),
+        (a, b) => a.cast("double") - b.cast("double")))
+      .withColumn("res_e9", resE9)
+      .join(broadcast(probed), "cluster_id")
+      .join(broadcast(constDf), "cluster_id")
+      .withColumn("approx_e9", col("const_e9") + col("res_e9"))
+      .select(col("cluster_id"), col("vec_id"), col("embedding"), col("approx_e9"))
+      .orderBy(col("approx_e9").desc, col("vec_id").asc)
+      .limit(candidates)
+    cand.crossJoin(broadcast(q))
+      .withColumn("exact", dot(col("embedding"), col("qvec")))
+      .orderBy(col("exact").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("cluster_id"), col("vec_id"),
+        r6(col("approx_e9") / 1e9).as("approx_score"), r6(col("exact")).as("score"))
+  }
+
   /** Asymmetric-distance scoring against query vec 0: the approximate
     * dot product is Σ_s dot(q_s, codeword(s, code_s)), reported next to
     * the exact score and the absolute quantization error — both computed

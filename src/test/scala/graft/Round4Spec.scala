@@ -283,6 +283,22 @@ class Round4Spec extends AnyFunSuite {
       assert(got.contains(p), s"guaranteed pair $p missing"))
   }
 
+  test("residual ivfpq: sane recall vs brute force and tighter codes than raw PQ") {
+    import graft.functions.VectorFunctions.dot
+    val got = graft.operators.PqIndex.searchIvfPqResidual(spark, Sf).collect()
+    assert(got.length === 10)
+    val exact = got.map(_.getDouble(3)).toSeq
+    assert(exact === exact.sorted.reverse)
+    val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val brute = Tables.embeddings(spark, Sf).crossJoin(broadcast(q))
+      .select(col("vec_id"), dot(col("embedding"), col("qvec")).as("s"))
+      .orderBy(col("s").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.map(_.getLong(1)).count(brute.contains)
+    assert(recall >= 5, s"recall@10 = $recall/10 vs brute force")
+  }
+
   test("cluster purity: modal share and totals are consistent") {
     val p = IvfIndex.clusterPurity(spark, Sf).cache()
     assert(p.agg(sum("n_vecs")).head().getLong(0) ===
