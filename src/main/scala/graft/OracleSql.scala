@@ -1525,6 +1525,21 @@ object OracleSql {
        |SELECT cluster_id, vec_id, ${r6("e9 / 1000000000.0")} AS approx_score, ${r6("es")} AS score
        |FROM re ORDER BY es DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Moving-average forecast backtest — mirrors EventOps.forecastSma
+    * (all-integer ×1e6-cents scale).
+    */
+  val qForecastSma: String =
+    s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, ${cents("value", "100.0")} AS vc FROM events),
+       |daily AS (SELECT day, CAST(sum(vc) AS BIGINT) AS rev_cents FROM e GROUP BY 1),
+       |wn AS (SELECT day, rev_cents,
+       |  CAST(sum(rev_cents) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS sum_prev,
+       |  CAST(count(*) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_prev
+       |FROM daily)
+       |SELECT day, rev_cents,
+       |  CAST((sum_prev * 1000000) // n_prev AS BIGINT) AS forecast_e6,
+       |  CAST(abs(rev_cents * 1000000 - (sum_prev * 1000000) // n_prev) AS BIGINT) AS err_e6
+       |FROM wn WHERE n_prev = 7""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -1626,5 +1641,6 @@ object OracleSql {
     "q_basket_lift" -> qBasketLift,
     "mm_phash" -> mmPhash,
     "vs_ivfpq_residual" -> vsIvfPqResidual,
+    "q_forecast_sma" -> qForecastSma,
   )
 }

@@ -133,6 +133,7 @@ object SparkEntry {
     "q_basket_lift" -> ((s, d) => Relational.basketLift(s, d)),
     "mm_phash" -> ((s, d) => Multimodal.phashDedup(s, d)),
     "vs_ivfpq_residual" -> ((s, d) => PqIndex.searchIvfPqResidual(s, d)),
+    "q_forecast_sma" -> ((s, d) => EventOps.forecastSma(s, d)),
   )
 
   /** DuckDB mirrors (see OracleSql). `mm_binary` is intentionally

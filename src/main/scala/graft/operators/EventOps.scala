@@ -326,6 +326,31 @@ object EventOps {
         r6(col("dau") / (lit(1.0) * col("mau"))).as("stickiness"))
   }
 
+  /** Moving-average forecast backtest: each day's revenue predicted by
+    * the trailing-7-day mean, with the absolute error — the baseline
+    * every forecasting pipeline measures against. All-integer: the
+    * forecast is (sum_prev·1e6) div n_prev and the error compares at
+    * the same ×1e6-cents scale, so no rational mean ever materializes.
+    * Only days with a full 7-day history are scored.
+    *
+    * Scale: one partial-agg shuffle to the bounded daily series, then
+    * one window pass over it (same shape as [[changepoint]]).
+    */
+  def forecastSma(spark: SparkSession, dir: String, window: Int = 7): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val daily = base(spark, dir)
+      .groupBy(expr("us div 86400000000").as("day"))
+      .agg(sum(cents(col("value"), 100.0)).as("rev_cents"))
+    val w = Window.orderBy(col("day")).rowsBetween(-window, -1)
+    daily
+      .withColumn("sum_prev", sum(col("rev_cents")).over(w))
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .filter(col("n_prev") === window)
+      .withColumn("forecast_e6", expr(s"(sum_prev * 1000000) div n_prev"))
+      .withColumn("err_e6", abs(col("rev_cents") * 1000000L - col("forecast_e6")))
+      .select("day", "rev_cents", "forecast_e6", "err_e6")
+  }
+
   /** First-order Markov transition matrix over the event stream: counts
     * and probabilities of consecutive (from_type → to_type) transitions
     * per user (the next-event model behind session prediction).

@@ -299,6 +299,26 @@ class Round4Spec extends AnyFunSuite {
     assert(recall >= 5, s"recall@10 = $recall/10 vs brute force")
   }
 
+  test("sma forecast: full-history days only, forecast is the trailing mean") {
+    val rows = EventOps.forecastSma(spark, Sf).orderBy("day").collect()
+    assert(rows.nonEmpty)
+    // recompute from the daily series
+    import graft.functions.VectorFunctions.cents
+    val daily = Tables.events(spark, Sf)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(cents(col("value"), 100.0)).as("rev"))
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = daily.toMap
+    rows.foreach { r =>
+      val day = r.getLong(0)
+      val i = daily.indexWhere(_._1 == day)
+      assert(i >= 7, s"day $day lacks 7-day history")
+      val sumPrev = daily.slice(i - 7, i).map(_._2).sum
+      assert(r.getLong(2) === sumPrev * 1000000L / 7, s"forecast day $day")
+      assert(r.getLong(1) === byDay(day))
+    }
+  }
+
   test("cluster purity: modal share and totals are consistent") {
     val p = IvfIndex.clusterPurity(spark, Sf).cache()
     assert(p.agg(sum("n_vecs")).head().getLong(0) ===
