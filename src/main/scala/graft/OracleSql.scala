@@ -1540,6 +1540,41 @@ object OracleSql {
        |  CAST(abs(rev_cents * 1000000 - (sum_prev * 1000000) // n_prev) AS BIGINT) AS err_e6
        |FROM wn WHERE n_prev = 7""".stripMargin
 
+  /** Full-outer coverage — mirrors Relational.outerCoverage. */
+  val qOuterJoin: String =
+    s"""WITH cs AS (SELECT c_nationkey, count(*) AS n_cust FROM customer
+       |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 8000 GROUP BY 1),
+       |ss AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+       |  WHERE s_acctbal > 8000 GROUP BY 1),
+       |j AS (SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+       |  CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+       |  CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+       |  FROM cs FULL OUTER JOIN ss ON c_nationkey = s_nationkey)
+       |SELECT n_name, n_cust, n_supp FROM j JOIN nation ON nationkey = n_nationkey""".stripMargin
+
+  /** Unpivot — mirrors Relational.unpivotStats (stack ≡ UNION ALL). */
+  val qUnpivot: String =
+    s"""WITH st AS (SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(len($toks)) AS BIGINT) AS sum_toks
+       |FROM documents GROUP BY 1)
+       |SELECT source, 'n_docs' AS metric, n_docs AS value FROM st
+       |UNION ALL SELECT source, 'sum_chars', sum_chars FROM st
+       |UNION ALL SELECT source, 'sum_toks', sum_toks FROM st""".stripMargin
+
+  /** Activity streaks — mirrors EventOps.activityStreaks (the
+    * day − row_number gaps-and-islands grouping).
+    */
+  val qStreaks: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+       |g AS (SELECT user_id, day,
+       |  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM ud),
+       |isl AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+       |SELECT user_id, count(*) AS n_streaks,
+       |  CAST(max(len) AS BIGINT) AS longest_streak,
+       |  CAST(sum(len) AS BIGINT) AS active_days
+       |FROM isl GROUP BY 1""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1Agg,
@@ -1642,5 +1677,8 @@ object OracleSql {
     "mm_phash" -> mmPhash,
     "vs_ivfpq_residual" -> vsIvfPqResidual,
     "q_forecast_sma" -> qForecastSma,
+    "q_outer_join" -> qOuterJoin,
+    "q_unpivot" -> qUnpivot,
+    "q_streaks" -> qStreaks,
   )
 }

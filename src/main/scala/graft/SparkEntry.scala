@@ -134,6 +134,9 @@ object SparkEntry {
     "mm_phash" -> ((s, d) => Multimodal.phashDedup(s, d)),
     "vs_ivfpq_residual" -> ((s, d) => PqIndex.searchIvfPqResidual(s, d)),
     "q_forecast_sma" -> ((s, d) => EventOps.forecastSma(s, d)),
+    "q_outer_join" -> ((s, d) => Relational.outerCoverage(s, d)),
+    "q_unpivot" -> ((s, d) => Relational.unpivotStats(s, d)),
+    "q_streaks" -> ((s, d) => EventOps.activityStreaks(s, d)),
   )
 
   /** DuckDB mirrors (see OracleSql). `mm_binary` is intentionally

@@ -351,6 +351,29 @@ object EventOps {
       .select("day", "rev_cents", "forecast_e6", "err_e6")
   }
 
+  /** Gaps-and-islands: per-user activity streaks. The classic
+    * `day − row_number()` grouping converts consecutive active days
+    * into a constant group key, so streaks fall out of two plain
+    * aggregations — no self-join, no recursive CTE. Reports streak
+    * count, longest streak and total active days per user.
+    *
+    * Scale: one shuffle on user_id (the window key); both follow-up
+    * aggregations reuse that partitioning map-side.
+    */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val ud = base(spark, dir)
+      .select(col("user_id"), expr("us div 86400000000").as("day"))
+      .distinct()
+    ud.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("active_days"))
+  }
+
   /** First-order Markov transition matrix over the event stream: counts
     * and probabilities of consecutive (from_type → to_type) transitions
     * per user (the next-event model behind session prediction).

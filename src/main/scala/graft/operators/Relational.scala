@@ -135,6 +135,37 @@ object Relational {
       .select("part_a", "part_b", "n_ab", "n_a", "n_b", "lift")
   }
 
+  /** FULL OUTER join coverage: premium-customer and premium-supplier
+    * counts per nation, where either side may be absent (the outer
+    * semantics the semi/anti pair doesn't exercise). Both inputs are
+    * pre-aggregated to ≤ |nations| rows BEFORE the outer join, so the
+    * join itself is trivially small at any corpus scale.
+    */
+  def outerCoverage(spark: SparkSession, dir: String, minBal: Double = 8000): DataFrame = {
+    val cs = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > minBal)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val ss = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > minBal)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    cs.join(ss, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .join(broadcast(Tables.nation(spark, dir)), col("nationkey") === col("n_nationkey"))
+      .select("n_name", "n_cust", "n_supp")
+  }
+
+  /** Unpivot (wide → long): the per-source corpus stats melted into
+    * (source, metric, value) rows via `stack` — the inverse of
+    * [[pivotLang]], a pure per-row projection (each input row emits
+    * k output rows map-side; no shuffle beyond the stats aggregation).
+    */
+  def unpivotStats(spark: SparkSession, dir: String): DataFrame =
+    Chunker.stats(spark, dir)
+      .selectExpr("source",
+        "stack(3, 'n_docs', n_docs, 'sum_chars', sum_chars, 'sum_toks', sum_toks) AS (metric, value)")
+
   /** Window functions: row_number / lag / running sum per customer.
     * Scale: one shuffle on the partition key, then a single sort within
     * partitions serves all three window functions (same window spec).

@@ -319,6 +319,48 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("outer coverage reproduces both aggregates with zero-filled gaps") {
+    val got = graft.operators.Relational.outerCoverage(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cust = Tables.customer(spark, Sf)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 8000)
+      .join(Tables.nation(spark, Sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val supp = Tables.supplier(spark, Sf)
+      .filter(col("s_acctbal") > 8000)
+      .join(Tables.nation(spark, Sf), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === (cust.keySet ++ supp.keySet))
+    got.foreach { case (n, (nc, ns)) =>
+      assert(nc === cust.getOrElse(n, 0L) && ns === supp.getOrElse(n, 0L), n)
+    }
+  }
+
+  test("unpivot emits one row per (source, metric) with the stats values") {
+    val stats = graft.operators.Chunker.stats(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    val long = graft.operators.Relational.unpivotStats(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(long.size === stats.size * 3)
+    stats.foreach { case (s, (nd, sc, st)) =>
+      assert(long((s, "n_docs")) === nd && long((s, "sum_chars")) === sc
+        && long((s, "sum_toks")) === st, s)
+    }
+  }
+
+  test("streaks: active days conserve and the longest streak is bounded") {
+    val s = EventOps.activityStreaks(spark, Sf).cache()
+    val userDays = Tables.events(spark, Sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().count()
+    assert(s.agg(sum("active_days")).head().getLong(0) === userDays)
+    assert(s.filter(col("longest_streak") > col("active_days")).count() === 0)
+    assert(s.filter(col("n_streaks") < 1).count() === 0)
+    s.unpersist()
+  }
+
   test("cluster purity: modal share and totals are consistent") {
     val p = IvfIndex.clusterPurity(spark, Sf).cache()
     assert(p.agg(sum("n_vecs")).head().getLong(0) ===
