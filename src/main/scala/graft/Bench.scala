@@ -39,7 +39,10 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_ONLY=q1_agg,q3_join times just that subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter(q => only.forall(_.contains(q._1))).sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val t = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
         dropCaches()
@@ -50,7 +53,9 @@ object Bench {
     // failures carry a -1 sentinel per query; never fold them into the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    def s3(v: Double) = f"$v%.3f"
+    // explicit ROOT locale: under a comma-decimal default locale (de_DE)
+    // "%.3f" would print "0,676" and break the driver's JSON tail parse
+    def s3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full per-query detail goes to a file: the driver captures only the
     // LAST 2000 chars of output and parses the JSON line from that tail,
     // so with 80+ queries a full-precision map overflows the buffer and

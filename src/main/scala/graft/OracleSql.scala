@@ -1215,7 +1215,7 @@ object OracleSql {
        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN ${cents("value", "100.0")} ELSE 0 END) AS BIGINT) AS rev_cents
        |FROM e GROUP BY 1)
-       |SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+       |SELECT CAST(((user_id % 2) + 2) % 2 AS BIGINT) AS variant,
        |  count(*) AS n_users,
        |  CAST(sum(converted) AS BIGINT) AS n_converted,
        |  ${r6("sum(converted) / (1.0 * count(*))")} AS conv_rate,
@@ -1575,8 +1575,203 @@ object OracleSql {
        |  CAST(sum(len) AS BIGINT) AS active_days
        |FROM isl GROUP BY 1""".stripMargin
 
+  // ---- B2. faithful newsletter parse (reference utils.py:93-187) -------
+
+  /** python str.strip() as SQL (Spark mirror: Newsletter.pyStrip). */
+  private def pyStripSql(e: String) =
+    s"regexp_replace(regexp_replace($e, '^\\s+', ''), '\\s+" + "$', '')"
+
+  /** reference trim_empty_lines (Newsletter.trimEmptyLines mirror).
+    * coalesce: DuckDB's array_to_string yields NULL on an empty list
+    * where Spark's array_join (and python's join) give ''.
+    */
+  private def trimLinesSql(e: String) =
+    "coalesce(" + pyStripSql("array_to_string(list_filter(string_split(" + pyStripSql(e) +
+      ", chr(10)), x -> length(" + pyStripSql("x") + ") > 0), chr(10))") + ", '')"
+
+  /** The deterministic markdown built from a documents row — the exact
+    * SQL twin of Newsletter.syntheticMd.
+    */
+  private val newsletterMdCte: String =
+    """WITH src AS (SELECT doc_id, source,
+      |  regexp_replace(lower(text), '[^a-z ]', '', 'g') AS san,
+      |  CAST(DATE '2024-01-01' + CAST(doc_id % 365 AS INT) AS VARCHAR) AS dt
+      |  FROM documents),
+      |m AS (SELECT doc_id, dt,
+      |  '# Issue ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+      |  '[Share this on the socials](https://share.example/' || CAST(doc_id AS VARCHAR) || ')' || chr(10) ||
+      |  e'\n## 3 IDEAS FROM ME\n\nI.\n' || substr(san, 1, 80) ||
+      |  e'\n\nII.\n' || substr(san, 81, 80) ||
+      |  e'\n\nIII.\n' || substr(san, 161, 80) ||
+      |  e'\n\n---\n\n## 2 QUOTES FROM OTHERS\n\nI.\n' || substr(san, 241, 60) ||
+      |  e'\n\n*Source:* [*' || source || ' weekly*](https://src.example/' || CAST(doc_id AS VARCHAR) || e')\n\nII.\n' || substr(san, 301, 60) ||
+      |  e'\n\n*Source:* the ' || source || e' archive\n\n## 1 QUESTION FOR YOU\n\n' || substr(san, 361, 60) ||
+      |  e'\n\nUntil next week,\nJames\n' AS md
+      |  FROM src)""".stripMargin
+
+  val docParseMd: String = {
+    val qItem = pyStripSql("split_part(" +
+      pyStripSql("replace(s, '1 QUESTION FOR YOU', '')") + ", 'Until next week', 1)")
+    val qBody = pyStripSql("replace(replace(" +
+      "regexp_replace(regexp_replace(raw, '(?s)\\n\\*Source:\\*.*', ''), " +
+      "'\\[([^\\]]+)\\]\\([^\\)]+\\)', '\\1', 'g'), '**', ''), '  ', ' ')")
+    raw"""$newsletterMdCte,
+       |cl AS (SELECT doc_id, dt,
+       |  regexp_replace(md, '(?m)^\[Share this on.*\n?', '', 'g') AS t FROM m),
+       |sec0 AS (SELECT doc_id, dt, unnest(regexp_split_to_array(t, '(?m)^##\s+')) AS s0 FROM cl),
+       |sec AS (SELECT doc_id, dt, replace(s0, '---', '') AS s,
+       |  CASE WHEN contains(s0, '3 IDEAS FROM ME') THEN 'idea'
+       |       WHEN contains(s0, '2 QUOTES FROM OTHERS') THEN 'quote'
+       |       WHEN contains(s0, '1 QUESTION FOR YOU') THEN 'question' END AS category
+       |  FROM sec0),
+       |itm AS (SELECT doc_id, dt, category,
+       |  CASE WHEN category = 'question' THEN [$qItem]
+       |       ELSE list_slice(regexp_split_to_array(s, '[IVX]+\.'), 2, 1048576) END AS items
+       |  FROM sec WHERE category IS NOT NULL),
+       |ex AS (SELECT doc_id, dt, category, items,
+       |  unnest(generate_series(1, len(items))) AS i FROM itm),
+       |rw AS (SELECT doc_id, dt, category, CAST(i AS BIGINT) AS idx, items[i] AS raw FROM ex),
+       |qf AS (SELECT *,
+       |  nullif(regexp_extract(raw, '\*Source:\*\s*\[([^\]]+)\]\(([^\)]+)\)', 1), '') AS lt,
+       |  nullif(regexp_extract(raw, '\*Source:\*\s*\[([^\]]+)\]\(([^\)]+)\)', 2), '') AS lu,
+       |  nullif(regexp_extract(raw, '(?m)\*Source:\*\s*(.+)$$', 1), '') AS ft
+       |  FROM rw),
+       |qn AS (SELECT doc_id, dt, category, idx, raw,
+       |  CASE WHEN category = 'quote' THEN replace(coalesce(lt, ft), '*', '') END AS source_name,
+       |  CASE WHEN category = 'quote' AND lt IS NOT NULL THEN lu END AS source,
+       |  CASE WHEN category = 'quote' THEN $qBody END AS qbody
+       |  FROM qf)
+       |SELECT doc_id, category, idx,
+       |  CASE category
+       |    WHEN 'idea' THEN 'Idea from James Clear: ' || ${trimLinesSql("raw")}
+       |    WHEN 'quote' THEN ${trimLinesSql(
+            "CASE WHEN source_name IS NOT NULL THEN 'Quote from ' || source_name || ': ' || qbody ELSE qbody END")}
+       |    ELSE ${trimLinesSql("raw")}
+       |  END AS text,
+       |  source, source_name, dt AS date
+       |FROM qn""".stripMargin
+  }
+
+  /** e'...'-escaped DuckDB string literal for replacement strings that
+    * carry real newlines / backslash-digit backrefs (plain '...'
+    * literals leave \n uninterpreted and RE2 then drops the whole
+    * rewrite as invalid).
+    */
+  private def eStr(s: String): String = "e'" + s.flatMap {
+    case '\\' => "\\\\"
+    case '\'' => "''"
+    case '\n' => "\\n"
+    case c => c.toString
+  } + "'"
+
+  val docHtmlMd: String = {
+    // the same fold as Newsletter.htmlToMarkdown, generated from the
+    // shared HtmlMdChain so the two engines cannot drift
+    val folded = graft.operators.Newsletter.HtmlMdChain.foldLeft("content") {
+      case (acc, (pat, _, duckRep)) =>
+        s"regexp_replace($acc, '${pat.replace("'", "''")}', ${eStr(duckRep)}, 'g')"
+    }
+    s"""WITH src AS (SELECT doc_id, source,
+       |  regexp_replace(lower(text), '[^a-z ]', '', 'g') AS san FROM documents),
+       |h AS (SELECT doc_id,
+       |  '<html><body><header class="page__header"><h1>3-2-1: Issue ' || CAST(doc_id AS VARCHAR) ||
+       |  '</h1></header><div class="page__content">' ||
+       |  '<h2>3 IDEAS FROM ME</h2><p>I. ' || substr(san, 1, 60) ||
+       |  '</p><hr><h2>2 QUOTES FROM OTHERS</h2><p>I. ' || substr(san, 61, 60) ||
+       |  '</p><p><em>Source:</em> <a href="https://b.example/' || CAST(doc_id AS VARCHAR) ||
+       |  '">*' || source || '*</a></p>' ||
+       |  '<h2>1 QUESTION FOR YOU</h2><p>' || substr(san, 121, 60) ||
+       |  '</p><p>Until next week, James</p></div></body></html>' AS html
+       |  FROM src),
+       |c AS (SELECT doc_id, html,
+       |  coalesce(nullif(regexp_extract(html, '(?s)<div class="page__content"[^>]*>(.*)</div>', 1), ''), html) AS content,
+       |  nullif(${pyStripSql(
+          "regexp_replace(regexp_extract(html, '(?s)<h1[^>]*>(.*?)</h1>', 1), '<[^>]*>', '', 'g')")}, '') AS title
+       |  FROM h)
+       |SELECT doc_id,
+       |  regexp_extract(html, '(?s)<h1[^>]*>(.*?)</h1>', 1) AS title,
+       |  md5(${pyStripSql(
+          "(CASE WHEN title IS NOT NULL THEN '# ' || title || chr(10) || chr(10) ELSE '' END) || " +
+            pyStripSql(folded))}) AS md_hash
+       |FROM c""".stripMargin
+  }
+
+  /** The composed end-to-end pipeline (Pipeline.run): the per-doc keep
+    * decision = quality ∧ langid ∧ gopher ∧ not-dropped ∧ mix-kept
+    * (each stage the same SQL its standalone graded query uses), then
+    * token-budget shard packing over the survivors.
+    */
+  val pipelineE2e: String =
+    s"""WITH pt AS (SELECT doc_id, text, source, lang, $toks AS tk FROM documents),
+       |pq AS (SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_toks,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |  CAST(len(list_filter(tk, w -> w IN ($stopList))) AS BIGINT) AS n_stop,
+       |  CAST(length(text) AS BIGINT) AS n_chars_t
+       |FROM pt),
+       |pquality AS (SELECT doc_id, n_toks,
+       |  ${r6("1.0 / (1.0 + exp(-(0.02 * n_toks + 4.0 * (n_stop / (1.0 * n_toks)) - 8.0 * (n_punct / (1.0 * greatest(n_chars_t, 1))) - 1.0)))")} AS quality
+       |FROM pq),
+       |pm(cand, word) AS (VALUES $markerValues),
+       |plangs AS (SELECT DISTINCT cand FROM pm),
+       |pd AS (SELECT doc_id, unnest(tk) AS word FROM pt),
+       |ph AS (SELECT doc_id, cand, count(*) AS score FROM pd JOIN pm USING(word) GROUP BY 1, 2),
+       |psc AS (SELECT doc_id, lang, cand, coalesce(score, 0) AS score
+       |  FROM (SELECT doc_id, lang FROM documents) CROSS JOIN plangs LEFT JOIN ph USING(doc_id, cand)),
+       |pbest AS (SELECT doc_id, lang, cand AS pred_lang FROM (
+       |  SELECT doc_id, lang, cand,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM psc)
+       |  WHERE rn = 1),
+       |pg AS (SELECT doc_id, keep AS gkeep FROM ($textGopher)),
+       |pmix AS (SELECT doc_id,
+       |  CASE WHEN substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) <
+       |    (CASE (CAST(substr(source, 4) AS INT) % 4) WHEN 0 THEN '40000000'
+       |      WHEN 1 THEN '80000000' WHEN 2 THEN 'c0000000' ELSE 'zzzzzzzz' END)
+       |  THEN 1 ELSE 0 END AS mkept FROM documents),
+       |pdrops AS (SELECT drop_doc FROM ($dedupDrop)),
+       |pkd AS (SELECT pt.doc_id, pt.source, pquality.n_toks,
+       |  CASE WHEN pquality.quality >= (0.4)::DOUBLE AND pbest.pred_lang = pbest.lang
+       |    AND pg.gkeep = 1 AND pdrops.drop_doc IS NULL AND pmix.mkept = 1
+       |  THEN 1 ELSE 0 END AS kept
+       |  FROM pt
+       |  JOIN pquality USING(doc_id)
+       |  JOIN pbest USING(doc_id)
+       |  JOIN pg USING(doc_id)
+       |  JOIN pmix USING(doc_id)
+       |  LEFT JOIN pdrops ON pt.doc_id = pdrops.drop_doc),
+       |pc AS (SELECT doc_id, source, n_toks,
+       |  coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM pkd WHERE kept = 1)
+       |SELECT source, CAST(floor(cum_before / (2048.0)::DOUBLE) AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM pc GROUP BY 1, 2""".stripMargin
+
+  /** Sketch queries, graded on their exact columns: the estimate rides
+    * as a within-tolerance boolean that the oracle pins to TRUE — an
+    * out-of-bound sketch now fails the gate instead of going unchecked.
+    */
+  val qApproxDistinct: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  count(*) AS n, TRUE AS within_bound
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  val qApproxQuantile: String =
+    s"""SELECT l_returnflag,
+       |  ${r6("quantile_cont(l_extendedprice, 0.5)")} AS exact_p50,
+       |  ${r6("quantile_cont(l_extendedprice, 0.99)")} AS exact_p99,
+       |  TRUE AS within_bound
+       |FROM lineitem GROUP BY 1""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
+    "doc_parse_md" -> docParseMd,
+    "doc_html_md" -> docHtmlMd,
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_approx_quantile" -> qApproxQuantile,
+    "pipeline_e2e" -> pipelineE2e,
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
     "q_window" -> qWindow,

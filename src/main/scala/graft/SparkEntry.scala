@@ -39,8 +39,8 @@ object SparkEntry {
     "q_events_attribution" -> ((s, d) => EventOps.attribution(s, d)),
     "q_events_retention" -> ((s, d) => EventOps.retention(s, d)),
     "q_json" -> ((s, d) => EventOps.jsonAgg(s, d)),
-    "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)), // no oracle: sketch
-    "q_approx_quantile" -> ((s, d) => Relational.approxQuantiles(s, d)), // no oracle: sketch
+    "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)), // exact cols + bound bool oracle
+    "q_approx_quantile" -> ((s, d) => Relational.approxQuantiles(s, d)), // exact cols + bound bool oracle
     // B. document pipeline
     "doc_chunk" -> ((s, d) => Chunker.chunk(s, d)),
     "doc_chunk_cdc" -> ((s, d) => Chunker.chunkCdc(s, d)),
@@ -137,6 +137,13 @@ object SparkEntry {
     "q_outer_join" -> ((s, d) => Relational.outerCoverage(s, d)),
     "q_unpivot" -> ((s, d) => Relational.unpivotStats(s, d)),
     "q_streaks" -> ((s, d) => EventOps.activityStreaks(s, d)),
+    // B2. faithful newsletter ingest (reference utils.py:93-187,
+    // markdown_assets.py:64-91)
+    "doc_parse_md" -> ((s, d) => Newsletter.parseMdQuery(s, d)),
+    "doc_html_md" -> ((s, d) => Newsletter.htmlMdQuery(s, d)),
+    // the composed end-to-end curation pipeline (one decision scan →
+    // drop-list join → shard packing)
+    "pipeline_e2e" -> ((s, d) => Pipeline.run(s, d)),
   )
 
   /** DuckDB mirrors (see OracleSql). `mm_binary` is intentionally

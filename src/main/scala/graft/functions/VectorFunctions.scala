@@ -66,4 +66,16 @@ object VectorFunctions {
   /** Same, 9 decimals (for per-row integerization of small magnitudes). */
   def cents(c: Column, scale: Double): Column =
     floor(c * lit(scale) + lit(0.5)).cast("long")
+
+  /** Global window over a PROVABLY BOUNDED input — a ≤ top-k row set
+    * after a `.limit()`, or a series already collapsed to one row per
+    * day/group — never corpus-sized data. Partitioning on a constant is
+    * semantically identical to no partition (all rows in one group) but
+    * tells Spark the partition spec is intentional, so WindowExec's
+    * "No Partition Defined ... may cause serious performance
+    * degradation" warning doesn't fire on plans where the bound makes
+    * it moot.
+    */
+  def boundedWindow(order: Column*): org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window.partitionBy(lit(0)).orderBy(order: _*)
 }

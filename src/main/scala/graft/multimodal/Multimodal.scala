@@ -73,6 +73,10 @@ object Multimodal {
     val blocks = transform(idx, (i: Column) =>
       decoded.substr((i - lit(1)) * lit(4) + lit(1), lit(4)))
     val sigs = graft.Tables.fanOut(withBinary(Tables.documents(spark, dir)))
+      // zero-length payloads: the oracle's unnest drops them (no token
+      // rows), so drop them here too rather than emitting a sig=0 row
+      // that could band-match other low-bit signatures (ADVICE r4)
+      .filter(length(decoded) > 0)
       .select(col("doc_id"), graft.functions.TextExprs.simhash(blocks).as("sig"))
     val blkArr = array((0 until 4).map(b => struct(lit(b).as("blk"),
       shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bval"))): _*)

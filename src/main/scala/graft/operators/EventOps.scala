@@ -185,6 +185,9 @@ object EventOps {
           graft.functions.VectorFunctions.cents(col("value"), 100.0))
           .otherwise(0L)).as("rev_cents"))
     perUser
+      // pmod (always nonnegative) with the oracle written as
+      // ((user_id % 2) + 2) % 2 — identical buckets for any ID sign,
+      // not just the current nonnegative domain (ADVICE r4)
       .groupBy(pmod(col("user_id"), lit(2)).cast("long").as("variant"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("converted")).as("n_converted"),
@@ -288,7 +291,7 @@ object EventOps {
     val daily = base(spark, dir)
       .groupBy(expr("us div 86400000000").as("day"))
       .agg(sum(cents(col("value"), 100.0)).as("rev_cents"))
-    val w = Window.orderBy(col("day"))
+    val w = graft.functions.VectorFunctions.boundedWindow(col("day"))
     val tot = daily.agg(sum(col("rev_cents")).as("total"), count(lit(1)).as("nd"))
     daily
       .withColumn("cum", sum(col("rev_cents"))
@@ -341,7 +344,7 @@ object EventOps {
     val daily = base(spark, dir)
       .groupBy(expr("us div 86400000000").as("day"))
       .agg(sum(cents(col("value"), 100.0)).as("rev_cents"))
-    val w = Window.orderBy(col("day")).rowsBetween(-window, -1)
+    val w = graft.functions.VectorFunctions.boundedWindow(col("day")).rowsBetween(-window, -1)
     daily
       .withColumn("sum_prev", sum(col("rev_cents")).over(w))
       .withColumn("n_prev", count(lit(1)).over(w))

@@ -293,7 +293,7 @@ object KnnSearch {
     top.join(docs, top("vec_id") === docs("doc_id"))
       .withColumn("logit", rerankLogit(col("score"), col("n_chars")))
       .withColumn("rerank_rank",
-        row_number().over(Window.orderBy(col("logit").desc, col("doc_id").asc)).cast("long"))
+        row_number().over(graft.functions.VectorFunctions.boundedWindow(col("logit").desc, col("doc_id").asc)).cast("long"))
       .select(col("doc_id"), r6(col("score")).as("retrieve_score"),
         r6(col("logit")).as("logit"),
         r6(lit(1.0) / (lit(1.0) + exp(-col("logit")))).as("prob"),

@@ -103,13 +103,13 @@ object LexicalSearch {
       .orderBy(col("score").desc, col("vec_id").asc).limit(perList)
       .select(col("vec_id").as("doc_id"), col("score"))
       .withColumn("rank_vec",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        row_number().over(graft.functions.VectorFunctions.boundedWindow(col("score").desc, col("doc_id").asc)).cast("long"))
     val lexTop = scoredDocs(spark, dir)
       .filter(col("score_e6") > 0)
       .orderBy(col("score_e6").desc, col("doc_id").asc).limit(perList)
       .select(col("doc_id"), col("score_e6"))
       .withColumn("rank_lex",
-        row_number().over(Window.orderBy(col("score_e6").desc, col("doc_id").asc)).cast("long"))
+        row_number().over(graft.functions.VectorFunctions.boundedWindow(col("score_e6").desc, col("doc_id").asc)).cast("long"))
     vecTop.select("doc_id", "rank_vec")
       .join(lexTop.select("doc_id", "rank_lex"), Seq("doc_id"), "full_outer")
       .withColumn("rrf_e9",

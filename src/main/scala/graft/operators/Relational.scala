@@ -445,10 +445,10 @@ object Relational {
   /** Approximate quantiles (the mergeable percentile sketch — the
     * distributed answer when exact percentile's full sort-per-group is
     * too expensive) next to the exact values, with the observed error.
-    * Like q_approx_distinct this is a sketch surface: rows-only oracle,
-    * spec bounds the relative error.
+    * Raw form: the estimate columns are engine-specific, so specs bound
+    * them but no oracle can hash them.
     */
-  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+  def approxQuantilesRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -462,12 +462,36 @@ object Relational {
         r6(col("ex99")).as("exact_p99"),
         r6(abs(element_at(col("ap"), 1) - col("ex50")) / col("ex50")).as("rel_err_p50"))
 
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+  /** Graded form (r4 VERDICT #8): the exact percentiles hash-match the
+    * DuckDB oracle, and the sketch enters as a deterministic
+    * within-tolerance boolean (oracle asserts TRUE) — if the estimate
+    * ever drifts outside 5% of exact, the correctness gate FAILS
+    * instead of the estimate being unchecked.
+    */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    approxQuantilesRaw(spark, dir)
+      .select(col("l_returnflag"), col("exact_p50"), col("exact_p99"),
+        (abs(col("approx_p50") - col("exact_p50")) <= col("exact_p50") * 0.05 &&
+          abs(col("approx_p99") - col("exact_p99")) <= col("exact_p99") * 0.05)
+          .as("within_bound"))
+
+  /** Raw HLL++ readout (spec target — estimate column unhashable). */
+  def approxDistinctRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n"))
+
+  /** Graded form: exact columns + the HLL estimate folded into a
+    * within-2×rsd boolean the oracle asserts TRUE (see
+    * [[approxQuantiles]] for the rationale).
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    approxDistinctRaw(spark, dir)
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.04).as("within_bound"))
 
   /** Multi-level aggregate (ROLLUP) for cube-style reporting. Rollup
     * grouping sets are computed in one pass (Expand + partial agg).

@@ -66,7 +66,7 @@ object SearchApi {
     ).flatten.foldLeft(reranked)((df, p) => df.filter(p))
     filtered
       .withColumn("rerank_rank",
-        row_number().over(Window.orderBy(col("logit").desc, col("doc_id").asc)).cast("long"))
+        row_number().over(graft.functions.VectorFunctions.boundedWindow(col("logit").desc, col("doc_id").asc)).cast("long"))
       .select("doc_id", "score", "logit", "prob", "label", "rerank_rank", "lang", "text")
   }
 
@@ -109,7 +109,7 @@ object SearchApi {
       .orderBy(col("score").desc, col("vec_id").asc).limit(perList)
       .select(col("vec_id").as("doc_id"), col("score"))
       .withColumn("rank_vec",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        row_number().over(graft.functions.VectorFunctions.boundedWindow(col("score").desc, col("doc_id").asc)).cast("long"))
       .drop("score")
     // lexical pass: per-query terms → tf/df stats → BM25, same shape as
     // LexicalSearch.bm25 but parameterized by the query text
@@ -136,7 +136,7 @@ object SearchApi {
       .orderBy(col("score_e6").desc, col("doc_id").asc).limit(perList)
       .select(col("doc_id"), col("score_e6"))
       .withColumn("rank_lex",
-        row_number().over(Window.orderBy(col("score_e6").desc, col("doc_id").asc)).cast("long"))
+        row_number().over(graft.functions.VectorFunctions.boundedWindow(col("score_e6").desc, col("doc_id").asc)).cast("long"))
     vecTop.join(lexTop.select("doc_id", "rank_lex"), Seq("doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)) +

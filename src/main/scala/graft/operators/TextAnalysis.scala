@@ -148,6 +148,13 @@ object TextAnalysis {
     * groupBy): top-5 surviving tokens by estimated count. A sketch —
     * no SQL oracle; HeavyHitterSketchSpec bounds the error against the
     * exact counts and asserts the guarantee set survives.
+    *
+    * Determinism caveat (ADVICE r4): the MG merge (sum counters, then
+    * subtract the (k+1)-largest) is commutative but NOT associative,
+    * and Spark merges partial buffers in shuffle-fetch arrival order —
+    * so est_count values (and, near ties, the surviving set) can vary
+    * run-to-run on identical input. Only the N/(k+1) error BOUND is
+    * stable, which is why this query is declared rows-only.
     */
   def heavySketch(spark: SparkSession, dir: String, counters: Int = 64,
       topN: Int = 5): DataFrame = {
@@ -305,9 +312,11 @@ object TextAnalysis {
     * surfaced. Per-bigram contributions are integerized before the
     * per-doc sum.
     *
-    * Scale shape: the bigram explode is map-side; corpus counts are two
-    * partial-agg shuffles; doc scoring joins the exploded bigrams
-    * against the (much smaller) count tables on their natural keys.
+    * Scale shape: the bigram explode is map-side; the corpus shuffles
+    * exactly once, on `bg` (the count groupBy — the scoring join hits
+    * the same key, so the exchange is reused). Prefix counts roll up
+    * from the vocab-sized bigram counts and are folded back into them
+    * vocab-side, so the corpus never re-shuffles on `pre`.
     */
   def bigramLm(spark: SparkSession, dir: String, worstK: Int = 10): DataFrame = {
     import graft.functions.TextFunctions.gramsAll
@@ -316,12 +325,14 @@ object TextAnalysis {
       .select(col("doc_id"), explode(gramsAll(tokens(col("text")), 2)).as("bg"))
     val cbg = bg.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
     // prefix counts roll up from the bigram counts (vocab-sized input),
-    // NOT from the exploded corpus — one corpus-wide shuffle instead of two
+    // NOT from the exploded corpus — and join back into the bigram
+    // counts here, while everything is still vocab-sized
     val cpre = cbg.groupBy(substring_index(col("bg"), " ", 1).as("pre"))
       .agg(sum(col("cbg")).as("cpre"))
-    bg.join(cbg, "bg")
-      .withColumn("pre", substring_index(col("bg"), " ", 1))
+    val probs = cbg.withColumn("pre", substring_index(col("bg"), " ", 1))
       .join(cpre, "pre")
+      .select(col("bg"), col("cbg"), col("cpre"))
+    bg.join(probs, "bg")
       .withColumn("lp_e6", cents(log(col("cbg") / (lit(1.0) * col("cpre"))), 1e6))
       .groupBy(col("doc_id"))
       .agg(sum(col("lp_e6")).as("sum_lp_e6"), count(lit(1)).as("n_bigrams"))

@@ -41,6 +41,43 @@ object Ingest {
       .select(monotonically_increasing_id().as("doc_id"),
         col("value").as("text"), lit("und").as("lang"), lit(source).as("source")))
 
+  /** Downloaded newsletter HTML pages → markdown documents — the
+    * reference's actual ingest front door (markdown_assets.py:30-94):
+    * one file per issue, filename `{slug}_{hash}.html` where the slug
+    * leads with the issue date as `{month-name}-{day}-{year}` (the
+    * reference parses it with strptime "%B-%d-%Y",
+    * markdown_assets.py:44-54). Reads whole files, extracts the
+    * `page__header` h1 title and `page__content` div, converts to
+    * markdown ([[graft.operators.Newsletter.htmlToMarkdown]]), and
+    * derives the issue date from the filename. The result feeds
+    * [[graft.operators.Newsletter.parseNewsletter]] directly.
+    *
+    * doc_id is a stable 60-bit prefix of md5(filename) — deterministic
+    * across re-ingests, so [[appendCorpus]]'s idempotence holds for
+    * re-downloaded issues. Scale: wholetext reading gives one task per
+    * file; every transform after the read is per-row column math.
+    */
+  def fromHtml(spark: SparkSession, path: String): DataFrame = {
+    import graft.operators.Newsletter
+    val named = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("path"), col("value").as("html"))
+      .withColumn("fname", regexp_extract(col("path"), "([^/]+)\\.html$", 1))
+    val slugDate = named
+      // "march-4-2024-three-things_ab12cd.html" → ["march","4","2024"]
+      .withColumn("dparts",
+        slice(split(substring_index(col("fname"), "_", 1), "-"), 1, 3))
+      .withColumn("issue_date",
+        date_format(try_to_date(
+          concat_ws("-", initcap(element_at(col("dparts"), 1)),
+            element_at(col("dparts"), 2), element_at(col("dparts"), 3)),
+          "MMMM-d-yyyy"), "yyyy-MM-dd"))
+    slugDate.select(
+      // 15 hex chars = 60 bits — collision-safe far past any issue count
+      conv(substring(md5(col("fname")), 1, 15), 16, 10).cast("long").as("doc_id"),
+      Newsletter.htmlToMarkdown(col("html")).as("md_text"),
+      col("issue_date"), col("fname").as("source_file"))
+  }
+
   /** Canonical corpus layout: parquet partitioned by lang. */
   def writeCorpus(docs: DataFrame, path: String): Unit =
     docs.write.mode("overwrite").partitionBy("lang").parquet(path)

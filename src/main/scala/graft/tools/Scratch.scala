@@ -1,0 +1,213 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only measurement harness (not part of the graded surface):
+  * times query variants in isolation, driver-bench style (cold cache,
+  * min-of-2), to settle perf questions by measurement instead of
+  * guesswork. Run: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.Scratch <variant...>"
+  */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def dropCaches(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    // warmup
+    graft.SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    dropCaches()
+    val variants: Map[String, () => Unit] = Map(
+      "ngram" -> (() => graft.operators.Dedup.ngramJaccard(spark, sfDir).count()),
+      "drop" -> (() => graft.operators.Dedup.dropDecisions(spark, sfDir).count()),
+      "report" -> (() => graft.operators.Dedup.report(spark, sfDir).count()),
+      "components" -> (() => graft.operators.Dedup.components(spark, sfDir).count()),
+      "bigram" -> (() => graft.operators.TextAnalysis.bigramLm(spark, sfDir).count()),
+      "pagerank" -> (() => graft.operators.GraphOps.pagerank(spark, sfDir).count()),
+      // copy of Dedup.components with per-phase timing + round count
+      "comp_diag" -> { () =>
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.Dedup.ngramJaccard(spark, sfDir)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint()
+        val t1 = System.nanoTime()
+        val nodes = pairs.select(col("doc_a").as("doc"))
+          .union(pairs.select(col("doc_b").as("doc"))).distinct()
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint()
+        val t2 = System.nanoTime()
+        def step(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val prop = edges.join(l, col("src") === col("doc"))
+            .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+          l.join(prop, col("doc") === col("dst"), "left")
+            .select(col("doc"),
+              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"), col("old"))
+        }
+        var labels = nodes.withColumn("lbl", col("doc")).localCheckpoint()
+        val t3 = System.nanoTime()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0) {
+          val r0 = System.nanoTime()
+          val next = step(step(labels.withColumn("old", col("lbl")))).localCheckpoint()
+          val r1 = System.nanoTime()
+          changed = next.filter(col("lbl") =!= col("old")).count()
+          val r2 = System.nanoTime()
+          labels = next.select("doc", "lbl")
+          rounds += 1
+          println(f"  round $rounds: ckpt=${(r1 - r0) / 1e9}%.2f count=${(r2 - r1) / 1e9}%.2f changed=$changed")
+        }
+        println(f"  pairs=${(t1 - t0) / 1e9}%.2f edges=${(t2 - t1) / 1e9}%.2f labels0=${(t3 - t2) / 1e9}%.2f rounds=$rounds")
+      },
+      // ngramJaccard WITHOUT the cand persist
+      "ngram_np" -> (() => ngramJacVariant(spark, sfDir, persistCand = false).count()),
+      "drop_np" -> { () =>
+        ngramJacVariant(spark, sfDir, persistCand = false)
+          .filter(col("jaccard") >= 0.8)
+          .groupBy(col("doc_b").as("drop_doc"))
+          .agg(min(col("doc_a")).as("kept_doc"), max(col("jaccard")).as("max_jaccard"))
+          .count()
+      },
+      "drop_p" -> { () =>
+        ngramJacVariant(spark, sfDir, persistCand = true)
+          .filter(col("jaccard") >= 0.8)
+          .groupBy(col("doc_b").as("drop_doc"))
+          .agg(min(col("doc_a")).as("kept_doc"), max(col("jaccard")).as("max_jaccard"))
+          .count()
+      },
+      // eager persist: materialize cand with its own small job first,
+      // so the main action reads a stats-known cache
+      "drop_pe" -> { () =>
+        val cand = graft.operators.Dedup.minhashLsh(spark, sfDir)
+          .select("doc_a", "doc_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cand.count()
+        ngramJacFrom(spark, sfDir, cand)
+          .filter(col("jaccard") >= 0.8)
+          .groupBy(col("doc_b").as("drop_doc"))
+          .agg(min(col("doc_a")).as("kept_doc"), max(col("jaccard")).as("max_jaccard"))
+          .count()
+      },
+      "ngram_pe" -> { () =>
+        val cand = graft.operators.Dedup.minhashLsh(spark, sfDir)
+          .select("doc_a", "doc_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cand.count()
+        ngramJacFrom(spark, sfDir, cand).count()
+      },
+      // one-pass report: explode pairs into doc rows, single aggregate
+      "report_1p" -> { () =>
+        ngramJacVariant(spark, sfDir, persistCand = false)
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"), col("jaccard"))
+          .agg(
+            (count(lit(1)) / 2).cast("long").as("n_candidate_pairs"),
+            (sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)) / 2).cast("long").as("n_verified_pairs"),
+            (sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)) / 2).cast("long").as("n_drop_pairs"),
+            countDistinct(when(col("jaccard") >= 0.5, col("doc_id"))).as("n_docs_implicated"))
+          .count()
+      },
+      // components v2: persist+count pairs, lazy localCheckpoint folded
+      // into the convergence count
+      "comp_v2" -> { () =>
+        val t0 = System.nanoTime()
+        val pairs = ngramJacVariant(spark, sfDir, persistCand = false)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.count()
+        val t1 = System.nanoTime()
+        val nodes = pairs.select(col("doc_a").as("doc"))
+          .union(pairs.select(col("doc_b").as("doc"))).distinct()
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        def step(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val prop = edges.join(l, col("src") === col("doc"))
+            .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+          l.join(prop, col("doc") === col("dst"), "left")
+            .select(col("doc"),
+              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"), col("old"))
+        }
+        var labels = nodes.withColumn("lbl", col("doc"))
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0) {
+          val r0 = System.nanoTime()
+          val next = step(step(labels.withColumn("old", col("lbl")))).localCheckpoint(false)
+          changed = next.filter(col("lbl") =!= col("old")).count()
+          labels = next.select("doc", "lbl")
+          rounds += 1
+          println(f"  v2 round $rounds: ${(System.nanoTime() - r0) / 1e9}%.2f changed=$changed")
+        }
+        println(f"  v2 pairs=${(t1 - t0) / 1e9}%.2f rounds=$rounds")
+      }
+    )
+
+    val names = if (args.nonEmpty) args.toSeq else variants.keys.toSeq.sorted
+    names.foreach { n =>
+      val runs = (1 to 3).map { _ => val t = time(variants(n)()); dropCaches(); t }
+      println(f"SCRATCH $n%-12s min=${runs.min}%.2f runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+
+  def ngramJacVariant(spark: SparkSession, dir: String,
+      persistCand: Boolean): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    val cand0 = Dedup.minhashLsh(spark, dir).select("doc_a", "doc_b")
+    val cand = if (persistCand)
+      cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else cand0
+    val sh = Dedup.docShingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        graft.functions.VectorFunctions.r6(
+          col("n_inter") / (lit(1.0) * (col("n_a") + col("n_b") - col("n_inter")))))
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+  }
+
+  def ngramJacFrom(spark: SparkSession, dir: String,
+      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    val sh = Dedup.docShingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        graft.functions.VectorFunctions.r6(
+          col("n_inter") / (lit(1.0) * (col("n_a") + col("n_b") - col("n_inter")))))
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+  }
+}

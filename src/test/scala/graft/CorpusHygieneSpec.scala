@@ -53,7 +53,7 @@ class CorpusHygieneSpec extends AnyFunSuite {
   }
 
   test("approx quantiles stay within sketch accuracy of the exact percentiles") {
-    val rows = Relational.approxQuantiles(spark, Sf).collect()
+    val rows = Relational.approxQuantilesRaw(spark, Sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getDouble(5) <= 0.05, s"p50 relative error ${r.getDouble(5)} too large")

@@ -30,7 +30,7 @@ class EventOpsSpec extends AnyFunSuite {
   }
 
   test("approx distinct is within the configured error of exact") {
-    val r = graft.operators.Relational.approxDistinct(spark, Sf)
+    val r = graft.operators.Relational.approxDistinctRaw(spark, Sf)
       .withColumn("rel_err",
         abs(col("approx_parts") - col("exact_parts")) / col("exact_parts"))
     assert(r.filter(col("rel_err") > 0.1).count() === 0)
