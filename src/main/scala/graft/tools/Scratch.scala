@@ -75,6 +75,34 @@ object Scratch {
         }
         println(f"  pairs=${(t1 - t0) / 1e9}%.2f edges=${(t2 - t1) / 1e9}%.2f labels0=${(t3 - t2) / 1e9}%.2f rounds=$rounds")
       },
+      "scan_dec" -> (() => graft.operators.Pipeline.scanDecisions(spark, sfDir).count()),
+      "doc_dec" -> (() => graft.operators.Pipeline.docDecisions(spark, sfDir).count()),
+      "pipe_e2e" -> (() => graft.operators.Pipeline.run(spark, sfDir).count()),
+      "pipe_filter" -> (() =>
+        graft.operators.Pipeline.docDecisions(spark, sfDir)
+          .filter(col("kept") === 1).count()),
+      // pushdown barrier: a non-deterministic column stops Catalyst
+      // substituting the kept expression into the filter
+      "pipe_barrier" -> { () =>
+        val d = graft.operators.Pipeline.docDecisions(spark, sfDir)
+          .withColumn("rid", monotonically_increasing_id())
+        d.filter(col("kept") === 1).drop("rid").count()
+      },
+      "pipe_persist" -> { () =>
+        val d = graft.operators.Pipeline.docDecisions(spark, sfDir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.count()
+        d.filter(col("kept") === 1).count()
+      },
+      "pipe_winonly" -> { () =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        graft.operators.Pipeline.docDecisions(spark, sfDir)
+          .filter(col("kept") === 1)
+          .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+          .select(max(col("cum_before"))).count()
+      },
       // ngramJaccard WITHOUT the cand persist
       "ngram_np" -> (() => ngramJacVariant(spark, sfDir, persistCand = false).count()),
       "drop_np" -> { () =>
