@@ -295,22 +295,39 @@ object TextAnalysis {
     * rescales by the maximum ln(n_uniq).
     *
     * Scale shape: pure per-row array math in one scan — zero shuffle.
-    * The per-term count is an O(T²) nested HOF bounded by document
-    * length, not corpus size.
+    * Per-token counts come from run lengths of the sorted array —
+    * O(T log T) per row (HOF lambdas are interpreted; the naive
+    * count-equal-per-distinct-token scan is O(T²) and was this file's
+    * second hidden quadratic after gopher's top-2-gram).
     */
   def entropyScore(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.cents
     val toks = tokens(col("text"))
     val n = size(toks)
-    val termE6 = transform(array_distinct(toks), t => {
-      val p = size(filter(toks, y => y === t)) / (lit(1.0) * n)
+    // cents(-p ln p) for a token occurring `run` times — identical
+    // per-distinct-token terms to the oracle's formulation; the sum is
+    // order-independent because each term is integerized first
+    def termOf(run: org.apache.spark.sql.Column) = {
+      val p = run / (lit(1.0) * n)
       cents(-p * log(p), 1e6)
-    })
+    }
+    val entE6 = aggregate(array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+      (acc, x) => {
+        val closes = acc.getField("run") > 0 && (x =!= acc.getField("prev"))
+        struct(x.as("prev"),
+          when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+            .otherwise(lit(1L)).as("run"),
+          (acc.getField("acc") + when(closes, termOf(acc.getField("run")))
+            .otherwise(lit(0L))).as("acc"))
+      },
+      acc => acc.getField("acc") +
+        when(acc.getField("run") > 0, termOf(acc.getField("run"))).otherwise(lit(0L)))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         n.cast("long").as("n_toks"),
         size(array_distinct(toks)).cast("long").as("n_uniq"),
-        aggregate(termE6, lit(0L), (a, x) => a + x).as("ent_e6"))
+        entE6.as("ent_e6"))
       .withColumn("entropy", r6(col("ent_e6") / lit(1e6)))
       .withColumn("norm_entropy",
         when(col("n_uniq") > 1, r6(col("ent_e6") / (lit(1e6) * log(col("n_uniq")))))

@@ -57,10 +57,17 @@ object Ingest {
     * re-downloaded issues. Scale: wholetext reading gives one task per
     * file; every transform after the read is per-row column math.
     */
-  def fromHtml(spark: SparkSession, path: String): DataFrame = {
+  def fromHtml(spark: SparkSession, path: String): DataFrame =
+    htmlDocs(spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("path"), col("value").as("html")))
+
+  /** The per-file transform shared by [[fromHtml]] and the streaming
+    * ingest (streaming/NewsletterStream) — one code path, so backfill
+    * and live tail cannot drift. Input: (path, html) rows.
+    */
+  def htmlDocs(files: DataFrame): DataFrame = {
     import graft.operators.Newsletter
-    val named = spark.read.option("wholetext", "true").text(path)
-      .select(input_file_name().as("path"), col("value").as("html"))
+    val named = files
       .withColumn("fname", regexp_extract(col("path"), "([^/]+)\\.html$", 1))
     val slugDate = named
       // "march-4-2024-three-things_ab12cd.html" → ["march","4","2024"]
