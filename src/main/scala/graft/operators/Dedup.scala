@@ -219,10 +219,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     pairs.count()
-    // nodes/edges are two-column projections of the cached pairs —
-    // shallow plans, nothing to checkpoint
-    val nodes = pairs.select(col("doc_a").as("doc"))
-      .union(pairs.select(col("doc_b").as("doc"))).distinct()
+    // edges are two-column projections of the cached pairs — shallow
+    // plans, nothing to checkpoint
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // lineage truncation per round — the one legitimate checkpoint use
@@ -237,26 +235,33 @@ object Dedup {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)
-    // one min-label step, preserving the carried "old" column so the
-    // convergence check is a filter on the materialized result, not
-    // another join+shuffle per round
-    def step(l: DataFrame): DataFrame = {
-      val prop = edges.join(l, col("src") === col("doc"))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-      l.join(prop, col("doc") === col("dst"), "left")
-        .select(col("doc"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"), col("old"))
-    }
-    var labels = nodes.withColumn("lbl", col("doc"))
-    var changed = 1L
-    while (changed > 0) {
-      // two hops per round: halves the materialize+count round trips
-      // (the per-round fixed cost dominates — the label tables are
-      // tiny); a fixed point of one step is a fixed point of two, so
-      // the convergence check is unchanged
-      val next = cut(step(step(labels.withColumn("old", col("lbl")))))
-      changed = next.filter(col("lbl") =!= col("old")).count()
-      labels = next.select("doc", "lbl")
+    // one min-label hop in its cheapest relational form: propagated
+    // labels unioned with the current ones, one aggregate — a single
+    // join + groupBy per hop (the older prop ⋈ left-join-back shape
+    // paid two joins per hop; per-round fixed cost dominates here)
+    def step(l: DataFrame): DataFrame =
+      edges.join(l, col("src") === col("doc"))
+        .select(col("dst").as("doc"), col("lbl"))
+        .union(l)
+        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+    // seed WITHOUT a distinct — the first hop's groupBy(doc) dedups,
+    // so the seed's duplicate node rows never survive a round
+    var labels = pairs.select(col("doc_a").as("doc"), col("doc_a").as("lbl"))
+      .union(pairs.select(col("doc_b").as("doc"), col("doc_b").as("lbl")))
+    // labels only ever decrease, so Σlbl strictly decreases iff any
+    // label changed — the convergence check is the same aggregate that
+    // materializes the round's lazy checkpoint (ONE job per round, no
+    // carried "old" column, no comparison join). decimal(38) so the
+    // sum cannot overflow at any id domain / node count.
+    var prev: java.math.BigDecimal = null
+    var done = false
+    while (!done) {
+      // two hops per round: halves the materialize+check round trips;
+      // a fixed point of one step is a fixed point of two
+      val next = cut(step(step(labels)))
+      val s = next.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head().getDecimal(0)
+      if (s == null || (prev != null && s.compareTo(prev) == 0)) done = true
+      else { prev = s; labels = next }
     }
     labels.select(col("doc").as("doc_id"), col("lbl").as("component"))
       .withColumn("comp_size",
