@@ -139,7 +139,9 @@ object Newsletter {
     * synthesis — is what's compared.
     */
   def syntheticMd(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // fanOut: single-file test tables give one input split; the parse
+    // is per-row math and should use every core
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
     // lowercase letters+spaces only: segments can never fake a Roman
     // numeral, a header or link markup, so every chunk boundary comes
     // from the constructed skeleton (content inside is arbitrary)
@@ -205,7 +207,7 @@ object Newsletter {
     * oracle rebuilds the same HTML and mirrors the same regex fold).
     */
   def htmlMdQuery(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
     val san = regexp_replace(lower(col("text")), "[^a-z ]", "")
     val id = col("doc_id").cast("string")
     val html = concat(

@@ -135,6 +135,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("newsletter parse and html conversion are single-scan map-side (no key shuffle)") {
+    assertNoKeyShuffle(planOf("doc_parse_md"))
+    assertNoKeyShuffle(planOf("doc_html_md"))
+  }
+
+  test("bigram-LM shuffles the exploded corpus exactly once (on the bigram key)") {
+    val p = planOf("text_bigram_lm")
+    // the corpus-sized exploded bigram table is keyed by `bg` for both
+    // the count groupBy and the scoring join — ReusedExchange or a
+    // single hashpartitioning(bg) exchange; a second corpus-wide
+    // exchange on `pre` must NOT exist
+    assert(!p.contains("hashpartitioning(pre"), p)
+  }
+
   test("salted agg is exactly two partial-agg exchanges (salt stage + merge stage)") {
     val df = graft.operators.EventOps.skewAgg(spark, Sf)
     df.collect()
