@@ -53,4 +53,19 @@ class DedupSpec extends AnyFunSuite {
     val e = Dedup.embedCosine(spark, Sf)
     assert(e.filter(col("cos_sim") < 0.349999).count() === 0)
   }
+
+  test("components with a reliable checkpoint dir matches the default and truncates lineage") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-comp-ckpt").toString
+    val withCkpt = Dedup.components(spark, Sf, checkpointDir = Some(ckpt))
+    val default = Dedup.components(spark, Sf)
+    assert(withCkpt.collect().toSet === default.collect().toSet)
+    // the loop's label plan was cut at the checkpoint: the final plan
+    // reads the checkpointed RDD, not the unrolled join chain
+    val plan = withCkpt.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("Scan ExistingRDD"), plan)
+    // and the reliable checkpoint actually wrote to the requested dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Path.of(ckpt))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, s"no checkpoint files under $ckpt")
+  }
 }
