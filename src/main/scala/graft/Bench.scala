@@ -41,15 +41,28 @@ object Bench {
     }
     // dev aid: SPARK_GRAFT_ONLY=q1_agg,q3_join times just that subset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // this box is a shared-host VM with bursty CPU steal (observed up to
+    // ~50% of a core for tens of seconds — /proc/stat col 9); a burst
+    // landing on a query's both runs poisons its number with no code
+    // cause. Three runs instead of two plus a steal reading alongside
+    // the total make a noisy round self-diagnosing instead of
+    // indistinguishable from a regression.
+    def stealJiffies(): Long =
+      try scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).map(_.trim.split("\\s+")(8).toLong).getOrElse(0L)
+      catch { case _: Throwable => 0L }
+    val steal0 = stealJiffies()
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq
       .filter(q => only.forall(_.contains(q._1))).sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to nRuns).map { _ =>
         val t = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
         dropCaches()
         t
       }
-      name -> (if (runs.contains(-1.0)) -1.0 else runs.min)
+      name -> (if (runs.forall(_ == -1.0)) -1.0 else runs.filter(_ >= 0).min)
     }
+    val stealSec = (stealJiffies() - steal0) / 100.0
     // failures carry a -1 sentinel per query; never fold them into the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
@@ -64,12 +77,12 @@ object Bench {
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","failed":$failed,"queries":$fullJson,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","failed":$failed,"cpu_steal_sec":${s3(stealSec)},"runs":$nRuns,"queries":$fullJson,"sf":"$sfDir"}""" + "\n")
     catch { case _: Throwable => () }
     // Printed line: slowest queries first, trimmed to fit the tail buffer
     // (2000 chars minus sbt's "[success] ..." epilogue, with headroom).
     val budget = 1650
-    val header = s"""{"metric":"total","value":${s3(total)},"unit":"sec","failed":$failed,"queries":{"""
+    val header = s"""{"metric":"total","value":${s3(total)},"unit":"sec","failed":$failed,"cpu_steal_sec":${s3(stealSec)},"queries":{"""
     val footer = s"""},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     val bySlowest = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + s3(v) }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -17,19 +17,21 @@ import graft.functions.VectorFunctions._
   * and the expensive exact measure (Jaccard / cosine) runs only on
   * candidates.
   *
-  * Materialization policy (rounds 2-5 lessons): only SMALL derived
+  * Materialization policy (rounds 2-6 lessons): only SMALL derived
   * tables (band/block signatures — a handful of narrow rows per doc —
   * and candidate pairs) are ever persisted, with lineage kept (an
   * executor loss recomputes; an eager `localCheckpoint` would kill the
   * job AND skips AQE's runtime re-planning — measured 4× worse). The
   * candidate-pair table at the root of the verify chain is persisted
-  * EAGERLY (persist + count): the extra tiny job lets AQE plan every
-  * downstream join against the cache's exact row count (broadcasts),
-  * which measured 2-3× faster for the chain's consumers than lazy
-  * persistence. Corpus-wide intermediates (exploded shingles,
-  * embedding vectors) are never cached — recomputing a map-side scan is
-  * cheaper than materializing a second copy of the dataset, at sf0.1
-  * and even more so at 100 TB.
+  * eagerly (persist + count) ONLY for multi-traversal consumers, and
+  * the choice is caller-controlled (`ngramJaccard(eagerCand=...)`):
+  * the r5 round made it unconditional and the driver bench doubled the
+  * single-pass consumers (pipeline_filter 0.53 → 1.05 s) while the
+  * iterative consumer picked up a second sequential barrier
+  * (dedup_components 6.7 → 10.2 s). Corpus-wide intermediates
+  * (exploded shingles, embedding vectors) are never cached —
+  * recomputing a map-side scan is cheaper than materializing a second
+  * copy of the dataset, at sf0.1 and even more so at 100 TB.
   */
 object Dedup {
 
@@ -119,42 +121,48 @@ object Dedup {
 
   /** Exact n-gram (3-shingle) Jaccard, computed only on the LSH
     * candidate pairs (the verify step of the MinHash pipeline).
+    *
+    * Verify shape (round 6): ONE corpus scan, semi-joined down to the
+    * docs that appear in any candidate pair, carrying each doc's
+    * distinct-shingle ARRAY; the intersection is per-pair
+    * `array_intersect` column math. This replaces the round-5 shape
+    * (three shingle-explode corpus scans + a corpus-wide shuffle on
+    * (doc_b, shingle)) — the intersection now shuffles only
+    * candidate-doc rows, never the corpus. At extreme scale, if the
+    * candidate-doc set outgrows a broadcast, materialize it to a table
+    * and make the semi-join a co-partitioned shuffle join — the verify
+    * still only ever moves candidate docs.
+    *
+    * `eagerCand`: materialize the candidate pairs with their own small
+    * job (persist + count) before the main action. Multi-traversal
+    * consumers (the chain family: report, drop, components) want this —
+    * AQE then plans every downstream join against the cache's exact
+    * (tiny) row count. Single-pass consumers embedded in a bigger plan
+    * (pipeline_filter / pipeline_e2e) pass false and skip the barrier
+    * (the r5 driver bench measured the unconditional barrier doubling
+    * pipeline_filter, 0.53 → 1.05 s).
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // candidate pairs: tiny (near-dup pairs only) and consumed three
-    // times (spine + both intersection probes). Materialized EAGERLY
-    // (persist + count) before the main action builds on it: AQE then
-    // plans every downstream join against the cache's exact (tiny)
-    // row count → broadcast joins, and the band self-join runs exactly
-    // once instead of being re-planned mid-action. Measured round 5 at
-    // sf0.1: eager 3.0 s vs lazy-persist 7.2 s for the plain chain,
-    // and the lazy persist made the chain's CONSUMERS (drop/report)
-    // 2-3× worse still — the r4 VERDICT finding. The extra job is one
-    // scan of an already-tiny table.
+  def ngramJaccard(spark: SparkSession, dir: String,
+      eagerCand: Boolean = true): DataFrame = {
     val cand = minhashLsh(spark, dir).select("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cand.count()
-    // the joins against `cand` below prune the exact measure to
-    // candidate pairs. (A semi-join pruning the corpus BEFORE the
-    // shingle explode was measured here and lost: it serializes the
-    // full LSH chain onto the critical path as a broadcast barrier
-    // before the scan can start. At extreme scale, materialize the
-    // candidate ids to a table first and prune the re-shingle scan
-    // against it as a separate stage instead.)
-    val sh = docShingles(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    if (eagerCand) cand.count()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // distinct-shingle arrays for candidate docs only — a single
+    // documents scan; the semi-join broadcasts the (tiny) id set
+    val docSets = Tables.fanOut(Tables.documents(spark, dir))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.TextExprs.shingles(tokens(col("text"))).as("sh"))
     cand
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .withColumn("jaccard",
-        r6(col("n_inter") / (lit(1.0) * (col("n_a") + col("n_b") - col("n_inter")))))
+      .join(docSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union",
+        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("n_inter"))
+      .withColumn("jaccard", r6(col("n_inter") / (lit(1.0) * col("n_union"))))
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 
@@ -189,8 +197,9 @@ object Dedup {
     * the higher doc_id and keep the lower — grouped so each dropped doc
     * appears once with its canonical keeper.
     */
-  def dropDecisions(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
-    ngramJaccard(spark, dir)
+  def dropDecisions(spark: SparkSession, dir: String, threshold: Double = 0.8,
+      eagerCand: Boolean = true): DataFrame =
+    ngramJaccard(spark, dir, eagerCand)
       .filter(col("jaccard") >= threshold)
       .groupBy(col("doc_b").as("drop_doc"))
       .agg(min(col("doc_a")).as("kept_doc"), max(col("jaccard")).as("max_jaccard"))
@@ -208,17 +217,20 @@ object Dedup {
     */
   def components(spark: SparkSession, dir: String, threshold: Double = 0.5,
       checkpointDir: Option[String] = None): DataFrame = {
-    // the pair table is materialized by persist + count, NOT by an
-    // eager localCheckpoint: the count action goes through AQE (the
-    // RDD materialization path re-plans the LSH chain without runtime
-    // stats — measured 22 s vs 6 s at sf0.1 on the same box), keeps
-    // lineage, and leaves the cache's exact row count for the loop's
-    // join planning
-    val pairs = ngramJaccard(spark, dir)
+    // ONE eager barrier for the whole chain: the verify runs lazily
+    // (eagerCand=false — its cand cache still fills during this job),
+    // and the filtered pair table is materialized by persist + count,
+    // NOT by an eager localCheckpoint: the count action goes through
+    // AQE (the RDD materialization path re-plans the LSH chain without
+    // runtime stats), keeps lineage, and leaves the cache's exact row
+    // count for the loop's join planning. The round-5 shape had TWO
+    // sequential barriers here (cand.count then pairs.count) and the
+    // driver bench regressed 52% — r6 collapses them.
+    val pairs = ngramJaccard(spark, dir, eagerCand = false)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
+    val nPairs = pairs.count()
     // edges are two-column projections of the cached pairs — shallow
     // plans, nothing to checkpoint
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -252,15 +264,20 @@ object Dedup {
     // label changed — the convergence check is the same aggregate that
     // materializes the round's lazy checkpoint (ONE job per round, no
     // carried "old" column, no comparison join). decimal(38) so the
-    // sum cannot overflow at any id domain / node count.
+    // sum cannot overflow at any id domain / node count; an empty graph
+    // is detected explicitly from the pair count, so a null Σlbl inside
+    // the loop is asserted as the bug it would be (e.g. an overflow
+    // silently nulling under non-ANSI mode) rather than treated as
+    // convergence.
     var prev: java.math.BigDecimal = null
-    var done = false
+    var done = nPairs == 0L
     while (!done) {
       // two hops per round: halves the materialize+check round trips;
       // a fixed point of one step is a fixed point of two
       val next = cut(step(step(labels)))
       val s = next.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head().getDecimal(0)
-      if (s == null || (prev != null && s.compareTo(prev) == 0)) done = true
+      assert(s != null, "components: null label sum on a non-empty graph")
+      if (prev != null && s.compareTo(prev) == 0) done = true
       else { prev = s; labels = next }
     }
     labels.select(col("doc").as("doc_id"), col("lbl").as("component"))

@@ -49,7 +49,9 @@ object Pipeline {
     */
   def docDecisions(spark: SparkSession, dir: String,
       minQuality: Double = 0.4): DataFrame = {
-    val drops = Dedup.dropDecisions(spark, dir).select(col("drop_doc"))
+    // single-pass consumer: skip the chain's eager barrier (the r5
+    // unconditional barrier doubled pipeline_filter under the driver)
+    val drops = Dedup.dropDecisions(spark, dir, eagerCand = false).select(col("drop_doc"))
     scanDecisions(spark, dir)
       .join(drops, col("doc_id") === col("drop_doc"), "left")
       .withColumn("kept",

@@ -61,7 +61,9 @@ object TrainingMix {
         size(tokens(col("text"))).cast("long").as("n_toks"),
         TextAnalysis.predLang(col("text")).as("pred_lang"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
-    val drops = Dedup.dropDecisions(spark, dir).select(col("drop_doc"))
+    // single-pass consumer: skip the chain's eager barrier (the r5
+    // unconditional barrier doubled this query under the driver bench)
+    val drops = Dedup.dropDecisions(spark, dir, eagerCand = false).select(col("drop_doc"))
     val kept = docs
       .join(drops, col("doc_id") === col("drop_doc"), "left")
       .withColumn("kept",
