@@ -20,6 +20,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the only global windows in the surface are over provably bounded
+    // inputs (top-k after a limit, one row per day — see
+    // VectorFunctions.boundedWindow); WindowExec's blanket "No
+    // Partition Defined" warning is moot for those and partitioning by
+    // a constant no longer suppresses it (EliminateWindowPartitions
+    // erases foldable specs in Spark 4.1), so quiet this one logger
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }

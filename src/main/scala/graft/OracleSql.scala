@@ -1683,8 +1683,11 @@ object OracleSql {
        |  '<h2>1 QUESTION FOR YOU</h2><p>' || substr(san, 121, 60) ||
        |  '</p><p>Until next week, James</p></div></body></html>' AS html
        |  FROM src),
-       |c AS (SELECT doc_id, html,
-       |  coalesce(nullif(regexp_extract(html, '(?s)<div class="page__content"[^>]*>(.*)</div>', 1), ''), html) AS content,
+       |c AS (SELECT doc_id, regexp_replace(html, '\r\n?', chr(10), 'g') AS html,
+       |  coalesce(
+       |    nullif(regexp_extract(regexp_replace(html, '\r\n?', chr(10), 'g'), '(?s)<div class="page__content[^"]*"[^>]*>(.*?)<div class="post__next">', 1), ''),
+       |    nullif(regexp_extract(regexp_replace(html, '\r\n?', chr(10), 'g'), '(?s)<div class="page__content[^"]*"[^>]*>(.*)</div>', 1), ''),
+       |    regexp_replace(html, '\r\n?', chr(10), 'g')) AS content,
        |  nullif(${pyStripSql(
           "regexp_replace(regexp_extract(html, '(?s)<h1[^>]*>(.*?)</h1>', 1), '<[^>]*>', '', 'g')")}, '') AS title
        |  FROM h)

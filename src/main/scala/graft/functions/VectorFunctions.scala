@@ -69,13 +69,14 @@ object VectorFunctions {
 
   /** Global window over a PROVABLY BOUNDED input — a ≤ top-k row set
     * after a `.limit()`, or a series already collapsed to one row per
-    * day/group — never corpus-sized data. Partitioning on a constant is
-    * semantically identical to no partition (all rows in one group) but
-    * tells Spark the partition spec is intentional, so WindowExec's
-    * "No Partition Defined ... may cause serious performance
-    * degradation" warning doesn't fire on plans where the bound makes
-    * it moot.
+    * day/group — never corpus-sized data. This is a plain
+    * unpartitioned window: WindowExec's "No Partition Defined" warning
+    * WILL fire for it, and is moot at every call site by construction
+    * (the r5 `partitionBy(lit(0))` cosmetic was erased by Spark 4.1's
+    * EliminateWindowPartitions rule anyway — same plan, false comfort).
+    * The harness mains quiet that one logger instead; call sites keep
+    * this helper as the documentation that the input is bounded.
     */
   def boundedWindow(order: Column*): org.apache.spark.sql.expressions.WindowSpec =
-    org.apache.spark.sql.expressions.Window.partitionBy(lit(0)).orderBy(order: _*)
+    org.apache.spark.sql.expressions.Window.orderBy(order: _*)
 }

@@ -193,12 +193,23 @@ object Newsletter {
     ("(?s)<li[^>]*>(.*?)</li>", "\n* $1", "\n* \\1"),
     ("</p>|<br[^>]*>|</div>", "\n", "\n"),
     ("<[^>]*>", "", ""),
-    ("&amp;", "&", "&"),
+    // entity unescape — the named + numeric forms the archive actually
+    // uses (BeautifulSoup unescapes all of these during parse; a
+    // regex chain covers the observed inventory). `&amp;` goes LAST so
+    // a double-escaped "&amp;lt;" unescapes once, as a real parser does
     ("&lt;", "<", "<"),
     ("&gt;", ">", ">"),
     ("&quot;", "\"", "\""),
-    ("&#39;", "'", "'"),
-    ("&nbsp;", " ", " "),
+    ("&#39;|&#039;", "'", "'"),
+    ("&nbsp;|&#160;", " ", " "),
+    ("&#8216;|&lsquo;", "‘", "‘"),
+    ("&#8217;|&rsquo;", "’", "’"),
+    ("&#8220;|&ldquo;", "“", "“"),
+    ("&#8221;|&rdquo;", "”", "”"),
+    ("&#8211;|&ndash;", "–", "–"),
+    ("&#8212;|&mdash;", "—", "—"),
+    ("&#8230;|&hellip;", "…", "…"),
+    ("&#038;|&amp;", "&", "&"),
     ("\\n{3,}", "\n\n", "\n\n"))
 
   /** Graded query `doc_html_md`: deterministic newsletter HTML built
@@ -236,11 +247,26 @@ object Newsletter {
     * regex reach (not regular) — the reference's pages don't nest them.
     */
   def htmlToMarkdown(html: Column): Column = {
+    // content scope, most-specific first: (1) the real newsletter-page
+    // form — the content div carries extra classes
+    // (class="page__content page-content-style") and is followed by the
+    // post-navigation block, the reliable right boundary a
+    // non-balancing regex needs (BeautifulSoup's find(class_=...)
+    // matches the multi-class attribute and scopes the subtree; all
+    // 331 archive pages have exactly this shape); (2) the single-div
+    // fixture form; (3) whole page.
+    // CRLF/CR → LF up front: the reference's str.splitlines()/strip()
+    // treat \r as a line break, and every downstream split here is on
+    // "\n" — a CRLF download would otherwise leak stray \r into chunks
+    val lf = regexp_replace(html, "\r\n?", "\n")
     val content = coalesce(
-      nullif(regexp_extract(html,
-        "(?s)<div class=\"page__content\"[^>]*>(.*)</div>", 1), lit("")),
-      html)
-    val title = nullif(pyStrip(regexp_replace(regexp_extract(html,
+      nullif(regexp_extract(lf,
+        "(?s)<div class=\"page__content[^\"]*\"[^>]*>(.*?)<div class=\"post__next\">", 1),
+        lit("")),
+      nullif(regexp_extract(lf,
+        "(?s)<div class=\"page__content[^\"]*\"[^>]*>(.*)</div>", 1), lit("")),
+      lf)
+    val title = nullif(pyStrip(regexp_replace(regexp_extract(lf,
       "(?s)<h1[^>]*>(.*?)</h1>", 1), "<[^>]*>", "")), lit(""))
     // tag→markdown chain shared with the oracle (HtmlMdChain); the
     // last step is markdownify-style hygiene: collapse 3+ newlines

@@ -343,10 +343,14 @@ object TextAnalysis {
     * per-doc sum.
     *
     * Scale shape: the bigram explode is map-side; the corpus shuffles
-    * exactly once, on `bg` (the count groupBy — the scoring join hits
-    * the same key, so the exchange is reused). Prefix counts roll up
-    * from the vocab-sized bigram counts and are folded back into them
-    * vocab-side, so the corpus never re-shuffles on `pre`.
+    * once for the bigram counts (partial-agg'd) and once for the
+    * per-doc aggregate. The scoring join BROADCASTS the vocab-sized
+    * probability table instead of shuffling the exploded corpus on
+    * `bg` (the r5 shape relied on AQE reusing the count exchange for
+    * the scoring join; the driver bench showed it does not — 3.9 s vs
+    * the 1.7 s bar). Prefix counts roll up from the vocab-sized bigram
+    * counts and are folded back into them vocab-side, so the corpus
+    * never shuffles on `pre` either.
     */
   def bigramLm(spark: SparkSession, dir: String, worstK: Int = 10): DataFrame = {
     import graft.functions.TextFunctions.gramsAll
@@ -362,7 +366,7 @@ object TextAnalysis {
     val probs = cbg.withColumn("pre", substring_index(col("bg"), " ", 1))
       .join(cpre, "pre")
       .select(col("bg"), col("cbg"), col("cpre"))
-    bg.join(probs, "bg")
+    bg.join(broadcast(probs), "bg")
       .withColumn("lp_e6", cents(log(col("cbg") / (lit(1.0) * col("cpre"))), 1e6))
       .groupBy(col("doc_id"))
       .agg(sum(col("lp_e6")).as("sum_lp_e6"), count(lit(1)).as("n_bigrams"))

@@ -186,10 +186,52 @@ object Scratch {
       }
     )
 
+    val replayVariants: Map[String, () => Unit] = Map(
+      // real-data replay diagnostics over the reference HTML archive
+      "replay" -> { () =>
+        val docs = graft.sources.Ingest.fromHtml(spark,
+          "/root/reference/data/raw/html").persist()
+        println(s"  docs=${docs.count()} nullDate=${docs.filter(col("issue_date").isNull).count()}" +
+          s" shortMd=${docs.filter(length(col("md_text")) < 1000).count()}")
+        val chunks = graft.operators.Newsletter.parseNewsletter(docs).persist()
+        println(s"  chunks=${chunks.count()}")
+        chunks.groupBy(col("category"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("docs"))
+          .orderBy(col("category")).collect().foreach(r => println(s"  $r"))
+        // per-doc category counts: distribution
+        chunks.groupBy(col("doc_id"), col("category")).agg(count(lit(1)).as("k"))
+          .groupBy(col("category"), col("k")).agg(count(lit(1)).as("pages"))
+          .orderBy(col("category"), col("k")).collect()
+          .foreach(r => println(s"  dist $r"))
+        // invariant violations
+        def bad(name: String, cond: org.apache.spark.sql.Column): Unit = {
+          val n = chunks.filter(cond).count()
+          if (n > 0) {
+            println(s"  VIOLATION $name: $n")
+            chunks.filter(cond).select(col("doc_id"), col("category"), col("idx"),
+              substring(col("text"), 1, 120).as("t")).show(3, false)
+          } else println(s"  ok $name")
+        }
+        bad("header_residue", col("text").contains("## "))
+        bad("source_residue", col("text").contains("*Source:*"))
+        bad("link_markup", col("text").rlike("\\[[^\\]]+\\]\\([^\\)]+\\)"))
+        bad("carriage_return", col("text").contains("\r"))
+        bad("empty_text", length(col("text")) === 0)
+        bad("linked_quote_no_name",
+          col("source").isNotNull && col("source_name").isNull)
+        bad("bold_residue", col("text").contains("**"))
+        docs.unpersist(); chunks.unpersist()
+      })
+
     val names = if (args.nonEmpty) args.toSeq else variants.keys.toSeq.sorted
     names.foreach { n =>
-      val runs = (1 to 3).map { _ => val t = time(variants(n)()); dropCaches(); t }
-      println(f"SCRATCH $n%-12s min=${runs.min}%.2f runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+      if (replayVariants.contains(n)) {
+        val t = time(replayVariants(n)()); dropCaches()
+        println(f"SCRATCH $n%-12s once=$t%.2f")
+      } else {
+        val runs = (1 to 3).map { _ => val t = time(variants(n)()); dropCaches(); t }
+        println(f"SCRATCH $n%-12s min=${runs.min}%.2f runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+      }
     }
     spark.stop()
   }

@@ -167,4 +167,64 @@ class NewsletterSpec extends AnyFunSuite {
       ("quote", 1L, "Quote from Book: A & B \"quoted\".",
         Some("https://b.example/x"), Some("Book"))))
   }
+
+  test("case/count-sensitive markers: divergent real pages are skipped like the reference") {
+    // promoted from NewsletterReplaySpec: 5 of the 331 archive pages
+    // use "3 Ideas From Me" (Title Case) or "1 IDEAS FROM ME"; the
+    // reference's elif substring checks (utils.py:109-117) are exact,
+    // so those sections must emit nothing while exact-marker sections
+    // on the same page still parse
+    val md =
+      """# Issue X
+        |
+        |## 3 Ideas From Me
+        |
+        |I.
+        |title-case section is not an idea section
+        |
+        |## 1 IDEAS FROM ME
+        |
+        |I.
+        |one-idea header is not the three-idea marker
+        |
+        |## 2 QUOTES FROM OTHERS
+        |
+        |I.
+        |still parsed
+        |
+        |*Source:* the archive
+        |""".stripMargin
+    val chunks = Newsletter.parseNewsletter(
+      Seq((7L, md, "2022-02-03")).toDF("doc_id", "md_text", "issue_date"))
+      .select("category", "idx", "text")
+      .as[(String, Long, String)].collect().toSeq
+    assert(chunks == Seq(("quote", 1L, "Quote from the archive: still parsed")))
+  }
+
+  test("em-wrapped source link falls back to the text path, markup and all") {
+    // promoted from NewsletterReplaySpec: the august-18-2022 archive
+    // page emits "*Source:* *[Nature's God](url)*" — the leading *
+    // defeats the reference's linked-source regex (utils.py:131-133),
+    // and its text fallback (utils.py:143-146) strips literal *s but
+    // keeps the [title](url) markup inside the prefix, with no url
+    // captured. Faithfulness means replicating exactly that.
+    val md =
+      """## 2 QUOTES FROM OTHERS
+        |
+        |I.
+        |Somebody on something:
+        |
+        |“A quotable quote.”
+        |
+        |*Source:* *[Nature's God](https://amzn.to/x)*
+        |""".stripMargin
+    val row = Newsletter.parseNewsletter(
+      Seq((9L, md, "2022-08-18")).toDF("doc_id", "md_text", "issue_date"))
+      .select("text", "source", "source_name")
+      .as[(String, Option[String], Option[String])].head()
+    assert(row._1 ===
+      "Quote from [Nature's God](https://amzn.to/x): Somebody on something:\n“A quotable quote.”")
+    assert(row._2 === None) // no url: the linked form never matched
+    assert(row._3 === Some("[Nature's God](https://amzn.to/x)"))
+  }
 }
