@@ -1620,9 +1620,9 @@ object OracleSql {
        |  regexp_replace(md, '(?m)^\[Share this on.*\n?', '', 'g') AS t FROM m),
        |sec0 AS (SELECT doc_id, dt, unnest(regexp_split_to_array(t, '(?m)^##\s+')) AS s0 FROM cl),
        |sec AS (SELECT doc_id, dt, replace(s0, '---', '') AS s,
-       |  CASE WHEN contains(s0, '3 IDEAS FROM ME') THEN 'idea'
-       |       WHEN contains(s0, '2 QUOTES FROM OTHERS') THEN 'quote'
-       |       WHEN contains(s0, '1 QUESTION FOR YOU') THEN 'question' END AS category
+       |  CASE WHEN contains(s, '3 IDEAS FROM ME') THEN 'idea'
+       |       WHEN contains(s, '2 QUOTES FROM OTHERS') THEN 'quote'
+       |       WHEN contains(s, '1 QUESTION FOR YOU') THEN 'question' END AS category
        |  FROM sec0),
        |itm AS (SELECT doc_id, dt, category,
        |  CASE WHEN category = 'question' THEN [$qItem]

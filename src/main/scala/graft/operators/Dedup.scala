@@ -23,12 +23,14 @@ import graft.functions.VectorFunctions._
   * executor loss recomputes; an eager `localCheckpoint` would kill the
   * job AND skips AQE's runtime re-planning — measured 4× worse). The
   * candidate-pair table at the root of the verify chain is persisted
-  * eagerly (persist + count) ONLY for multi-traversal consumers, and
-  * the choice is caller-controlled (`ngramJaccard(eagerCand=...)`):
-  * the r5 round made it unconditional and the driver bench doubled the
-  * single-pass consumers (pipeline_filter 0.53 → 1.05 s) while the
-  * iterative consumer picked up a second sequential barrier
-  * (dedup_components 6.7 → 10.2 s). Corpus-wide intermediates
+  * LAZILY by default — the r5 unconditional eager barrier doubled the
+  * single-pass consumers (pipeline_filter 0.53 → 1.05 s) and gave the
+  * iterative consumer a second sequential barrier (dedup_components
+  * 6.7 → 10.2 s), and once the r6 verify collapsed to one pruned scan
+  * the barrier stopped paying even for drop/report (measured same-JVM:
+  * drop 2.32 eager vs 1.60 lazy). `ngramJaccard(eagerCand=true)`
+  * remains for callers that traverse the cache repeatedly. Corpus-wide
+  * intermediates
   * (exploded shingles, embedding vectors) are never cached —
   * recomputing a map-side scan is cheaper than materializing a second
   * copy of the dataset, at sf0.1 and even more so at 100 TB.
@@ -134,16 +136,18 @@ object Dedup {
     * still only ever moves candidate docs.
     *
     * `eagerCand`: materialize the candidate pairs with their own small
-    * job (persist + count) before the main action. Multi-traversal
-    * consumers (the chain family: report, drop, components) want this —
-    * AQE then plans every downstream join against the cache's exact
-    * (tiny) row count. Single-pass consumers embedded in a bigger plan
-    * (pipeline_filter / pipeline_e2e) pass false and skip the barrier
-    * (the r5 driver bench measured the unconditional barrier doubling
-    * pipeline_filter, 0.53 → 1.05 s).
+    * job (persist + count) before the main action, so AQE plans every
+    * downstream join against the cache's exact (tiny) row count. The
+    * barrier paid for itself under the r5 verify (three shingle-explode
+    * scans + a corpus-wide shuffle downstream of cand), but with the
+    * r6 one-pruned-scan verify there is no downstream plan left to
+    * misplan and the barrier is a pure serial tax — measured same-JVM
+    * at sf0.1 (steal 0.1 s): drop 2.32 eager vs 1.60 lazy, ngram 1.75
+    * vs 1.64. Default is now LAZY for every consumer; the knob stays
+    * for chain users that traverse the candidate cache many times.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
-      eagerCand: Boolean = true): DataFrame = {
+      eagerCand: Boolean = false): DataFrame = {
     val cand = minhashLsh(spark, dir).select("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (eagerCand) cand.count()
@@ -198,7 +202,7 @@ object Dedup {
     * appears once with its canonical keeper.
     */
   def dropDecisions(spark: SparkSession, dir: String, threshold: Double = 0.8,
-      eagerCand: Boolean = true): DataFrame =
+      eagerCand: Boolean = false): DataFrame =
     ngramJaccard(spark, dir, eagerCand)
       .filter(col("jaccard") >= threshold)
       .groupBy(col("doc_b").as("drop_doc"))
@@ -260,25 +264,28 @@ object Dedup {
     // so the seed's duplicate node rows never survive a round
     var labels = pairs.select(col("doc_a").as("doc"), col("doc_a").as("lbl"))
       .union(pairs.select(col("doc_b").as("doc"), col("doc_b").as("lbl")))
-    // labels only ever decrease, so Σlbl strictly decreases iff any
-    // label changed — the convergence check is the same aggregate that
-    // materializes the round's lazy checkpoint (ONE job per round, no
-    // carried "old" column, no comparison join). decimal(38) so the
-    // sum cannot overflow at any id domain / node count; an empty graph
-    // is detected explicitly from the pair count, so a null Σlbl inside
-    // the loop is asserted as the bug it would be (e.g. an overflow
-    // silently nulling under non-ANSI mode) rather than treated as
-    // convergence.
-    var prev: java.math.BigDecimal = null
+    // convergence is checked EXACTLY, inside the round: a labeling is
+    // a fixed point iff every edge's endpoints carry the same label
+    // (uniform labels per component, and since labels only decrease
+    // from the ids the uniform value is the component minimum). The
+    // violated-edge count rides the same action that materializes the
+    // round's lazy checkpoint, so the round that reaches the fixed
+    // point also certifies it — the r5/r6 Σlbl-stability check needed
+    // one extra full round purely to observe the sum not moving
+    // (measured 0.7-0.9 s of pure verification at sf0.1), and carried
+    // decimal-overflow/null edge cases this shape doesn't have. The
+    // empty graph never enters the loop (nPairs == 0).
     var done = nPairs == 0L
     while (!done) {
       // two hops per round: halves the materialize+check round trips;
       // a fixed point of one step is a fixed point of two
       val next = cut(step(step(labels)))
-      val s = next.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head().getDecimal(0)
-      assert(s != null, "components: null label sum on a non-empty graph")
-      if (prev != null && s.compareTo(prev) == 0) done = true
-      else { prev = s; labels = next }
+      val viol = edges
+        .join(next.select(col("doc").as("src"), col("lbl").as("ls")), "src")
+        .join(next.select(col("doc").as("dst"), col("lbl").as("ld")), "dst")
+        .filter(col("ls") =!= col("ld")).count()
+      labels = next
+      done = viol == 0L
     }
     labels.select(col("doc").as("doc_id"), col("lbl").as("component"))
       .withColumn("comp_size",

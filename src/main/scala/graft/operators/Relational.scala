@@ -108,6 +108,12 @@ object Relational {
     * basket fan-out, never a corpus self-join; per-part supports are a
     * partial-agg count; both support tables join the (already tiny)
     * pair-count table.
+    *
+    * Perf note (r5→r6 drift): the 1.38 → 1.53 s driver creep had no
+    * code cause — isolated driver-style runs (fresh JVM, min-of-4,
+    * steal 0.18 s) measure 1.38 s; in-harness numbers for this query
+    * move with its neighbors' heap debt (same mechanism as the r4
+    * q_pagerank "regression"), not with this plan.
     */
   def basketLift(spark: SparkSession, dir: String, minSupport: Long = 3,
       topK: Int = 15): DataFrame = {
@@ -466,7 +472,11 @@ object Relational {
     * DuckDB oracle, and the sketch enters as a deterministic
     * within-tolerance boolean (oracle asserts TRUE) — if the estimate
     * ever drifts outside 5% of exact, the correctness gate FAILS
-    * instead of the estimate being unchecked.
+    * instead of the estimate being unchecked. The bound pins a
+    * probabilistic guarantee, so a within_bound failure at a new scale
+    * factor / grouping / Spark version means the sketch accuracy needs
+    * re-tuning (tighter rsd here and in [[approxDistinct]]), not that
+    * the query logic broke.
     */
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
     approxQuantilesRaw(spark, dir)

@@ -33,7 +33,11 @@ object Scratch {
     dropCaches()
     val variants: Map[String, () => Unit] = Map(
       "ngram" -> (() => graft.operators.Dedup.ngramJaccard(spark, sfDir).count()),
+      "ngram_lazy" -> (() =>
+        graft.operators.Dedup.ngramJaccard(spark, sfDir, eagerCand = false).count()),
       "drop" -> (() => graft.operators.Dedup.dropDecisions(spark, sfDir).count()),
+      "drop_lazy" -> (() =>
+        graft.operators.Dedup.dropDecisions(spark, sfDir, eagerCand = false).count()),
       "report" -> (() => graft.operators.Dedup.report(spark, sfDir).count()),
       "components" -> (() => graft.operators.Dedup.components(spark, sfDir).count()),
       "bigram" -> (() => graft.operators.TextAnalysis.bigramLm(spark, sfDir).count()),
@@ -183,6 +187,42 @@ object Scratch {
           println(f"  v2 round $rounds: ${(System.nanoTime() - r0) / 1e9}%.2f changed=$changed")
         }
         println(f"  v2 pairs=${(t1 - t0) / 1e9}%.2f rounds=$rounds")
+      },
+      // current Dedup.components shape with per-phase wall timing:
+      // attributes the cost between the pairs build (LSH + verify
+      // chain) and the label-propagation rounds
+      "comp_diag3" -> { () =>
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.Dedup.ngramJaccard(spark, sfDir, eagerCand = false)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nPairs = pairs.count()
+        val t1 = System.nanoTime()
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        def step(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          edges.join(l, col("src") === col("doc"))
+            .select(col("dst").as("doc"), col("lbl"))
+            .union(l)
+            .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+        var labels = pairs.select(col("doc_a").as("doc"), col("doc_a").as("lbl"))
+          .union(pairs.select(col("doc_b").as("doc"), col("doc_b").as("lbl")))
+        var done = nPairs == 0L
+        var rounds = 0
+        while (!done) {
+          val r0 = System.nanoTime()
+          val next = step(step(labels)).localCheckpoint(false)
+          val viol = edges
+            .join(next.select(col("doc").as("src"), col("lbl").as("ls")), "src")
+            .join(next.select(col("doc").as("dst"), col("lbl").as("ld")), "dst")
+            .filter(col("ls") =!= col("ld")).count()
+          rounds += 1
+          println(f"  round $rounds: ${(System.nanoTime() - r0) / 1e9}%.2f viol=$viol")
+          labels = next
+          done = viol == 0L
+        }
+        println(f"  comp_diag3 pairs=${(t1 - t0) / 1e9}%.2f (n=$nPairs) rounds=$rounds")
       }
     )
 
