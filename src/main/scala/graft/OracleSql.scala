@@ -1007,6 +1007,96 @@ object OracleSql {
        |  AND us_s - us_f <= 60000000 AND user_f != user_s
        |GROUP BY 1, 2""".stripMargin
 
+  /** Native ASOF LEFT JOIN — DuckDB's built-in mirror of
+    * EventOps.asofJoin's union + carry-forward shape. Clicks sharing
+    * (user, us) collapse to max(value) up front; the Spark side gets
+    * the same winner from its (us, side, value) sort order.
+    */
+  val qAsofJoin: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+       |  epoch_us(ts) AS us FROM events),
+       |c AS (SELECT user_id, us AS click_us, max(value) AS cv FROM e
+       |  WHERE event_type = 'click' GROUP BY 1, 2),
+       |p AS (SELECT event_id, user_id, us, value FROM e
+       |  WHERE event_type = 'purchase')
+       |SELECT p.event_id, p.user_id, p.us, ${r6("p.value")} AS purchase_val,
+       |  c.click_us, ${r6("c.cv")} AS click_val,
+       |  p.us - c.click_us AS gap_us
+       |FROM p ASOF LEFT JOIN c
+       |  ON p.user_id = c.user_id AND p.us >= c.click_us""".stripMargin
+
+  val qGapfill: String =
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb, value
+       |  FROM events),
+       |h AS (SELECT event_type, hb, count(*) AS cnt,
+       |  sum(${cents("value", "100.0")}) AS vc FROM e GROUP BY 1, 2),
+       |b AS (SELECT min(hb) AS lo, max(hb) AS hi FROM e),
+       |grid AS (SELECT t.event_type, g.hb
+       |  FROM (SELECT DISTINCT event_type FROM e) t
+       |  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM b),
+       |    (SELECT hi FROM b))) AS hb) g)
+       |SELECT grid.event_type, grid.hb, COALESCE(h.cnt, 0) AS n,
+       |  ${r6("COALESCE(h.vc, 0) / 100.0")} AS val_sum
+       |FROM grid LEFT JOIN h USING (event_type, hb)""".stripMargin
+
+  /** Char-weighted duplicate-gram fractions (TextAnalysis.repetition):
+    * the per-row sort + run-length fold mirrored relationally —
+    * explode all n-grams, count per (doc, gram), char-weight the
+    * duplicated mass. Docs with < n tokens fall out of a_n and
+    * COALESCE to 0, matching the empty-array fold.
+    */
+  val textRepetition: String = {
+    def cte(n: Int): String = {
+      val gram = (0 until n).map(o => if (o == 0) "toks[i]" else s"toks[i + $o]")
+        .mkString(" || ' ' || ")
+      s"""g$n AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(toks) - ${n - 1}), i -> $gram)) AS gr
+         |  FROM t WHERE len(toks) >= $n),
+         |c$n AS (SELECT doc_id, gr, count(*) AS c, length(gr) AS l
+         |  FROM g$n GROUP BY 1, 2),
+         |a$n AS (SELECT doc_id,
+         |  sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) / (1.0 * sum(c * l)) AS f
+         |  FROM c$n GROUP BY 1)""".stripMargin
+    }
+    val f2 = r6("COALESCE(a2.f, 0)")
+    val f3 = r6("COALESCE(a3.f, 0)")
+    val f4 = r6("COALESCE(a4.f, 0)")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |${cte(2)},
+       |${cte(3)},
+       |${cte(4)}
+       |SELECT d.doc_id, $f2 AS dup2_char_frac, $f3 AS dup3_char_frac,
+       |  $f4 AS dup4_char_frac,
+       |  CAST(CASE WHEN $f2 <= 0.10 AND $f3 <= 0.08 AND $f4 <= 0.06
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM documents d
+       |LEFT JOIN a2 ON a2.doc_id = d.doc_id
+       |LEFT JOIN a3 ON a3.doc_id = d.doc_id
+       |LEFT JOIN a4 ON a4.doc_id = d.doc_id""".stripMargin
+  }
+
+  val textReadability: String =
+    s"""WITH s AS (SELECT doc_id,
+       |  CAST(len($toks) AS BIGINT) AS n_words,
+       |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+       |    AS n_syllables,
+       |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+       |    AS n_sentences
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_syllables, n_sentences,
+       |  ${r6("206.835 - 1.015 * (n_words / (1.0 * n_sentences)) - 84.6 * (n_syllables / (1.0 * n_words))")} AS flesch_ease,
+       |  ${r6("0.39 * (n_words / (1.0 * n_sentences)) + 11.8 * (n_syllables / (1.0 * n_words)) - 15.59")} AS fk_grade
+       |FROM s WHERE n_words > 0""".stripMargin
+
+  val qStratifiedSample: String =
+    s"""SELECT doc_id, lang, source,
+       |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+       |FROM documents
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+       |  CASE WHEN lang = 'en' THEN '80000000'
+       |    WHEN lang IN ('de', 'fr') THEN '4ccccccc'
+       |    ELSE '33333333' END""".stripMargin
+
   val vsDrift: String =
     s"""WITH pe AS (SELECT CAST(vec_id % 2 AS BIGINT) AS half, i AS pos,
        |  embedding[i]::DOUBLE AS v
@@ -1878,5 +1968,10 @@ object OracleSql {
     "q_outer_join" -> qOuterJoin,
     "q_unpivot" -> qUnpivot,
     "q_streaks" -> qStreaks,
+    "q_asof_join" -> qAsofJoin,
+    "q_gapfill" -> qGapfill,
+    "text_repetition" -> textRepetition,
+    "text_readability" -> textReadability,
+    "q_stratified_sample" -> qStratifiedSample,
   )
 }

@@ -137,6 +137,11 @@ object SparkEntry {
     "q_outer_join" -> ((s, d) => Relational.outerCoverage(s, d)),
     "q_unpivot" -> ((s, d) => Relational.unpivotStats(s, d)),
     "q_streaks" -> ((s, d) => EventOps.activityStreaks(s, d)),
+    "q_asof_join" -> ((s, d) => EventOps.asofJoin(s, d)),
+    "q_gapfill" -> ((s, d) => EventOps.gapFill(s, d)),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
+    "q_stratified_sample" -> ((s, d) => TrainingMix.stratifiedSample(s, d)),
     // B2. faithful newsletter ingest (reference utils.py:93-187,
     // markdown_assets.py:64-91)
     "doc_parse_md" -> ((s, d) => Newsletter.parseMdQuery(s, d)),

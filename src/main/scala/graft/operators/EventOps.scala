@@ -397,4 +397,75 @@ object EventOps {
         (lit(1.0) * sum(col("n")).over(Window.partitionBy(col("from_type"))))))
       .select("from_type", "to_type", "n", "p")
   }
+
+  /** As-of join — the time-series operator Spark has no built-in for:
+    * each purchase is joined to the MOST RECENT click at-or-before its
+    * timestamp by the same user (the "price as of the trade" shape;
+    * DuckDB mirrors it natively with `ASOF LEFT JOIN`).
+    *
+    * Implementation is the union + ordered carry-forward trick, NOT a
+    * range join: tag clicks side=0 and purchases side=1, sort each
+    * user's merged stream by (us, side, value), and carry the last
+    * click's (us, value) forward with `last(..., ignoreNulls)`. Ties:
+    * side puts an equal-timestamp click BEFORE the purchase (ASOF's
+    * `>=` bound), and value-ascending makes the max-value click win
+    * among clicks sharing (user, us) — the oracle pre-collapses those
+    * with max(value), same result, no pre-aggregation shuffle here.
+    *
+    * Scale: exactly ONE shuffle (on user_id) regardless of time span or
+    * click density — a banded range join would pay candidate fan-out
+    * and a second dedup pass; this shape moves each event once and
+    * never materializes a candidate pair.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = base(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("pv"), col("value").as("cv"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), lit(1).as("side"),
+        col("event_id"), col("value").as("pv"),
+        lit(null).cast("double").as("cv"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("side"), col("cv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("click_us",
+        last(when(col("side") === 0, col("us")), ignoreNulls = true).over(w))
+      .withColumn("click_val", last(col("cv"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("us"),
+        r6(col("pv")).as("purchase_val"), col("click_us"),
+        r6(col("click_val")).as("click_val"),
+        (col("us") - col("click_us")).as("gap_us"))
+  }
+
+  /** Regular-grid gap-fill: the hourly event series per type with every
+    * missing (type, hour) cell materialized as an explicit zero — the
+    * resample step every downstream forecaster/anomaly model needs
+    * (a model fed only observed rows silently treats "no data" as
+    * "skip", not "zero").
+    *
+    * Scale: the corpus pays one partial-agg shuffle down to the bounded
+    * (type × hour) series; the grid is `sequence()` over the global
+    * [min, max] hour crossed with the distinct types — both tiny
+    * aggregates — so the outer join runs on bounded inputs no matter
+    * the event volume.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val e = base(spark, dir)
+      .select(col("event_type"), expr("us div 3600000000").as("hb"), col("value"))
+    val hourly = e.groupBy(col("event_type"), col("hb"))
+      .agg(count(lit(1)).as("cnt"), sum(cents(col("value"), 100.0)).as("vc"))
+    val bounds = e.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hb"))
+    grid.join(hourly, Seq("event_type", "hb"), "left")
+      .select(col("event_type"), col("hb"),
+        coalesce(col("cnt"), lit(0L)).as("n"),
+        r6(coalesce(col("vc"), lit(0L)) / lit(100.0)).as("val_sum"))
+  }
 }

@@ -418,4 +418,83 @@ object TextAnalysis {
       .withColumn("scrub_hash", md5(col("scrubbed")))
       .select("doc_id", "n_emails", "n_ips", "n_phones", "scrub_hash")
   }
+
+  /** Char-weighted duplicate-n-gram fraction: Σ_{g: count(g)≥2}
+    * count(g)·chars(g) / Σ_g chars(g) over all n-grams WITH
+    * multiplicity — the Gopher repetition-removal signal family
+    * (Rae et al. 2021 §A1.1 measures repetition by the fraction of
+    * CHARACTERS in duplicated n-grams, not the gram-count fraction
+    * [[gopherStats]] tracks). Sort + run-length fold, O(G log G) per
+    * row — the same shape that replaced this file's two hidden
+    * quadratics in r5.
+    */
+  private[graft] def dupCharFrac(grams: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val runLen = (run: org.apache.spark.sql.Column, prev: org.apache.spark.sql.Column) =>
+      run * length(prev).cast("long")
+    val folded = aggregate(array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup"), lit(0L).as("tot")),
+      (acc, x) => {
+        val same = x === acc.getField("prev")
+        val closes = !same && acc.getField("run") >= 2L
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          (acc.getField("dup") + when(closes,
+            runLen(acc.getField("run"), acc.getField("prev"))).otherwise(0L)).as("dup"),
+          (acc.getField("tot") + length(x).cast("long")).as("tot"))
+      },
+      acc => struct(
+        (acc.getField("dup") + when(acc.getField("run") >= 2L,
+          runLen(acc.getField("run"), acc.getField("prev"))).otherwise(0L)).as("dup"),
+        acc.getField("tot").as("tot")))
+    when(folded.getField("tot") > 0,
+      r6(folded.getField("dup") / (lit(1.0) * folded.getField("tot"))))
+      .otherwise(lit(0.0))
+  }
+
+  /** Per-document repetition profile: char-weighted duplicate-gram
+    * fractions for n = 2, 3, 4 plus the Gopher-style keep decision
+    * (thresholds sit between the corpus quartiles so the gate actually
+    * splits). Complements [[gopherStats]], whose top2/dup3 columns are
+    * gram-COUNT fractions.
+    *
+    * Scale shape: pure per-row array math in one scan — zero shuffle,
+    * trivially parallel; the oracle mirrors it relationally
+    * (explode → per-gram counts → char-weighted sums).
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        dupCharFrac(gramsAll(toks, 2)).as("dup2_char_frac"),
+        dupCharFrac(gramsAll(toks, 3)).as("dup3_char_frac"),
+        dupCharFrac(gramsAll(toks, 4)).as("dup4_char_frac"))
+      .withColumn("keep",
+        (col("dup2_char_frac") <= 0.10 && col("dup3_char_frac") <= 0.08
+          && col("dup4_char_frac") <= 0.06).cast("long"))
+  }
+
+  /** Flesch readability: reading-ease and Flesch–Kincaid grade from
+    * deterministic proxies — whitespace words, `[aeiouy]+` vowel-group
+    * syllables, `[.!?]+` sentence breaks (floored at 1 so fragment-only
+    * documents score as one sentence, not ÷0). Plain character-class
+    * regexes only — identical under Java regex and RE2.
+    *
+    * Scale shape: per-row regex column math in one scan — no shuffle.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(tokens(col("text"))).cast("long")
+    val syl = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long")
+    val sent = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"), lit(1L))
+    val wps = col("n_words") / (lit(1.0) * col("n_sentences"))
+    val spw = col("n_syllables") / (lit(1.0) * col("n_words"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("n_words"), syl.as("n_syllables"),
+        sent.as("n_sentences"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch_ease",
+        r6(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw))
+      .withColumn("fk_grade",
+        r6(lit(0.39) * wps + lit(11.8) * spw - lit(15.59)))
+  }
 }

@@ -133,4 +133,29 @@ object TrainingMix {
       .withColumn("pct_keep", r6(col("n_keep") / (lit(1.0) * col("n_docs"))))
       .select("n_docs", "n_langs", "total_tokens", "mean_quality", "pct_keep", "dup_pairs")
   }
+
+  /** Deterministic stratified sampling by hash threshold: a document is
+    * kept iff the first 8 hex chars of md5(doc_id) fall below its
+    * stratum's cutoff (en 50%, de/fr 30%, else 20%). This is how a
+    * training mix downsamples at 100 TB: no shuffle, no window, no
+    * count pass — membership is a pure per-row predicate, the sample is
+    * reproducible from the id alone, and re-running over a grown corpus
+    * keeps every previously-sampled id (the cutoff is a consistent
+    * hash, so strata only ever gain members). Per-stratum proportions
+    * are exact in expectation, ±O(1/√n) realized — the price of the
+    * zero-coordination design, and the right trade at scale.
+    *
+    * Lowercase-hex string comparison equals the numeric comparison of
+    * the 32-bit prefix, and Spark's and DuckDB's md5-of-string agree
+    * byte-for-byte, so the oracle is the same predicate verbatim.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = when(col("lang") === "en", lit("80000000"))
+      .when(col("lang").isin("de", "fr"), lit("4ccccccc"))
+      .otherwise(lit("33333333"))
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8).as("h8"))
+      .filter(col("h8") < cutoff)
+  }
 }

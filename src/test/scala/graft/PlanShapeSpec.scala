@@ -157,4 +157,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges === 2, p)
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
+
+  test("asof join pays exactly one key shuffle (user_id) — no range fan-out, no cartesian") {
+    val p = planOf("q_asof_join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("gap fill joins the bounded grid broadcast-side; the corpus only partial-aggregates") {
+    val p = planOf("q_gapfill")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("repetition, readability and the stratified sample never key-shuffle the corpus") {
+    Seq("text_repetition", "text_readability", "q_stratified_sample")
+      .foreach(q => assertNoKeyShuffle(planOf(q)))
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{EventOps, TextAnalysis, TrainingMix}
+
+/** Round-6 additions: as-of join, grid gap-fill, char-weighted
+  * repetition, readability, hash-threshold stratified sampling.
+  */
+class Round6Spec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("asof join covers every purchase and matches the brute-force range formulation") {
+    val a = EventOps.asofJoin(spark, Sf)
+    val ev = Tables.events(spark, Sf)
+    assert(a.count() === ev.filter(col("event_type") === "purchase").count())
+    // the carried click never postdates its purchase; the gap is consistent
+    assert(a.filter(col("click_us") > col("us")).count() === 0)
+    assert(a.filter(col("click_us").isNotNull &&
+      col("gap_us") =!= col("us") - col("click_us")).count() === 0)
+    assert(a.filter(col("click_us").isNull && col("click_val").isNotNull).count() === 0)
+    // brute force: per purchase, max click timestamp ≤ the purchase's
+    val e = ev.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("us").as("cus"))
+    val brute = e.filter(col("event_type") === "purchase")
+      .join(c, col("user_id") === col("cu") && col("cus") <= col("us"), "left")
+      .groupBy(col("event_id")).agg(max(col("cus")).as("bf_click_us"))
+    val mismatches = a.select(col("event_id"), col("click_us")).join(brute, "event_id")
+      .filter(!(col("click_us") <=> col("bf_click_us"))).count()
+    assert(mismatches === 0)
+  }
+
+  test("gap fill materializes the complete type × hour grid with conserved totals") {
+    val g = EventOps.gapFill(spark, Sf)
+    val ev = Tables.events(spark, Sf)
+    val types = ev.select("event_type").distinct().count()
+    val b = g.agg(min("hb").as("lo"), max("hb").as("hi")).head()
+    assert(g.count() === types * (b.getLong(1) - b.getLong(0) + 1))
+    assert(g.groupBy("event_type", "hb").count().filter(col("count") > 1).count() === 0)
+    assert(g.agg(sum("n")).head().getLong(0) === ev.count())
+    // filled cells are explicit zeros, not absences
+    assert(g.filter(col("n") === 0).count() > 0)
+    assert(g.filter(col("n") === 0 && col("val_sum") =!= 0.0).count() === 0)
+  }
+
+  test("dup-char fraction matches the hand computation on fixtures") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{gramsAll, tokens}
+    val got = Seq("a b a b", "x y z", "q q q q q", "solo")
+      .toDF("text")
+      .select(TextAnalysis.dupCharFrac(gramsAll(tokens(col("text")), 2)).as("f"))
+      .as[Double].collect().toSeq
+    // "a b a b": grams {a b, b a, a b} → dup 2·3, tot 9; "q q…": all dup
+    assert(got === Seq(0.666667, 0.0, 1.0, 0.0))
+  }
+
+  test("repetition fracs are bounded and keep is exactly their conjunction") {
+    val r = TextAnalysis.repetition(spark, Sf)
+    Seq("dup2_char_frac", "dup3_char_frac", "dup4_char_frac").foreach { c =>
+      assert(r.filter(col(c) < 0.0 || col(c) > 1.0).count() === 0, c)
+    }
+    val expected = ((col("dup2_char_frac") <= 0.10) && (col("dup3_char_frac") <= 0.08)
+      && (col("dup4_char_frac") <= 0.06)).cast("long")
+    assert(r.filter(col("keep") =!= expected).count() === 0)
+    assert(r.count() === Tables.documents(spark, Sf).count())
+  }
+
+  test("readability columns match a plain-Scala recount") {
+    val rows = TextAnalysis.readability(spark, Sf).orderBy("doc_id").limit(8).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, Sf).orderBy("doc_id").limit(8)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val t = texts(r.getLong(r.fieldIndex("doc_id")))
+      val words = t.trim.split("\\s+").length
+      val syl = "[aeiouy]+".r.findAllIn(t.toLowerCase).size
+      val sent = math.max("[.!?]+".r.findAllIn(t).size, 1)
+      assert(r.getLong(r.fieldIndex("n_words")) === words.toLong)
+      assert(r.getLong(r.fieldIndex("n_syllables")) === syl.toLong)
+      assert(r.getLong(r.fieldIndex("n_sentences")) === sent.toLong)
+      val ease = 206.835 - 1.015 * (words.toDouble / sent) - 84.6 * (syl.toDouble / words)
+      assert(math.abs(r.getDouble(r.fieldIndex("flesch_ease")) - ease) < 1e-5)
+    }
+  }
+
+  test("stratified sample is exactly the per-row md5 predicate (Scala recount)") {
+    def h8Of(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    def cutOf(lang: String): String = lang match {
+      case "en" => "80000000"
+      case "de" | "fr" => "4ccccccc"
+      case _ => "33333333"
+    }
+    val s = TrainingMix.stratifiedSample(spark, Sf).collect()
+    assert(s.nonEmpty)
+    s.foreach { r =>
+      val h8 = r.getString(r.fieldIndex("h8"))
+      assert(h8 === h8Of(r.getLong(r.fieldIndex("doc_id"))))
+      assert(h8 < cutOf(r.getString(r.fieldIndex("lang"))))
+    }
+    // nothing below its cutoff was missed
+    val expKeep = Tables.documents(spark, Sf).select("doc_id", "lang").collect()
+      .count(r => h8Of(r.getLong(0)) < cutOf(r.getString(1)))
+    assert(s.length === expKeep)
+  }
+}
