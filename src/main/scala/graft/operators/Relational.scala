@@ -419,9 +419,14 @@ object Relational {
       .groupBy(col("c_nationkey").as("nk_w")).agg(count(lit(1)).as("n_with_orders"))
     val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey").as("nk_o")).agg(count(lit(1)).as("n_without_orders"))
-    broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name"))
-      .join(withOrders, col("n_nationkey") === col("nk_w"), "left")
-      .join(withoutOrders, col("n_nationkey") === col("nk_o"), "left")
+    // the nation dim is the PRESERVED side of these left joins, so a
+    // broadcast hint on it is unusable (Spark can only build the right
+    // side of a left-outer join — hinting left just logs a warning and
+    // falls back); the per-nation aggregates are bounded, so they are
+    // the correct broadcast sides at any scale
+    Tables.nation(spark, dir).select("n_nationkey", "n_name")
+      .join(broadcast(withOrders), col("n_nationkey") === col("nk_w"), "left")
+      .join(broadcast(withoutOrders), col("n_nationkey") === col("nk_o"), "left")
       .select(col("n_name"),
         coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
         coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
