@@ -1097,6 +1097,99 @@ object OracleSql {
        |    WHEN lang IN ('de', 'fr') THEN '4ccccccc'
        |    ELSE '33333333' END""".stripMargin
 
+  /** SCD2 (EventOps.scd2): change points via IS DISTINCT FROM lag,
+    * close + version via lead / row_number over the change rows.
+    */
+  val qScd2: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+       |  CAST(json_extract_string(props, '$$.k') AS INT) // 25 AS tier
+       |  FROM events),
+       |m AS (SELECT *, CASE WHEN lag(tier) OVER w IS DISTINCT FROM tier
+       |    THEN 1 ELSE 0 END AS chg
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |s AS (SELECT user_id, tier, us AS valid_from_us FROM m WHERE chg = 1)
+       |SELECT user_id, tier, valid_from_us,
+       |  lead(valid_from_us) OVER w2 AS valid_to_us,
+       |  CAST(row_number() OVER w2 AS BIGINT) AS version
+       |FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us)""".stripMargin
+
+  /** Triangle listing (GraphOps.triangles): id-oriented frequent
+    * co-purchase edges closed into triples; each triangle found once.
+    */
+  val qTriangles: String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pairs AS (SELECT x.p AS pa, y.p AS pb, count(*) AS sup
+       |  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c,
+       |  least(e1.sup, e2.sup, e3.sup) AS min_sup
+       |FROM pairs e1
+       |JOIN pairs e2 ON e2.pa = e1.pb
+       |JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb""".stripMargin
+
+  /** Zipf fit (TextAnalysis.zipf): every least-squares term integerized
+    * (×1e6) before the sums — matches the Spark side bit-for-bit.
+    */
+  val textZipf: String =
+    s"""WITH tok AS (SELECT lang, unnest($toks) AS token FROM documents),
+       |cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+       |rk AS (SELECT lang, c,
+       |  row_number() OVER (PARTITION BY lang ORDER BY c DESC, token ASC) AS r
+       |  FROM cnt),
+       |top AS (SELECT lang, ${cents("ln(r)", "1000000.0")} AS x6,
+       |  ${cents("ln(c)", "1000000.0")} AS y6 FROM rk WHERE r <= 100),
+       |agg AS (SELECT lang, count(*) AS n, sum(x6) AS sx, sum(y6) AS sy,
+       |  sum(${cents("(x6/1000000.0) * (y6/1000000.0)", "1000000.0")}) AS sxy,
+       |  sum(${cents("(x6/1000000.0) * (x6/1000000.0)", "1000000.0")}) AS sxx
+       |  FROM top GROUP BY 1)
+       |SELECT lang, n,
+       |  ${r6("(n * (sxy/1000000.0) - (sx/1000000.0)*(sy/1000000.0)) / (n * (sxx/1000000.0) - (sx/1000000.0)*(sx/1000000.0))")} AS zipf_slope,
+       |  ${r6("((sy/1000000.0) - ((n * (sxy/1000000.0) - (sx/1000000.0)*(sy/1000000.0)) / (n * (sxx/1000000.0) - (sx/1000000.0)*(sx/1000000.0))) * (sx/1000000.0)) / n")} AS intercept
+       |FROM agg ORDER BY lang""".stripMargin
+
+  /** One PCA power iteration (KnnSearch.pcaIter): μ from integerized
+    * per-dim sums, s_r and the per-dim contributions integerized before
+    * their sums; w = 1/8 constant.
+    */
+  val vsPcaIter: String =
+    s"""WITH x AS (SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS v
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+       |mu AS (SELECT pos,
+       |  (sum(${cents("v", "1000000.0")})/1000000.0) / count(*) AS mu
+       |  FROM x GROUP BY pos),
+       |s AS (SELECT vec_id,
+       |  sum(${cents("(x.v - mu.mu) * 0.125", "1000000.0")}) AS s6
+       |  FROM x JOIN mu USING (pos) GROUP BY vec_id),
+       |c AS (SELECT x.pos,
+       |  sum(${cents("(s.s6/1000000.0) * (x.v - mu.mu)", "1000000.0")}) AS v6
+       |  FROM x JOIN mu USING (pos) JOIN s USING (vec_id) GROUP BY x.pos),
+       |nrm AS (SELECT sqrt(sum((v6/1000000.0)*(v6/1000000.0))) AS nn FROM c)
+       |SELECT CAST(c.pos AS BIGINT) AS pos, ${r6("(v6/1000000.0) / nn")} AS loading
+       |FROM c, nrm ORDER BY pos""".stripMargin
+
+  /** Frame sampling (Multimodal.framesQuery): the binary payload is
+    * ASCII-encoded text, so byte frames are mirrored as char frames and
+    * md5(varchar) equals Spark's md5 over the UTF-8 bytes.
+    */
+  val mmFrames: String =
+    s"""WITH m AS (SELECT doc_id, text,
+       |  CAST(ceil(length(text) / 32.0) AS INT) AS nf FROM documents),
+       |f AS (SELECT doc_id, unnest(generate_series(0, nf - 1)) AS fi
+       |  FROM m WHERE nf > 0)
+       |SELECT f.doc_id, CAST(fi AS BIGINT) AS frame_idx,
+       |  CAST(length(substr(m.text, fi*32 + 1, 32)) AS BIGINT) AS frame_len,
+       |  md5(substr(m.text, fi*32 + 1, 32)) AS frame_hash
+       |FROM f JOIN m USING (doc_id) WHERE fi % 4 = 0""".stripMargin
+
+  val mmResize: String =
+    s"""WITH m AS (SELECT doc_id,
+       |  CAST((n_chars % 64) * 10 + 10 AS INT) AS width,
+       |  CAST((n_chars % 48) * 10 + 10 AS INT) AS height FROM documents)
+       |SELECT doc_id, width, height,
+       |  CAST(floor((width * 128.0) / greatest(width, height)) AS INT) AS rs_width,
+       |  CAST(floor((height * 128.0) / greatest(width, height)) AS INT) AS rs_height
+       |FROM m""".stripMargin
+
   val vsDrift: String =
     s"""WITH pe AS (SELECT CAST(vec_id % 2 AS BIGINT) AS half, i AS pos,
        |  embedding[i]::DOUBLE AS v
@@ -1973,5 +2066,11 @@ object OracleSql {
     "text_repetition" -> textRepetition,
     "text_readability" -> textReadability,
     "q_stratified_sample" -> qStratifiedSample,
+    "q_scd2" -> qScd2,
+    "q_triangles" -> qTriangles,
+    "text_zipf" -> textZipf,
+    "vs_pca_iter" -> vsPcaIter,
+    "mm_frames" -> mmFrames,
+    "mm_resize" -> mmResize,
   )
 }

@@ -96,6 +96,7 @@ object SparkEntry {
     "vs_mmr" -> ((s, d) => KnnSearch.mmrSearch(s, d)),
     "vs_multivec" -> ((s, d) => KnnSearch.multivecSearch(s, d)),
     "vs_drift" -> ((s, d) => KnnSearch.driftReport(s, d)),
+    "vs_pca_iter" -> ((s, d) => KnnSearch.pcaIter(s, d)),
     "q_range_join" -> ((s, d) => EventOps.rangeJoinPairs(s, d)),
     "vs_knn_classify" -> ((s, d) => KnnSearch.knnClassify(s, d)),
     "vs_rocchio" -> ((s, d) => KnnSearch.rocchioSearch(s, d)),
@@ -132,6 +133,8 @@ object SparkEntry {
     "q_dau_mau" -> ((s, d) => EventOps.dauMau(s, d)),
     "q_basket_lift" -> ((s, d) => Relational.basketLift(s, d)),
     "mm_phash" -> ((s, d) => Multimodal.phashDedup(s, d)),
+    "mm_frames" -> ((s, d) => Multimodal.framesQuery(s, d)),
+    "mm_resize" -> ((s, d) => Multimodal.resizeQuery(s, d)),
     "vs_ivfpq_residual" -> ((s, d) => PqIndex.searchIvfPqResidual(s, d)),
     "q_forecast_sma" -> ((s, d) => EventOps.forecastSma(s, d)),
     "q_outer_join" -> ((s, d) => Relational.outerCoverage(s, d)),
@@ -142,6 +145,9 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "q_stratified_sample" -> ((s, d) => TrainingMix.stratifiedSample(s, d)),
+    "q_scd2" -> ((s, d) => EventOps.scd2(s, d)),
+    "q_triangles" -> ((s, d) => GraphOps.triangles(s, d)),
+    "text_zipf" -> ((s, d) => TextAnalysis.zipf(s, d)),
     // B2. faithful newsletter ingest (reference utils.py:93-187,
     // markdown_assets.py:64-91)
     "doc_parse_md" -> ((s, d) => Newsletter.parseMdQuery(s, d)),

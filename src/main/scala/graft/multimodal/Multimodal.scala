@@ -110,6 +110,27 @@ object Multimodal {
       .drop("scale_num")
   }
 
+  /** Graded frame-sampling query: every 4th 32-byte frame of each
+    * payload with its content hash — the video/audio ingest shape
+    * (explode → pruned payload slices → per-frame fingerprints). The
+    * payload is ASCII-encoded text, so the oracle mirrors the byte
+    * slices as char slices and DuckDB's md5(varchar) equals Spark's
+    * md5(binary) on the UTF-8 bytes.
+    */
+  def framesQuery(spark: SparkSession, dir: String): DataFrame =
+    frameSample(graft.Tables.fanOut(withBinary(Tables.documents(spark, dir))))
+      .select(col("doc_id"), col("frame_idx"), col("frame_len"),
+        md5(col("frame")).as("frame_hash"))
+
+  /** Graded resize query: aspect-preserving target dimensions for every
+    * payload (pure per-row integer math, zero shuffle; the payload
+    * bytes never move).
+    */
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame =
+    resize(graft.Tables.fanOut(withBinary(Tables.documents(spark, dir))))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("rs_width"), col("rs_height"))
+
   /** Frame sampling for audio/video-like payloads: split the byte
     * stream into fixed-size frames and keep every `stride`-th one —
     * the Spark-side plumbing (explode with positional index, pruned

@@ -441,6 +441,35 @@ object EventOps {
         (col("us") - col("click_us")).as("gap_us"))
   }
 
+  /** Slowly-changing-dimension type-2 build: per user, collapse the
+    * event stream into validity intervals of a derived attribute
+    * (tier = props.k div 25), the warehouse primitive for "what was
+    * this entity's state at time t". A change point opens a version
+    * (valid_from = its event time) and the next change closes it
+    * (valid_to = next valid_from; null while current); versions number
+    * 1..n per user in time order.
+    *
+    * Scale: ONE user_id shuffle — the change-detection lag window and
+    * the close/version window both partition by user_id over the same
+    * sort, and the change filter shrinks rows between them, so Spark
+    * reuses a single Exchange for the whole build.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val e = base(spark, dir)
+      .select(col("user_id"), col("event_id"), col("us"),
+        expr("cast(get_json_object(props, '$.k') as int) div 25").as("tier"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val starts = e
+      .withColumn("chg", !(lag(col("tier"), 1).over(w) <=> col("tier")))
+      .filter(col("chg"))
+      .select(col("user_id"), col("tier"), col("us").as("valid_from_us"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("valid_from_us"))
+    starts
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w2))
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .select("user_id", "tier", "valid_from_us", "valid_to_us", "version")
+  }
+
   /** Regular-grid gap-fill: the hourly event series per type with every
     * missing (type, hour) cell materialized as an explicit zero — the
     * resample step every downstream forecaster/anomaly model needs

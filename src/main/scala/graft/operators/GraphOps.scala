@@ -83,4 +83,38 @@ object GraphOps {
       .limit(topK)
       .select(col("node"), r6(col("r_e9") / lit(1e9)).as("pagerank"))
   }
+
+  /** Triangle listing on the co-purchase graph: part triples {a<b<c}
+    * whose three pairs each co-occur in ≥ `minSupport` orders — the
+    * "frequently bought TOGETHER together" structure one level above
+    * [[Relational.basketLift]]'s pairs.
+    *
+    * Scale: edge generation is the bounded basket fan-out (pairs built
+    * inside each order's part array — never a corpus self-join), and
+    * the support threshold prunes the edge set BEFORE the two wedge/
+    * closure joins, which therefore run on the (tiny) frequent-pair
+    * table. Edges are oriented a<b by id, so each triangle is found
+    * exactly once with no dedup pass; at adversarial degree skew the
+    * standard remedy is degree-ordered orientation, which changes only
+    * the orientation rule, not the plan shape.
+    */
+  def triangles(spark: SparkSession, dir: String, minSupport: Long = 2): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) >= 2)
+      .select(explode(flatten(transform(col("parts"), (a, i) =>
+        transform(slice(col("parts"), i + 2, size(col("parts"))), b =>
+          struct(a.as("pa"), b.as("pb")))))).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSupport)
+    val ab = pairs.select(col("pa").as("a"), col("pb").as("b"), col("sup").as("s_ab"))
+    val bc = pairs.select(col("pa").as("b"), col("pb").as("c"), col("sup").as("s_bc"))
+    val ac = pairs.select(col("pa").as("a"), col("pb").as("c"), col("sup").as("s_ac"))
+    ab.join(bc, "b").join(ac, Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"),
+        least(col("s_ab"), col("s_bc"), col("s_ac")).as("min_sup"))
+  }
 }

@@ -396,6 +396,48 @@ object KnnSearch {
         r6(abs(col("mean_cur") - col("mean_ref"))).as("shift"))
   }
 
+  /** Top principal direction of the embedding corpus via ONE power
+    * iteration — v ∝ Σ_r s_r·(x_r − μ) with s_r = (x_r − μ)·w and the
+    * fixed start vector w = 1/8·1 — the PCA step an embedding pipeline
+    * runs for whitening / anisotropy diagnostics. The covariance matrix
+    * is never materialized: C·w distributes as one corpus pass of
+    * per-row column math (d-sized arrays), so the cost is O(N·d), not
+    * O(N·d²), at any scale.
+    *
+    * μ is a d-sized collect (bounded index metadata, same as centroid
+    * and codebook collects) re-entered as an array literal; every
+    * per-position contribution is integerized before the distributed
+    * sums, so means, scores, and loadings are bit-identical to the
+    * oracle regardless of partitioning.
+    */
+  def pcaIter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val x = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mu = Tables.fanOut(x)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(sum(cents(col("v").cast("double"), 1e6)).as("s6"), count(lit(1)).as("n"))
+      .select(col("pos"), (col("s6") / lit(1e6) / col("n")).as("mu"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val muArr = array(mu.map(lit(_)): _*)
+    val s6 = aggregate(
+      zip_with(col("embedding"), muArr,
+        (v: Column, m: Column) => cents((v.cast("double") - m) * lit(0.125), 1e6)),
+      lit(0L), (acc: Column, c: Column) => acc + c)
+    val contrib = Tables.fanOut(x)
+      .withColumn("s", s6 / lit(1e6))
+      .select(posexplode(zip_with(col("embedding"), muArr,
+        (v: Column, m: Column) => cents(col("s") * (v.cast("double") - m), 1e6)))
+        .as(Seq("pos", "c6")))
+      .groupBy(col("pos")).agg(sum(col("c6")).as("v6"))
+    val nrm = contrib
+      .agg(sqrt(sum((col("v6") / lit(1e6)) * (col("v6") / lit(1e6)))).as("nn"))
+    contrib.crossJoin(broadcast(nrm))
+      .select((col("pos") + 1).cast("long").as("pos"),
+        r6((col("v6") / lit(1e6)) / col("nn")).as("loading"))
+      .orderBy(col("pos"))
+  }
+
   /** Multi-vector late-interaction search (ColBERT-style MaxSim): doc
     * and query are each treated as 4 independent 16-dim sub-vectors
     * (token-embedding stand-ins); score = Σ_s max_t dot(q_s, d_t) —

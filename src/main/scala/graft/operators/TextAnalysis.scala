@@ -473,6 +473,42 @@ object TextAnalysis {
           && col("dup4_char_frac") <= 0.06).cast("long"))
   }
 
+  /** Zipf-law fit per language: least-squares slope of ln(count) vs
+    * ln(rank) over the top-`topN` tokens — the corpus-statistics
+    * diagnostic for "does this slice look like natural language"
+    * (natural text slopes ≈ −1; templated/synthetic text flattens).
+    * Every regression term is integerized (×1e6, floor+0.5) before the
+    * distributed sums so the closed-form fit is order-independent and
+    * bit-identical to the oracle.
+    *
+    * Scale: corpus → (lang, token) counts is one partial-agg shuffle;
+    * ranking then runs on the vocab-sized count table (vocab ≪ corpus),
+    * and the regression aggregates the bounded top-N per language.
+    */
+  def zipf(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val cnt = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
+    val wr = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("token").asc)
+    val top = cnt.withColumn("r", row_number().over(wr)).filter(col("r") <= topN)
+      .select(col("lang"),
+        cents(log(col("r")), 1e6).as("x6"), cents(log(col("c")), 1e6).as("y6"))
+    val agg = top.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"), sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+      sum(cents((col("x6") / lit(1e6)) * (col("y6") / lit(1e6)), 1e6)).as("sxy"),
+      sum(cents((col("x6") / lit(1e6)) * (col("x6") / lit(1e6)), 1e6)).as("sxx"))
+    val slope = (col("n") * (col("sxy") / lit(1e6))
+      - (col("sx") / lit(1e6)) * (col("sy") / lit(1e6))) /
+      (col("n") * (col("sxx") / lit(1e6))
+        - (col("sx") / lit(1e6)) * (col("sx") / lit(1e6)))
+    agg
+      .select(col("lang"), col("n"), r6(slope).as("zipf_slope"),
+        r6(((col("sy") / lit(1e6)) - slope * (col("sx") / lit(1e6))) / col("n"))
+          .as("intercept"))
+      .orderBy(col("lang"))
+  }
+
   /** Flesch readability: reading-ease and Flesch–Kincaid grade from
     * deterministic proxies — whitespace words, `[aeiouy]+` vowel-group
     * syllables, `[.!?]+` sentence breaks (floored at 1 so fragment-only

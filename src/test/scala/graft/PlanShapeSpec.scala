@@ -174,4 +174,27 @@ class PlanShapeSpec extends AnyFunSuite {
     Seq("text_repetition", "text_readability", "q_stratified_sample")
       .foreach(q => assertNoKeyShuffle(planOf(q)))
   }
+
+  test("scd2 reuses one user_id exchange across both window passes") {
+    val p = planOf("q_scd2")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("pca iteration never joins the corpus — aggregates and a broadcast norm only") {
+    val p = planOf("vs_pca_iter")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("frame sampling and resize never key-shuffle the corpus") {
+    Seq("mm_frames", "mm_resize").foreach(q => assertNoKeyShuffle(planOf(q)))
+  }
+
+  test("triangle closure never goes cartesian and builds pairs in-basket") {
+    val p = planOf("q_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // pair generation is the in-array basket fan-out, not a corpus self-join:
+    // exactly one lineitem scan feeds the pair pipeline... the closure joins
+    // then run on the pruned frequent-pair table
+    assert("Scan parquet".r.findAllIn(p).size <= 3, p)
+  }
 }

@@ -86,6 +86,95 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  test("scd2 intervals tile each user's timeline: contiguous versions, abutting bounds") {
+    val s = EventOps.scd2(spark, Sf)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    val chk = s
+      .withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("next_tier", lead(col("tier"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    // versions are 1..n with no gaps
+    assert(chk.filter(col("version") =!= col("rn")).count() === 0)
+    // each interval closes exactly where the next opens; only the last is open
+    assert(chk.filter(col("next_from").isNotNull &&
+      col("valid_to_us") =!= col("next_from")).count() === 0)
+    assert(chk.filter(col("next_from").isNull && col("valid_to_us").isNotNull).count() === 0)
+    // consecutive versions always change tier (runs were collapsed)
+    assert(chk.filter(col("next_tier").isNotNull && col("next_tier") === col("tier")).count() === 0)
+    // every event's tier agrees with the version covering its timestamp
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        expr("cast(get_json_object(props, '$.k') as int) div 25").as("ev_tier"))
+    val covered = ev.join(s, Seq("user_id"))
+      .filter(col("us") >= col("valid_from_us") &&
+        (col("valid_to_us").isNull || col("us") < col("valid_to_us")))
+    assert(covered.count() === ev.count())
+    assert(covered.filter(col("ev_tier") =!= col("tier")).count() === 0)
+  }
+
+  test("triangle listing matches a brute-force closure over the frequent-pair set") {
+    val tri = graft.operators.GraphOps.triangles(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(tri.nonEmpty)
+    tri.foreach { case (a, b, c, _) => assert(a < b && b < c) }
+    // brute force over the (bounded) frequent-pair set
+    val b = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val sup = b.as("x").join(b.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("pa"), col("y.p").as("pb")).count()
+      .filter(col("count") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val verts = sup.keySet.flatMap(e => Set(e._1, e._2)).toSeq.sorted
+    val brute = for {
+      (a, b2) <- sup.keySet.toSeq
+      c <- verts if b2 < c && sup.contains((b2, c)) && sup.contains((a, c))
+    } yield (a, b2, c, Seq(sup((a, b2)), sup((b2, c)), sup((a, c))).min)
+    assert(tri.toSet === brute.toSet)
+  }
+
+  test("zipf fit: every language slopes downward and uses at most topN ranks") {
+    val z = TextAnalysis.zipf(spark, Sf).collect()
+    assert(z.nonEmpty)
+    z.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("zipf_slope")) < 0.0)
+      assert(r.getLong(r.fieldIndex("n")) <= 100L)
+    }
+  }
+
+  test("pca power iteration returns one unit-norm direction per dimension") {
+    val p = graft.operators.KnnSearch.pcaIter(spark, Sf).collect()
+    val d = Tables.embeddings(spark, Sf).select(size(col("embedding"))).head().getInt(0)
+    assert(p.length === d)
+    assert(p.map(_.getLong(0)).toSeq === (1 to d).map(_.toLong))
+    val norm = p.map(r => math.pow(r.getDouble(1), 2)).sum
+    assert(math.abs(norm - 1.0) < 1e-3)
+    // the direction is non-degenerate: not a single dominant axis
+    assert(p.map(r => math.abs(r.getDouble(1))).max < 0.999)
+  }
+
+  test("frame sampling keeps every stride-th frame with exact slicing") {
+    val f = graft.multimodal.Multimodal.framesQuery(spark, Sf)
+    assert(f.filter(col("frame_idx") % 4 =!= 0).count() === 0)
+    assert(f.filter(col("frame_len") < 1 || col("frame_len") > 32).count() === 0)
+    // expected row count from document lengths: |{i : i < ceil(len/32), i%4=0}|
+    val exp = Tables.documents(spark, Sf)
+      .select(ceil(col("n_chars") / lit(32.0)).cast("int").as("nf"))
+      .filter(col("nf") > 0)
+      .select(((col("nf") - 1) / lit(4) + 1).cast("long").as("k"))
+      .agg(sum(col("k"))).head().getLong(0)
+    assert(f.count() === exp)
+  }
+
+  test("resize preserves aspect ordering and pins the long side to 128") {
+    val r = graft.multimodal.Multimodal.resizeQuery(spark, Sf)
+    assert(r.filter(greatest(col("rs_width"), col("rs_height")) =!= 128).count() === 0)
+    assert(r.filter((col("width") >= col("height")) =!=
+      (col("rs_width") >= col("rs_height"))).count() === 0)
+    assert(r.count() === Tables.documents(spark, Sf).count())
+  }
+
   test("stratified sample is exactly the per-row md5 predicate (Scala recount)") {
     def h8Of(id: Long): String =
       java.security.MessageDigest.getInstance("MD5")
