@@ -1113,6 +1113,20 @@ object OracleSql {
        |  CAST(row_number() OVER w2 AS BIGINT) AS version
        |FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us)""".stripMargin
 
+  /** Benford audit (Relational.benford): first digit from the
+    * cents-integerized bigint string — float-format- and log10-ulp-safe.
+    */
+  val qBenford: String =
+    s"""WITH d AS (SELECT CAST(substr(CAST(${cents("o_totalprice", "100.0")}
+       |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM orders WHERE o_totalprice > 0),
+       |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+       |t AS (SELECT sum(n) AS total FROM c)
+       |SELECT c.digit, c.n, ${r6("c.n / (1.0 * t.total)")} AS obs_frac,
+       |  ${r6("log10(1.0 + 1.0 / c.digit)")} AS exp_frac,
+       |  ${r6("power(c.n / (1.0 * t.total) - log10(1.0 + 1.0 / c.digit), 2) / log10(1.0 + 1.0 / c.digit)")} AS chi2_term
+       |FROM c, t ORDER BY digit""".stripMargin
+
   /** Triangle listing (GraphOps.triangles): id-oriented frequent
     * co-purchase edges closed into triples; each triangle found once.
     */
@@ -2068,6 +2082,7 @@ object OracleSql {
     "q_stratified_sample" -> qStratifiedSample,
     "q_scd2" -> qScd2,
     "q_triangles" -> qTriangles,
+    "q_benford" -> qBenford,
     "text_zipf" -> textZipf,
     "vs_pca_iter" -> vsPcaIter,
     "mm_frames" -> mmFrames,

@@ -147,6 +147,7 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => TrainingMix.stratifiedSample(s, d)),
     "q_scd2" -> ((s, d) => EventOps.scd2(s, d)),
     "q_triangles" -> ((s, d) => GraphOps.triangles(s, d)),
+    "q_benford" -> ((s, d) => Relational.benford(s, d)),
     "text_zipf" -> ((s, d) => TextAnalysis.zipf(s, d)),
     // B2. faithful newsletter ingest (reference utils.py:93-187,
     // markdown_assets.py:64-91)

@@ -520,4 +520,31 @@ object Relational {
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n"))
+
+  /** Benford first-digit audit on order totals — the data-quality /
+    * fraud screen: observed first-significant-digit frequencies vs the
+    * Benford expectation log10(1+1/d), with per-digit χ² contributions
+    * (large terms flag fabricated or truncated value distributions;
+    * this synthetic corpus fails the law loudly, which is the point).
+    *
+    * The first digit is taken from the CENTS-integerized amount
+    * rendered as a bigint string — identical in Spark and DuckDB,
+    * dodging both float-formatting and log10-ulp boundary divergence.
+    * Scale: one scan → 9-group partial agg + broadcast total.
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 0)
+      .select(substring(cents(col("o_totalprice"), 100.0).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val t = c.agg(sum(col("n")).as("total"))
+    val obs = col("n") / (lit(1.0) * col("total"))
+    val expd = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
+    c.crossJoin(broadcast(t))
+      .select(col("digit"), col("n"), r6(obs).as("obs_frac"),
+        r6(expd).as("exp_frac"),
+        r6(pow(obs - expd, 2) / expd).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
 }

@@ -134,6 +134,21 @@ class Round6Spec extends AnyFunSuite {
     assert(tri.toSet === brute.toSet)
   }
 
+  test("benford audit: digits 1-9, fractions sum to one, chi2 terms non-negative") {
+    val b = graft.operators.Relational.benford(spark, Sf).collect()
+    assert(b.map(_.getLong(0)).toSeq.sorted === (1L to 9L))
+    val obsSum = b.map(_.getDouble(2)).sum
+    assert(math.abs(obsSum - 1.0) < 1e-4, obsSum)
+    // exp fracs are the Benford constants
+    b.foreach { r =>
+      val d = r.getLong(0)
+      assert(math.abs(r.getDouble(3) - math.log10(1.0 + 1.0 / d)) < 1e-6)
+      assert(r.getDouble(4) >= 0.0)
+    }
+    assert(b.map(_.getLong(1)).sum ===
+      Tables.orders(spark, Sf).filter(col("o_totalprice") > 0).count())
+  }
+
   test("zipf fit: every language slopes downward and uses at most topN ranks") {
     val z = TextAnalysis.zipf(spark, Sf).collect()
     assert(z.nonEmpty)
