@@ -106,4 +106,66 @@ class EdgeCaseSpec extends AnyFunSuite {
     val short = sigs(1L)
     assert(short == null || short.forall(_ == null) || short.isEmpty)
   }
+
+  test("dup-char fraction is 0 for empty, whitespace and sub-n docs — never NaN") {
+    val got = weird.select(col("doc_id"),
+      graft.operators.TextAnalysis.dupCharFrac(
+        gramsAll(tokens(col("text")), 2)).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.0 && got(2L) === 0.0 && got(3L) === 0.0)
+    assert(got(6L) === 1.0) // "dup dup ×5": every bigram duplicated
+    got.values.foreach(v => assert(!v.isNaN && v >= 0.0 && v <= 1.0))
+  }
+
+  test("readability drops zero-word docs instead of emitting NaN rows") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-read").toString
+    weird.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.readability(spark, dir).collect()
+    // "" and "   " tokenize to [""] (1 token) so they survive with
+    // n_words=1; no row may carry NaN/null metrics
+    r.foreach { row =>
+      assert(row.getLong(row.fieldIndex("n_words")) >= 1)
+      assert(!row.getDouble(row.fieldIndex("flesch_ease")).isNaN)
+      assert(!row.getDouble(row.fieldIndex("fk_grade")).isNaN)
+    }
+  }
+
+  test("asof join carries null, not garbage, for purchases with no prior click") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-asof").toString
+    // user 1: purchase BEFORE any click; user 2: purchases only
+    Seq(
+      (1L, "2024-06-01 10:00:00", 1L, "purchase", 5.0, """{"k": 1}"""),
+      (2L, "2024-06-01 11:00:00", 1L, "click", 1.0, """{"k": 1}"""),
+      (3L, "2024-06-01 12:00:00", 1L, "purchase", 7.0, """{"k": 1}"""),
+      (4L, "2024-06-01 09:00:00", 2L, "purchase", 9.0, """{"k": 1}"""))
+      .toDF("event_id", "ts0", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts0").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val a = graft.operators.EventOps.asofJoin(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(a(1L) === None) // before the only click
+    assert(a(3L).isDefined) // after it
+    assert(a(4L) === None) // user with no clicks at all
+  }
+
+  test("scd2 of a single-event user is one open version") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-scd").toString
+    Seq((1L, "2024-06-01 10:00:00", 5L, "view", 0.0, """{"k": 30}"""))
+      .toDF("event_id", "ts0", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts0").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val s = graft.operators.EventOps.scd2(spark, dir).collect()
+    assert(s.length === 1)
+    assert(s.head.getLong(s.head.fieldIndex("tier")) === 1L) // 30 div 25
+    assert(s.head.isNullAt(s.head.fieldIndex("valid_to_us")))
+    assert(s.head.getLong(s.head.fieldIndex("version")) === 1L)
+  }
 }
