@@ -1965,6 +1965,97 @@ object OracleSql {
        |  TRUE AS within_bound
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Concurrency (EventOps.concurrency): sessionize (the
+    * qEventsSessionize CTEs), then each session fans out to the hour
+    * buckets it spans via generate_series.
+    */
+  val qConcurrency: String =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+       |l AS (SELECT user_id, event_id, us,
+       |  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+       |n AS (SELECT user_id, event_id, us,
+       |  CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+       |s AS (SELECT user_id, us,
+       |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n),
+       |sess AS (SELECT user_id, session_id,
+       |  min(us) // 3600000000 AS h0, max(us) // 3600000000 AS h1
+       |  FROM s GROUP BY 1, 2),
+       |x AS (SELECT h0, unnest(generate_series(h0, h1)) AS hour_id FROM sess)
+       |SELECT hour_id, count(*) AS active_sessions,
+       |  CAST(sum(CASE WHEN h0 = hour_id THEN 1 ELSE 0 END) AS BIGINT) AS started_sessions
+       |FROM x GROUP BY 1""".stripMargin
+
+  /** Decayed LTV (EventOps.decayLtv): per-row contribution integerized
+    * to 1e-6 BEFORE the sum, mirroring the Spark order-independent
+    * bigint sum exactly.
+    */
+  val qDecayLtv: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events
+       |  WHERE event_type = 'purchase'),
+       |a AS (SELECT max(us) AS ref_us FROM e)
+       |SELECT user_id, count(*) AS n_purchases,
+       |  ${r6(s"sum(${cents("value", "100.0")}) / 100.0")} AS raw_value,
+       |  ${r6(s"sum(${cents("value * pow(0.5, ((ref_us - us) / 86400000000.0) / 30.0)", "1000000.0")}) / 1000000.0")} AS decayed_value
+       |FROM e, a GROUP BY user_id""".stripMargin
+
+  /** Duplicate-line profile (TextAnalysis.dupLines): unnest trimmed
+    * non-empty lines, per-line counts, count- and char-weighted dup
+    * fractions.
+    */
+  val textDupLines: String =
+    s"""WITH t AS (SELECT doc_id, list_filter(
+       |    list_transform(string_split(text, chr(10)), l -> trim(l)),
+       |    l -> len(l) > 0) AS lines FROM documents),
+       |g AS (SELECT doc_id, unnest(lines) AS line FROM t),
+       |c AS (SELECT doc_id, line, count(*) AS c, length(line) AS l
+       |  FROM g GROUP BY 1, 2),
+       |a AS (SELECT doc_id,
+       |  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) / (1.0 * sum(c)) AS fc,
+       |  sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) / (1.0 * sum(c * l)) AS fl
+       |  FROM c GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.lines) AS BIGINT) AS n_lines,
+       |  ${r6("COALESCE(a.fc, 0)")} AS dup_line_frac,
+       |  ${r6("COALESCE(a.fl, 0)")} AS dup_char_frac,
+       |  CAST(CASE WHEN ${r6("COALESCE(a.fc, 0)")} <= 0.30
+       |    AND ${r6("COALESCE(a.fl, 0)")} <= 0.20 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM t LEFT JOIN a ON a.doc_id = t.doc_id""".stripMargin
+
+  /** PMI collocations (TextAnalysis.pmi): bigram/unigram counts off the
+    * same tokenization, identical division order inside the ln.
+    */
+  val textPmi: String =
+    s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+       |u AS (SELECT unnest(tk) AS tok FROM d),
+       |cu AS (SELECT tok, count(*) AS cu FROM u GROUP BY 1),
+       |bg0 AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+       |    i -> tk[i] || ' ' || tk[i + 1])) AS bg FROM d WHERE len(tk) >= 2),
+       |cb AS (SELECT bg, count(*) AS cbg FROM bg0 GROUP BY 1),
+       |t AS (SELECT (SELECT sum(cu) FROM cu) AS nu, (SELECT sum(cbg) FROM cb) AS nb),
+       |j AS (SELECT cb.bg, cb.cbg, ua.cu AS ca, ub.cu AS cb2,
+       |    ${r6("ln((cb.cbg / (1.0 * t.nb)) / ((ua.cu / (1.0 * t.nu)) * (ub.cu / (1.0 * t.nu))))")} AS pmi
+       |  FROM cb, t
+       |  JOIN cu ua ON ua.tok = split_part(cb.bg, ' ', 1)
+       |  JOIN cu ub ON ub.tok = split_part(cb.bg, ' ', 2)
+       |  WHERE cb.cbg >= 20)
+       |SELECT bg, cbg, ca, cb2 AS cb, pmi FROM j
+       |ORDER BY pmi DESC, bg ASC LIMIT 30""".stripMargin
+
+  /** Weighted sample (TrainingMix.weightedSample): the LCG mix runs
+    * verbatim; output is the integer rank, no float in the result.
+    */
+  val qWeightedSample: String =
+    s"""WITH h AS (SELECT doc_id, source, n_chars,
+       |  ((doc_id * 2654435761 + 40503) % 4294967296) AS h1 FROM documents),
+       |k AS (SELECT doc_id, source, n_chars,
+       |  ((h1 * 1103515245 + 11) % 4294967296) AS h2 FROM h),
+       |p AS (SELECT doc_id, source, n_chars,
+       |  ln((h2 + 0.5) / 4294967296.0) / greatest(n_chars, 1) AS pri FROM k),
+       |r AS (SELECT doc_id, source, n_chars,
+       |  CAST(row_number() OVER (PARTITION BY source ORDER BY pri DESC, doc_id ASC)
+       |    AS BIGINT) AS rk FROM p)
+       |SELECT doc_id, source, n_chars, rk FROM r WHERE rk <= 50""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "doc_parse_md" -> docParseMd,
@@ -2087,5 +2178,10 @@ object OracleSql {
     "vs_pca_iter" -> vsPcaIter,
     "mm_frames" -> mmFrames,
     "mm_resize" -> mmResize,
+    "q_concurrency" -> qConcurrency,
+    "q_decay_ltv" -> qDecayLtv,
+    "text_dup_lines" -> textDupLines,
+    "text_pmi" -> textPmi,
+    "q_weighted_sample" -> qWeightedSample,
   )
 }

@@ -149,6 +149,11 @@ object SparkEntry {
     "q_triangles" -> ((s, d) => GraphOps.triangles(s, d)),
     "q_benford" -> ((s, d) => Relational.benford(s, d)),
     "text_zipf" -> ((s, d) => TextAnalysis.zipf(s, d)),
+    "q_concurrency" -> ((s, d) => EventOps.concurrency(s, d)),
+    "q_decay_ltv" -> ((s, d) => EventOps.decayLtv(s, d)),
+    "text_dup_lines" -> ((s, d) => TextAnalysis.dupLines(s, d)),
+    "text_pmi" -> ((s, d) => TextAnalysis.pmi(s, d)),
+    "q_weighted_sample" -> ((s, d) => TrainingMix.weightedSample(s, d)),
     // B2. faithful newsletter ingest (reference utils.py:93-187,
     // markdown_assets.py:64-91)
     "doc_parse_md" -> ((s, d) => Newsletter.parseMdQuery(s, d)),

@@ -497,4 +497,57 @@ object EventOps {
         coalesce(col("cnt"), lit(0L)).as("n"),
         r6(coalesce(col("vc"), lit(0L)) / lit(100.0)).as("val_sum"))
   }
+
+  /** Hourly concurrent-session load: how many 30-minute-gap sessions
+    * overlap each hour bucket, and how many start there — the capacity-
+    * planning view of the session table.
+    *
+    * Scale: one user_id shuffle for sessionization (shared with
+    * [[sessionize]]'s windows), then each session fans out ONLY to the
+    * hour buckets it spans (bounded: a session is gap-bounded, so its
+    * hour span is its duration, not the corpus size) and the count
+    * groups on the bounded hour grid. The textbook sweep-line
+    * (+1/−1 boundary events, running sum) needs a GLOBAL ordering —
+    * a single-partition window at 100 TB; this bucketed form is
+    * embarrassingly parallel and gives the same per-hour answer.
+    */
+  def concurrency(spark: SparkSession, dir: String): DataFrame = {
+    sessionize(spark, dir)
+      .select(
+        expr("start_us div 3600000000").as("h0"),
+        expr("end_us div 3600000000").as("h1"))
+      .select(col("h0"), explode(sequence(col("h0"), col("h1"))).as("hour_id"))
+      .groupBy(col("hour_id"))
+      .agg(count(lit(1)).as("active_sessions"),
+        sum(when(col("h0") === col("hour_id"), 1L).otherwise(0L)).as("started_sessions"))
+  }
+
+  /** Exponentially time-decayed user value (half-life 30 days,
+    * anchored at the corpus's last event): the standard recency-
+    * weighted LTV signal — a purchase today counts 1×, one 30 days ago
+    * 0.5×, one 90 days ago 0.125×.
+    *
+    * Scale: the anchor is a 1-row aggregate broadcast into the scan,
+    * the decayed contribution is per-row math integerized to 1e-6
+    * BEFORE the sum (order-independent bigint sum — float summation
+    * order must never decide a hash-matched result), and the per-user
+    * rollup is ONE partial-agg shuffle. At 100 TB the anchor would be
+    * a catalog watermark instead of a max() pass; nothing else changes.
+    */
+  def decayLtv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val e = base(spark, dir).filter(col("event_type") === "purchase")
+    val anchor = e.agg(max(col("us")).as("ref_us"))
+    e.crossJoin(broadcast(anchor))
+      .withColumn("decay",
+        pow(lit(0.5), ((col("ref_us") - col("us")) / lit(86400000000.0)) / lit(30.0)))
+      .withColumn("c_e6", cents(col("value") * col("decay"), 1e6))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(cents(col("value"), 100.0)).as("raw_c"),
+        sum(col("c_e6")).as("dec_e6"))
+      .select(col("user_id"), col("n_purchases"),
+        r6(col("raw_c") / lit(100.0)).as("raw_value"),
+        r6(col("dec_e6") / lit(1e6)).as("decayed_value"))
+  }
 }

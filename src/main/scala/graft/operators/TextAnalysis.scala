@@ -533,4 +533,97 @@ object TextAnalysis {
       .withColumn("fk_grade",
         r6(lit(0.39) * wps + lit(11.8) * spw - lit(15.59)))
   }
+
+  /** Count-weighted duplicate fraction over an array WITH multiplicity:
+    * Σ_{x: count(x)≥2} count(x) / Σ_x 1 — the element-count twin of
+    * [[dupCharFrac]] (same sort + run-length fold, O(n log n) per row).
+    */
+  private[graft] def dupCountFrac(xs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val folded = aggregate(array_sort(xs),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup"), lit(0L).as("tot")),
+      (acc, x) => {
+        val same = x === acc.getField("prev")
+        val closes = !same && acc.getField("run") >= 2L
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          (acc.getField("dup") + when(closes, acc.getField("run")).otherwise(0L)).as("dup"),
+          (acc.getField("tot") + 1L).as("tot"))
+      },
+      acc => struct(
+        (acc.getField("dup") + when(acc.getField("run") >= 2L,
+          acc.getField("run")).otherwise(0L)).as("dup"),
+        acc.getField("tot").as("tot")))
+    when(folded.getField("tot") > 0,
+      r6(folded.getField("dup") / (lit(1.0) * folded.getField("tot"))))
+      .otherwise(lit(0.0))
+  }
+
+  /** Duplicate-LINE profile — the remaining Gopher §A1.1 repetition
+    * signals ([[repetition]] covers the n-gram family): fraction of
+    * lines that are repeats of another line in the same document, by
+    * line count and by character mass, plus the keep decision. Boiler-
+    * plate (nav bars, cookie banners, signature blocks) shows up here
+    * long before it moves any n-gram statistic.
+    *
+    * Scale shape: per-row array math in one scan — split on newline,
+    * trim, drop empties, then the same sort + run-length folds as the
+    * n-gram twin. Zero shuffle; the oracle mirrors it relationally.
+    */
+  def dupLines(spark: SparkSession, dir: String): DataFrame = {
+    val lines = filter(transform(split(col("text"), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), lines.as("lines"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        dupCountFrac(col("lines")).as("dup_line_frac"),
+        dupCharFrac(col("lines")).as("dup_char_frac"))
+      .withColumn("keep",
+        (col("dup_line_frac") <= 0.30 && col("dup_char_frac") <= 0.20).cast("long"))
+  }
+
+  /** Collocation mining by pointwise mutual information over adjacent
+    * token bigrams: PMI = log( p(ab) / (p(a)·p(b)) ), reported for the
+    * strongest associations above a count floor (the floor keeps the
+    * estimator out of PMI's low-count noise regime). The corpus-level
+    * companion to [[bigramLm]]'s per-document scoring.
+    *
+    * Scale shape: ONE corpus scan and ONE exploded-corpus shuffle —
+    * unigrams and bigrams ride the same explode as tagged (kind, gram)
+    * rows and aggregate together (a second explode would double the
+    * dominant cost, measured 3.3 s → the corpus side of bigram_lm's
+    * 1.3 s at sf0.1). The vocab-sized count table is persisted and
+    * reused by all four consumers (both totals, both unigram joins);
+    * the PMI join then runs entirely on vocab-sized inputs with the
+    * unigram side broadcast twice and the two scalar totals broadcast
+    * as a 1-row aggregate. The corpus is never joined.
+    */
+  def pmi(spark: SparkSession, dir: String, minCount: Long = 20, topK: Int = 30): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val toks = tokens(col("text"))
+    // no kind tag needed: a token never contains whitespace (the
+    // tokenizer split on it), a bigram always contains exactly one
+    // space — the gram IS its own tag
+    val counts = docs.select(explode(concat(toks, gramsAll(toks, 2))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("is_bg", col("g").contains(" "))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = counts.filter(!col("is_bg")).select(col("g").as("tok"), col("c").as("cu"))
+    val big = counts.filter(col("is_bg")).select(col("g").as("bg"), col("c").as("cbg"))
+    val totals = broadcast(counts.agg(
+      sum(when(!col("is_bg"), col("c"))).as("nu"),
+      sum(when(col("is_bg"), col("c"))).as("nb")))
+    big.filter(col("cbg") >= minCount)
+      .withColumn("a", substring_index(col("bg"), " ", 1))
+      .withColumn("b", substring_index(col("bg"), " ", -1))
+      .join(broadcast(uni.withColumnRenamed("tok", "a").withColumnRenamed("cu", "ca")), "a")
+      .join(broadcast(uni.withColumnRenamed("tok", "b").withColumnRenamed("cu", "cb")), "b")
+      .crossJoin(totals)
+      .withColumn("pmi",
+        r6(log((col("cbg") / (lit(1.0) * col("nb"))) /
+          ((col("ca") / (lit(1.0) * col("nu"))) * (col("cb") / (lit(1.0) * col("nu")))))))
+      .orderBy(col("pmi").desc, col("bg").asc)
+      .limit(topK)
+      .select(col("bg"), col("cbg"), col("ca"), col("cb"), col("pmi"))
+  }
 }

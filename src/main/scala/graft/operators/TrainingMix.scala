@@ -158,4 +158,36 @@ object TrainingMix {
         substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8).as("h8"))
       .filter(col("h8") < cutoff)
   }
+
+  /** Weighted sampling without replacement, Efraimidis–Spirakis: each
+    * doc draws a deterministic pseudo-uniform u from its id and keeps
+    * priority ln(u)/weight; the top-k priorities per source are exactly
+    * a weight-proportional without-replacement sample (longer docs more
+    * likely, never guaranteed). The weighted companion to
+    * [[stratifiedSample]]'s fixed-rate strata.
+    *
+    * u comes from two LCG mix rounds in plain BIGINT arithmetic (no
+    * overflow under ANSI: max intermediate ≈ 4.7e18 < 2⁶³) — the same
+    * expression runs verbatim in the DuckDB oracle, unlike xxhash64,
+    * which DuckDB lacks. Output is the integer rank, so no float
+    * reaches the hash-compared result.
+    *
+    * Scale: per-row math + ONE shuffle on source for the top-k window.
+    * With few huge sources the window key skews; the fix at 100 TB is
+    * the standard two-stage top-k (per-partition partial top-k, then
+    * the same window over ≤ k·partitions survivors — see
+    * plans/PartialTopK for the physical-operator version).
+    */
+  def weightedSample(spark: SparkSession, dir: String, perSource: Int = 50): DataFrame = {
+    val h1 = (col("doc_id") * lit(2654435761L) + lit(40503L)) % lit(4294967296L)
+    val h2 = (h1 * lit(1103515245L) + lit(11L)) % lit(4294967296L)
+    val u = (h2 + lit(0.5)) / lit(4294967296.0)
+    val w = Window.partitionBy(col("source")).orderBy(col("pri").desc, col("doc_id").asc)
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (log(u) / greatest(col("n_chars"), lit(1L))).as("pri"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perSource)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+  }
 }

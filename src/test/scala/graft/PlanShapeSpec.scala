@@ -197,4 +197,34 @@ class PlanShapeSpec extends AnyFunSuite {
     // then run on the pruned frequent-pair table
     assert("Scan parquet".r.findAllIn(p).size <= 3, p)
   }
+
+  test("pmi joins run broadcast on the vocab-sized sides — the corpus is never joined") {
+    val p = planOf("text_pmi")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("weighted sample pays exactly one key shuffle (the per-source top-k window)") {
+    val p = planOf("q_weighted_sample")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("concurrency reuses the session partitioning and fans out in-row (Generate)") {
+    val p = planOf("q_concurrency")
+    // one user_id exchange shared by the session window + rollup, one
+    // bounded hour-grid aggregation exchange — nothing else moves
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("dup-lines is pure per-row array math — no key shuffle") {
+    assertNoKeyShuffle(planOf("text_dup_lines"))
+  }
+
+  test("decayed LTV broadcasts the 1-row anchor and partial-aggregates per user") {
+    val p = planOf("q_decay_ltv")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
 }
