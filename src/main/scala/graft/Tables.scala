@@ -46,11 +46,15 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * cannot read natively; with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * it surfaces as a LongType of nanos. Normalize to a proper
-    * microsecond TimestampType either way so downstream operators are
-    * agnostic to the storage precision.
+  /** The driver has shipped `events.ts` in three parquet flavors across
+    * rounds: TIMESTAMP(NANOS) (reads as LongType of nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (reads as TimestampNTZType), and plain
+    * TIMESTAMP(MICROS). Normalize every flavor to microsecond
+    * TimestampType so downstream operators are agnostic to the storage
+    * encoding. All harness sessions pin the session time zone to UTC,
+    * so the NTZ→LTZ cast is a pure reinterpretation — the stored
+    * micros value is unchanged and matches what DuckDB reads natively.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
@@ -58,6 +62,8 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         // integer div: ns values (~1.7e18) exceed double's 53-bit mantissa
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
