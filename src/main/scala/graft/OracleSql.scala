@@ -2056,6 +2056,57 @@ object OracleSql {
        |    AS BIGINT) AS rk FROM p)
        |SELECT doc_id, source, n_chars, rk FROM r WHERE rk <= 50""".stripMargin
 
+  /** Gini / Lorenz concentration (EventOps.gini): the oracle ranks with
+    * a plain global row_number (fine in DuckDB); Spark reproduces the
+    * same (t, user_id) rank distributed via range buckets. Per-row
+    * rank·value contributions integerized to 1e-9 before the sum.
+    */
+  val qGini: String =
+    s"""WITH t AS (SELECT user_id,
+       |  sum(${cents("value", "100.0")}) AS t
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |st AS (SELECT count(*) AS n, sum(t) AS s FROM t),
+       |r AS (SELECT t, user_id,
+       |  CAST(row_number() OVER (ORDER BY t ASC, user_id ASC) AS BIGINT) AS rank FROM t),
+       |x AS (SELECT rank, t,
+       |  ${cents("(rank / (1.0 * n)) * (t / (1.0 * s))", "1000000000.0")} AS term_e9,
+       |  rank > n - n // 10 AS top10, rank > n - n // 100 AS top1
+       |  FROM r, st)
+       |SELECT n AS n_users, ${r6("s / 100.0")} AS total_value,
+       |  ${r6("2.0 * (sum(term_e9) / 1000000000.0) - (n + 1) / (1.0 * n)")} AS gini,
+       |  ${r6("sum(CASE WHEN top10 THEN t ELSE 0 END) / (1.0 * s)")} AS top10_share,
+       |  ${r6("sum(CASE WHEN top1 THEN t ELSE 0 END) / (1.0 * s)")} AS top1_share
+       |FROM x, st GROUP BY n, s""".stripMargin
+
+  /** Heaps'-law vocabulary growth (TextAnalysis.heaps): bucket id is
+    * integer doc_id·20/(max+1) in both engines; fit mirrors textZipf's
+    * integerized least squares.
+    */
+  val textHeaps: String =
+    s"""WITH mx AS (SELECT max(doc_id) AS mxd FROM documents),
+       |tok AS (SELECT (doc_id * 20) // (mxd + 1) AS bkt, u.tok AS tok
+       |  FROM documents, mx, unnest($toks) AS u(tok)),
+       |tpb AS (SELECT bkt, count(*) AS nt FROM tok GROUP BY 1),
+       |ntb AS (SELECT fb AS bkt, count(*) AS nv FROM
+       |  (SELECT tok, min(bkt) AS fb FROM tok GROUP BY 1) GROUP BY 1),
+       |curve AS (SELECT tpb.bkt AS bkt, nt, coalesce(nv, 0) AS nv
+       |  FROM tpb LEFT JOIN ntb ON tpb.bkt = ntb.bkt),
+       |c2 AS (SELECT bkt,
+       |  CAST(sum(nt) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       |  CAST(sum(nv) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+       |  FROM curve),
+       |c3 AS (SELECT bkt, cum_tokens, cum_types,
+       |  ${cents("ln(cum_tokens)", "1000000.0")} AS x6,
+       |  ${cents("ln(cum_types)", "1000000.0")} AS y6 FROM c2),
+       |agg AS (SELECT count(*) AS n, sum(x6) AS sx, sum(y6) AS sy,
+       |  sum(${cents("(x6/1000000.0) * (y6/1000000.0)", "1000000.0")}) AS sxy,
+       |  sum(${cents("(x6/1000000.0) * (x6/1000000.0)", "1000000.0")}) AS sxx
+       |  FROM c3)
+       |SELECT bkt, cum_tokens, cum_types,
+       |  ${r6("(n * (sxy/1000000.0) - (sx/1000000.0)*(sy/1000000.0)) / (n * (sxx/1000000.0) - (sx/1000000.0)*(sx/1000000.0))")} AS heaps_beta,
+       |  ${r6("((sy/1000000.0) - ((n * (sxy/1000000.0) - (sx/1000000.0)*(sy/1000000.0)) / (n * (sxx/1000000.0) - (sx/1000000.0)*(sx/1000000.0))) * (sx/1000000.0)) / n")} AS heaps_lnk
+       |FROM c3, agg ORDER BY bkt""".stripMargin
+
   /** name → oracle SQL for every SQL-expressible query. */
   val all: Map[String, String] = Map(
     "doc_parse_md" -> docParseMd,
@@ -2183,5 +2234,7 @@ object OracleSql {
     "text_dup_lines" -> textDupLines,
     "text_pmi" -> textPmi,
     "q_weighted_sample" -> qWeightedSample,
+    "q_gini" -> qGini,
+    "text_heaps" -> textHeaps,
   )
 }

@@ -154,6 +154,8 @@ object SparkEntry {
     "text_dup_lines" -> ((s, d) => TextAnalysis.dupLines(s, d)),
     "text_pmi" -> ((s, d) => TextAnalysis.pmi(s, d)),
     "q_weighted_sample" -> ((s, d) => TrainingMix.weightedSample(s, d)),
+    "q_gini" -> ((s, d) => EventOps.gini(s, d)),
+    "text_heaps" -> ((s, d) => TextAnalysis.heaps(s, d)),
     // B2. faithful newsletter ingest (reference utils.py:93-187,
     // markdown_assets.py:64-91)
     "doc_parse_md" -> ((s, d) => Newsletter.parseMdQuery(s, d)),

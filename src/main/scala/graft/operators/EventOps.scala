@@ -550,4 +550,63 @@ object EventOps {
         r6(col("raw_c") / lit(100.0)).as("raw_value"),
         r6(col("dec_e6") / lit(1e6)).as("decayed_value"))
   }
+
+  /** Revenue-concentration audit: the exact Gini coefficient of
+    * per-user purchase value plus Lorenz top-decile/top-percentile
+    * shares — the "how skewed is our revenue" one-row answer (and, on
+    * a corpus table, the standard "how concentrated is our training
+    * data per source" audit).
+    *
+    * Gini needs every user's global rank by value — the textbook
+    * row_number() over an unpartitioned ORDER BY is a single-partition
+    * window, a scale-killer at 10⁹ users. Here the rank is computed
+    * DISTRIBUTED: users are range-bucketed by value (bucket = integer
+    * t·B/(max+1), monotone in t, so bucket boundaries never split a
+    * tie), per-bucket counts give each bucket's global rank offset (a
+    * bounded ≤B-row running sum), and row_number runs partitioned BY
+    * bucket. offset + within-bucket rank reproduces the global
+    * (value, user_id) rank exactly. Everything else is 1-row
+    * broadcasts and one partial-agg shuffle on user_id.
+    *
+    * Σ rank·value is accumulated as per-row integerized contributions
+    * (rank/n)·(value/total) — order-independent bigint sums, no float
+    * summation-order hazard; the bigint Σ r·x form would overflow past
+    * ~10⁹ users · large totals.
+    */
+  def gini(spark: SparkSession, dir: String, buckets: Int = 1000): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val t = base(spark, dir).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(sum(cents(col("value"), 100.0)).as("t"))
+    // two 1-row aggregates ride one pass over the (user-sized) totals
+    val stats = t.agg(max(col("t")).as("mx"), count(lit(1)).as("n"),
+      sum(col("t")).as("s"))
+    val bucketed = t.crossJoin(broadcast(stats))
+      .withColumn("bkt", expr(s"(t * $buckets) div (mx + 1)"))
+    val offsets = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("nb"))
+      .withColumn("off",
+        coalesce(sum(col("nb")).over(graft.functions.VectorFunctions
+          .boundedWindow(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bkt"), col("off"))
+    val ranked = bucketed
+      .withColumn("r_in", row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("t").asc, col("user_id").asc)))
+      .join(broadcast(offsets), "bkt")
+      .withColumn("rank", col("off") + col("r_in"))
+    ranked
+      .withColumn("term_e9",
+        cents((col("rank") / (lit(1.0) * col("n"))) * (col("t") / (lit(1.0) * col("s"))), 1e9))
+      .withColumn("top10", col("rank") > col("n") - expr("n div 10"))
+      .withColumn("top1", col("rank") > col("n") - expr("n div 100"))
+      .groupBy(col("n"), col("s"))
+      .agg(sum(col("term_e9")).as("st9"),
+        sum(when(col("top10"), col("t")).otherwise(0L)).as("t10"),
+        sum(when(col("top1"), col("t")).otherwise(0L)).as("t1"))
+      .select(col("n").as("n_users"),
+        r6(col("s") / lit(100.0)).as("total_value"),
+        r6(lit(2.0) * (col("st9") / lit(1e9)) - (col("n") + lit(1L)) / (lit(1.0) * col("n")))
+          .as("gini"),
+        r6(col("t10") / (lit(1.0) * col("s"))).as("top10_share"),
+        r6(col("t1") / (lit(1.0) * col("s"))).as("top1_share"))
+  }
 }

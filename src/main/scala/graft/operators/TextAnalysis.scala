@@ -626,4 +626,61 @@ object TextAnalysis {
       .limit(topK)
       .select(col("bg"), col("cbg"), col("ca"), col("cb"), col("pmi"))
   }
+
+  /** Heaps'-law vocabulary growth: V(N) ≈ K·N^β — how fast the corpus
+    * keeps yielding new token types as it grows, the planning curve for
+    * tokenizer vocab sizing and "is more data still adding diversity".
+    * Corpus order is doc_id order (deterministic); the curve is sampled
+    * at `buckets` fixed doc_id-range checkpoints and β, ln K come from
+    * the same integerized least-squares fit [[zipf]] uses.
+    *
+    * Scale shape: a token type's first appearance is min(doc_id) — ONE
+    * exploded-corpus shuffle on token (the same dominant cost every
+    * corpus-vocabulary query pays); per-bucket token totals ride the
+    * same explode as a partial-agg groupBy on the bucket id (bucket =
+    * integer doc_id·B/(max+1) against a broadcast 1-row max — monotone
+    * in doc_id, so checkpoints are consistent across engines). The
+    * cumulative curve and the fit run on the bounded ≤B-row checkpoint
+    * grid. A per-doc cumulative curve would need a corpus-wide global
+    * window; the bucket grid is the scale-correct resolution.
+    */
+  def heaps(spark: SparkSession, dir: String, buckets: Int = 20): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val mx = docs.agg(max(col("doc_id")).as("mxd"))
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .crossJoin(broadcast(mx))
+      .withColumn("bkt", expr(s"(doc_id * $buckets) div (mxd + 1)"))
+    val tokPerBucket = tok.groupBy(col("bkt")).agg(count(lit(1)).as("nt"))
+    val newTypesPerBucket = tok.groupBy(col("tok")).agg(min(col("bkt")).as("fb"))
+      .groupBy(col("fb").as("bkt")).agg(count(lit(1)).as("nv"))
+    val w = graft.functions.VectorFunctions.boundedWindow(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = tokPerBucket.join(newTypesPerBucket, Seq("bkt"), "left")
+      .select(col("bkt"), col("nt"), coalesce(col("nv"), lit(0L)).as("nv"))
+      .withColumn("cum_tokens", sum(col("nt")).over(w))
+      .withColumn("cum_types", sum(col("nv")).over(w))
+      .select(col("bkt"), col("cum_tokens"), col("cum_types"),
+        cents(log(col("cum_tokens")), 1e6).as("x6"),
+        cents(log(col("cum_types")), 1e6).as("y6"))
+      // ≤B rows consumed by both the fit aggregate and the output join —
+      // the lazy persist makes the plan share one corpus pass, not two
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fit = curve.agg(
+      count(lit(1)).as("n"), sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+      sum(cents((col("x6") / lit(1e6)) * (col("y6") / lit(1e6)), 1e6)).as("sxy"),
+      sum(cents((col("x6") / lit(1e6)) * (col("x6") / lit(1e6)), 1e6)).as("sxx"))
+    val slope = (col("n") * (col("sxy") / lit(1e6))
+      - (col("sx") / lit(1e6)) * (col("sy") / lit(1e6))) /
+      (col("n") * (col("sxx") / lit(1e6))
+        - (col("sx") / lit(1e6)) * (col("sx") / lit(1e6)))
+    curve.crossJoin(broadcast(fit.select(
+        r6(slope).as("heaps_beta"),
+        r6(((col("sy") / lit(1e6)) - slope * (col("sx") / lit(1e6))) / col("n"))
+          .as("heaps_lnk"))))
+      .select(col("bkt"), col("cum_tokens"), col("cum_types"),
+        col("heaps_beta"), col("heaps_lnk"))
+      .orderBy(col("bkt"))
+  }
 }

@@ -227,4 +227,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
+
+  test("gini ranks distributed: every row_number window is bucket-partitioned") {
+    val p = planOf("q_gini")
+    // the ONLY unpartitioned window allowed is the <=B-row bucket-offset
+    // running sum; the corpus-sized rank window must carry a partition
+    // spec (bkt) — a global row_number over users is the scale-killer
+    // this operator exists to avoid
+    val winLines = p.linesIterator.filter(_.contains("row_number()")).toList
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(w => assert(w.contains("windowspecdefinition(bkt"), w))
+    // user totals: one partial-agg key shuffle; offsets join broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("heaps pays one vocab shuffle and fits on the bounded checkpoint grid") {
+    val p = planOf("text_heaps")
+    // token first-occurrence groupBy (vocab-sized) + bucket totals +
+    // the tiny curve grid — no corpus-sized join anywhere
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+  }
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{EventOps, TextAnalysis}
+
+/** Round-6 batch 6: Gini/Lorenz revenue concentration and Heaps'-law
+  * vocabulary growth. Both checked against independent brute-force
+  * recomputations (the distributed rank vs a plain global sort; the
+  * bucketed curve vs a collected token replay).
+  */
+class Round6cSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("gini matches the global-sort brute force exactly") {
+    val out = EventOps.gini(spark, Sf).collect()
+    assert(out.length === 1)
+    val row = out.head
+    val p = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val totals = p.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.map(r => math.floor(r._2 * 100.0 + 0.5).toLong).sum
+    }.toSeq.sortBy { case (u, t) => (t, u) }
+    val n = totals.length.toLong
+    val s = totals.map(_._2).sum
+    val st9 = totals.zipWithIndex.map { case ((_, t), i) =>
+      math.floor(((i + 1).toDouble / n) * (t.toDouble / s) * 1e9 + 0.5).toLong
+    }.sum
+    val gini = r6(2.0 * (st9 / 1e9) - (n + 1).toDouble / n)
+    val t10 = totals.drop((n - n / 10).toInt).map(_._2).sum
+    val t1 = totals.drop((n - n / 100).toInt).map(_._2).sum
+    assert(row.getLong(row.fieldIndex("n_users")) === n)
+    assert(row.getDouble(row.fieldIndex("total_value")) === r6(s / 100.0))
+    assert(row.getDouble(row.fieldIndex("gini")) === gini)
+    assert(row.getDouble(row.fieldIndex("top10_share")) === r6(t10 / (1.0 * s)))
+    assert(row.getDouble(row.fieldIndex("top1_share")) === r6(t1 / (1.0 * s)))
+    // sanity: a share is a share, gini lives in [0, 1)
+    assert(gini >= 0.0 && gini < 1.0)
+    assert(t10.toDouble / s >= 0.1 - 1e-9) // top decile holds >= uniform share
+  }
+
+  test("gini of a perfectly equal population is zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gini-eq").toString
+    (1L to 40L).map(u => (u, "2024-06-01 10:00:00", u, "purchase", 5.0, "{}"))
+      .toDF("event_id", "ts0", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts0").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = EventOps.gini(spark, dir).collect().head
+    assert(row.getDouble(row.fieldIndex("gini")) === 0.0)
+    assert(row.getDouble(row.fieldIndex("top10_share")) === 0.1)
+  }
+
+  test("gini of total concentration approaches (n-1)/n") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gini-conc").toString
+    // 19 users with ~nothing, 1 user with everything
+    ((1L to 19L).map(u => (u, "2024-06-01 10:00:00", u, "purchase", 0.01, "{}")) :+
+      ((20L, "2024-06-01 10:00:00", 20L, "purchase", 10000.0, "{}")))
+      .toDF("event_id", "ts0", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts0").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = EventOps.gini(spark, dir).collect().head
+    // exact: gini -> (n-1)/n = 0.95 as the small holdings -> 0
+    assert(row.getDouble(row.fieldIndex("gini")) > 0.94)
+    assert(row.getDouble(row.fieldIndex("top10_share")) > 0.999)
+  }
+
+  test("heaps curve matches the collected-token replay and the fit is sane") {
+    val out = TextAnalysis.heaps(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mxd = docs.map(_._1).max
+    def bkt(d: Long) = (d * 20) / (mxd + 1)
+    val toks = docs.flatMap { case (d, t) =>
+      t.trim.split("\\s+").map(w => (bkt(d), w))
+    }
+    val ntPer = toks.groupBy(_._1).map { case (b, xs) => b -> xs.length.toLong }
+    val nvPer = toks.groupBy(_._2).map { case (_, xs) => xs.map(_._1).min }
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val bks = ntPer.keys.toSeq.sorted
+    var (ct, cv) = (0L, 0L)
+    val expCurve = bks.map { b =>
+      ct += ntPer(b); cv += nvPer.getOrElse(b, 0L)
+      b -> (ct, cv)
+    }.toMap
+    out.foreach { r =>
+      val b = r.getLong(r.fieldIndex("bkt"))
+      val (et, ev) = expCurve(b)
+      assert(r.getLong(r.fieldIndex("cum_tokens")) === et, s"bucket $b tokens")
+      assert(r.getLong(r.fieldIndex("cum_types")) === ev, s"bucket $b types")
+    }
+    assert(out.map(_.getLong(0)).toSet === expCurve.keySet)
+    // the fit columns are constant across rows and match the
+    // brute-force least squares over the integerized checkpoints
+    val betas = out.map(r => r.getDouble(r.fieldIndex("heaps_beta"))).distinct
+    assert(betas.length === 1)
+    def c6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val pts = bks.map { b =>
+      val (t, v) = expCurve(b); (c6(math.log(t.toDouble)), c6(math.log(v.toDouble)))
+    }
+    val fn = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map { case (x, y) => c6((x / 1e6) * (y / 1e6)) }.sum
+    val sxx = pts.map { case (x, _) => c6((x / 1e6) * (x / 1e6)) }.sum
+    val slope = (fn * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6)) /
+      (fn * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6))
+    assert(betas.head === r6(slope))
+    // on the synthetic closed-vocab corpus the exponent is ~0 (types
+    // saturate in the first bucket); it can never exceed linear growth
+    assert(betas.head >= 0.0 && betas.head < 1.0)
+    // curve is monotone nondecreasing in both coordinates
+    val sortedRows = out.sortBy(_.getLong(0))
+    sortedRows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) <= b.getLong(1) && a.getLong(2) <= b.getLong(2))
+      case _ => ()
+    }
+  }
+}
