@@ -84,10 +84,14 @@ object Bench {
     // the whole round loses its bench numbers (BENCH_r03 "parsed": null).
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","failed":$failed,"cpu_steal_sec":${s3(stealSec)},"runs":$nRuns,"queries":$fullJson,"sf":"$sfDir"}""" + "\n")
-    catch { case _: Throwable => () }
+    // full-surface runs only: a SPARK_GRAFT_ONLY iteration run must not
+    // clobber the repo's full-run detail (a 2-query subset written from
+    // a noisy window once replaced the round's 121-query record)
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json"),
+        s"""{"metric":"total","value":${s3(total)},"unit":"sec","failed":$failed,"cpu_steal_sec":${s3(stealSec)},"runs":$nRuns,"queries":$fullJson,"sf":"$sfDir"}""" + "\n")
+      catch { case _: Throwable => () }
     // Printed line: slowest queries first, trimmed to fit the tail buffer
     // (2000 chars minus sbt's "[success] ..." epilogue, with headroom).
     val budget = 1650

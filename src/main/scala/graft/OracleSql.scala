@@ -2078,6 +2078,24 @@ object OracleSql {
        |  ${r6("sum(CASE WHEN top1 THEN t ELSE 0 END) / (1.0 * s)")} AS top1_share
        |FROM x, st GROUP BY n, s""".stripMargin
 
+  /** Lorenz decile table (EventOps.lorenz): plain global row_number in
+    * the oracle vs Spark's distributed rank; decile by integer
+    * ((rank-1)*10)//n so both engines bucket identically.
+    */
+  val qLorenz: String =
+    s"""WITH t AS (SELECT user_id,
+       |  sum(${cents("value", "100.0")}) AS t
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |st AS (SELECT count(*) AS n, sum(t) AS s FROM t),
+       |r AS (SELECT t, user_id,
+       |  CAST(row_number() OVER (ORDER BY t ASC, user_id ASC) AS BIGINT) AS rank FROM t),
+       |d AS (SELECT ((rank - 1) * 10) // n AS decile, t FROM r, st),
+       |g AS (SELECT decile, count(*) AS n_users, sum(t) AS tv FROM d GROUP BY 1)
+       |SELECT decile, n_users, ${r6("tv / 100.0")} AS value,
+       |  ${r6("tv / (1.0 * s)")} AS share,
+       |  ${r6("(sum(tv) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / (1.0 * s)")} AS cum_share
+       |FROM g, st ORDER BY decile""".stripMargin
+
   /** Heaps'-law vocabulary growth (TextAnalysis.heaps): bucket id is
     * integer doc_id·20/(max+1) in both engines; fit mirrors textZipf's
     * integerized least squares.
@@ -2235,6 +2253,7 @@ object OracleSql {
     "text_pmi" -> textPmi,
     "q_weighted_sample" -> qWeightedSample,
     "q_gini" -> qGini,
+    "q_lorenz" -> qLorenz,
     "text_heaps" -> textHeaps,
   )
 }

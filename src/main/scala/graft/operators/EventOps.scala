@@ -573,7 +573,14 @@ object EventOps {
     * summation-order hazard; the bigint Σ r·x form would overflow past
     * ~10⁹ users · large totals.
     */
-  def gini(spark: SparkSession, dir: String, buckets: Int = 1000): DataFrame = {
+  /** Per-user purchase totals with their exact global ascending
+    * (value, user_id) rank computed DISTRIBUTED (the range-bucket +
+    * offset + partitioned row_number scheme [[gini]] documents):
+    * columns (user_id, t cents, bkt, rank, mx, n, s). Shared by the
+    * Gini/Lorenz concentration family.
+    */
+  private def rankedTotals(spark: SparkSession, dir: String,
+      buckets: Int): DataFrame = {
     import graft.functions.VectorFunctions.cents
     val t = base(spark, dir).filter(col("event_type") === "purchase")
       .groupBy(col("user_id")).agg(sum(cents(col("value"), 100.0)).as("t"))
@@ -588,12 +595,16 @@ object EventOps {
           .boundedWindow(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("bkt"), col("off"))
-    val ranked = bucketed
+    bucketed
       .withColumn("r_in", row_number().over(
         Window.partitionBy(col("bkt")).orderBy(col("t").asc, col("user_id").asc)))
       .join(broadcast(offsets), "bkt")
       .withColumn("rank", col("off") + col("r_in"))
-    ranked
+  }
+
+  def gini(spark: SparkSession, dir: String, buckets: Int = 1000): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    rankedTotals(spark, dir, buckets)
       .withColumn("term_e9",
         cents((col("rank") / (lit(1.0) * col("n"))) * (col("t") / (lit(1.0) * col("s"))), 1e9))
       .withColumn("top10", col("rank") > col("n") - expr("n div 10"))
@@ -608,5 +619,30 @@ object EventOps {
           .as("gini"),
         r6(col("t10") / (lit(1.0) * col("s"))).as("top10_share"),
         r6(col("t1") / (lit(1.0) * col("s"))).as("top1_share"))
+  }
+
+  /** The full Lorenz curve at decile resolution: for each value decile
+    * (poorest 10% of users → richest 10%), the user count, value share
+    * and cumulative share — [[gini]]'s two headline shares generalized
+    * to the whole distribution (the "bottom half holds 8%" table).
+    *
+    * Rides the same distributed rank; the decile id is integer
+    * ((rank−1)·10) div n, so deciles differ by at most one user and
+    * both engines bucket identically. The rollup and the cumulative
+    * window run on the bounded 10-row grid.
+    */
+  def lorenz(spark: SparkSession, dir: String, buckets: Int = 1000): DataFrame = {
+    val w = graft.functions.VectorFunctions.boundedWindow(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rankedTotals(spark, dir, buckets)
+      .withColumn("decile", expr("((rank - 1) * 10) div n"))
+      .groupBy(col("decile"), col("s"))
+      .agg(count(lit(1)).as("n_users"), sum(col("t")).as("tv"))
+      .withColumn("cum_tv", sum(col("tv")).over(w))
+      .select(col("decile"), col("n_users"),
+        r6(col("tv") / lit(100.0)).as("value"),
+        r6(col("tv") / (lit(1.0) * col("s"))).as("share"),
+        r6(col("cum_tv") / (lit(1.0) * col("s"))).as("cum_share"))
+      .orderBy(col("decile"))
   }
 }

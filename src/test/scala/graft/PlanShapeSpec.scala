@@ -241,6 +241,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("lorenz reuses gini's distributed rank: row_number stays bucket-partitioned") {
+    val p = planOf("q_lorenz")
+    val winLines = p.linesIterator.filter(_.contains("row_number()")).toList
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(w => assert(w.contains("windowspecdefinition(bkt"), w))
+  }
+
   test("heaps pays one vocab shuffle and fits on the bounded checkpoint grid") {
     val p = planOf("text_heaps")
     // token first-occurrence groupBy (vocab-sized) + bucket totals +

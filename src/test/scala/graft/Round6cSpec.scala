@@ -72,6 +72,47 @@ class Round6cSpec extends AnyFunSuite {
     assert(row.getDouble(row.fieldIndex("top10_share")) > 0.999)
   }
 
+  test("lorenz deciles match the global-sort brute force and tile the population") {
+    val out = EventOps.lorenz(spark, Sf).collect().sortBy(_.getLong(0))
+    val p = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val totals = p.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.map(r => math.floor(r._2 * 100.0 + 0.5).toLong).sum
+    }.toSeq.sortBy { case (u, t) => (t, u) }
+    val n = totals.length.toLong
+    val s = totals.map(_._2).sum
+    val byDecile = totals.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / n }
+    var cum = 0L
+    (0L to 9L).foreach { d =>
+      val rows = byDecile.getOrElse(d, Seq.empty)
+      val row = out.find(_.getLong(0) === d)
+      assert(row.isDefined === rows.nonEmpty, s"decile $d presence")
+      row.foreach { r =>
+        val tv = rows.map(_._1._2).sum
+        cum += tv
+        assert(r.getLong(r.fieldIndex("n_users")) === rows.length.toLong)
+        assert(r.getDouble(r.fieldIndex("value")) === r6(tv / 100.0))
+        assert(r.getDouble(r.fieldIndex("share")) === r6(tv / (1.0 * s)))
+        assert(r.getDouble(r.fieldIndex("cum_share")) === r6(cum / (1.0 * s)))
+      }
+    }
+    // the deciles tile the whole population and the curve ends at 1
+    assert(out.map(_.getLong(1)).sum === n)
+    assert(out.last.getDouble(out.last.fieldIndex("cum_share")) === 1.0)
+    // Lorenz convexity holds per capita (decile SUMS can dip when n is
+    // not divisible by 10 and a 5-user decile precedes a 4-user one):
+    // mean value per user is nondecreasing across deciles
+    val means = out.map(r =>
+      r.getDouble(r.fieldIndex("value")) / r.getLong(r.fieldIndex("n_users")))
+    means.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-9, s"per-user means must be nondecreasing: $a > $b")
+      case _ => ()
+    }
+  }
+
   test("heaps curve matches the collected-token replay and the fit is sane") {
     val out = TextAnalysis.heaps(spark, Sf).collect()
     assert(out.nonEmpty)
