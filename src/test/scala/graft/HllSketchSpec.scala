@@ -48,4 +48,40 @@ class HllSketchSpec extends AnyFunSuite {
     val est = HllSketch.estimate(merged)
     assert(math.abs(est - exact) / exact < 0.02)
   }
+
+  test("streaming HLL converges to the batch sketch exactly and absorbs re-delivery") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hllstream").toString
+    val rows = Tables.events(spark, Sf)
+      .select(col("event_type").as("grp"), xxhash64(col("user_id")).as("h"))
+    rows.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", 1) // force multiple micro-batches
+      .parquet(dir)
+    val q = graft.streaming.HllStream.distinctPerGroup(stream)
+      .writeStream.outputMode("update").format("memory").queryName("hllstream").start()
+    try {
+      q.processAllAvailable()
+      def latest(): Map[String, Double] = {
+        val all = spark.table("hllstream")
+          .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        val last = all.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._3).max }
+        all.filter(r => last(r._1) == r._3).map(r => r._1 -> r._2).toMap
+      }
+      val streamed = latest()
+      // byte-identical algebra: the streamed estimate EQUALS the batch
+      // sketch estimate per group, not just approximates it
+      val ev = Tables.events(spark, Sf)
+      val types = ev.select("event_type").distinct().collect().map(_.getString(0))
+      types.foreach { t =>
+        val batch = HllSketch.estimate(
+          HllSketch.build(ev.filter(col("event_type") === t), col("user_id")))
+        assert(streamed(t) === batch, s"group $t: stream != batch")
+      }
+      // re-delivery of the same rows leaves every estimate unchanged
+      rows.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val redelivered = latest()
+      types.foreach(t => assert(redelivered(t) === streamed(t), s"group $t changed"))
+    } finally q.stop()
+  }
 }
