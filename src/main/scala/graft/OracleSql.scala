@@ -2096,6 +2096,35 @@ object OracleSql {
        |  ${r6("(sum(tv) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / (1.0 * s)")} AS cum_share
        |FROM g, st ORDER BY decile""".stripMargin
 
+  /** Audience-overlap matrix (EventOps.userOverlap): the oracle's
+    * self-join on (user, type<type) distinct pairs is the relational
+    * twin of Spark's in-array pair combinatorics.
+    */
+  val qUserOverlap: String =
+    s"""WITH ts AS (SELECT DISTINCT user_id, event_type FROM events),
+       |tot AS (SELECT event_type, count(*) AS u FROM ts GROUP BY 1),
+       |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |  count(*) AS users_both
+       |  FROM ts a JOIN ts b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT type_a, type_b, ta.u AS users_a, tb.u AS users_b, users_both,
+       |  ${r6("users_both / (1.0 * (ta.u + tb.u - users_both))")} AS jaccard
+       |FROM p JOIN tot ta ON ta.event_type = type_a
+       |JOIN tot tb ON tb.event_type = type_b""".stripMargin
+
+  /** Per-doc n-gram novelty (TextAnalysis.novelty): first appearance =
+    * min(doc_id) per shingle, joined back — the relational twin of the
+    * shingle-partitioned window min.
+    */
+  val textNovelty: String =
+    s"""WITH $shingleCte,
+       |f AS (SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY 1)
+       |SELECT sh.doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  ${r6("sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) / (1.0 * count(*))")} AS novelty
+       |FROM sh JOIN f ON f.shingle = sh.shingle GROUP BY 1""".stripMargin
+
   /** Heaps'-law vocabulary growth (TextAnalysis.heaps): bucket id is
     * integer doc_id·20/(max+1) in both engines; fit mirrors textZipf's
     * integerized least squares.
@@ -2255,5 +2284,7 @@ object OracleSql {
     "q_gini" -> qGini,
     "q_lorenz" -> qLorenz,
     "text_heaps" -> textHeaps,
+    "q_user_overlap" -> qUserOverlap,
+    "text_novelty" -> textNovelty,
   )
 }

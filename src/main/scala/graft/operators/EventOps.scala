@@ -621,6 +621,41 @@ object EventOps {
         r6(col("t1") / (lit(1.0) * col("s"))).as("top1_share"))
   }
 
+  /** Audience-overlap matrix: for every pair of event types, how many
+    * users do both, with per-type audience sizes and Jaccard — the
+    * cross-sell / feature-adjacency readout (and, on a corpus table,
+    * the cross-SOURCE user/document overlap audit).
+    *
+    * Scale shape: ONE user_id shuffle collapses the corpus to a
+    * per-user type SET (bounded by the type vocabulary, not activity);
+    * pair generation is in-row combinatorics on that tiny sorted array
+    * (the corpus never self-joins), and the totals/pair rollups run on
+    * type-vocabulary-sized tables joined broadcast.
+    */
+  def userOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ts = base(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("event_type"))).as("ts"))
+      // consumed by both the totals and the pair rollup — lazy persist
+      // shares one corpus shuffle between the two traversals
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = ts.select(explode(col("ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("u"))
+    val pairs = ts.select(explode(flatten(transform(col("ts"), (a, i) =>
+        transform(slice(col("ts"), i + 2, size(col("ts"))), b =>
+          struct(a.as("ta"), b.as("tb")))))).as("p"))
+      .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+      .agg(count(lit(1)).as("users_both"))
+    pairs
+      .join(broadcast(totals.select(col("t").as("type_a"), col("u").as("users_a"))), "type_a")
+      .join(broadcast(totals.select(col("t").as("type_b"), col("u").as("users_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+        col("users_both"),
+        r6(col("users_both") /
+          (lit(1.0) * (col("users_a") + col("users_b") - col("users_both"))))
+          .as("jaccard"))
+  }
+
   /** The full Lorenz curve at decile resolution: for each value decile
     * (poorest 10% of users → richest 10%), the user count, value share
     * and cumulative share — [[gini]]'s two headline shares generalized

@@ -627,6 +627,30 @@ object TextAnalysis {
       .select(col("bg"), col("cbg"), col("ca"), col("cb"), col("pmi"))
   }
 
+  /** Per-document n-gram novelty against everything EARLIER in the
+    * corpus (doc_id order): the fraction of a doc's distinct 3-gram
+    * shingles whose first corpus appearance is this doc. Low novelty =
+    * the document is made of already-seen material — the incremental
+    * cousin of near-dup detection, and the curation signal for "is
+    * this source still adding new content" (pairs with [[heaps]]'s
+    * corpus-level curve).
+    *
+    * Scale shape: first appearance is a min over a window partitioned
+    * by shingle — ONE exploded-corpus shuffle on the gram (no join of
+    * the corpus against a first-occurrence table); the per-doc rollup
+    * is the second, partial-agg, shuffle. Same cost family as
+    * [[bigramLm]]'s corpus side.
+    */
+  def novelty(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.shingles(tokens(col("text")))).as("g"))
+      .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", r6(col("n_novel") / (lit(1.0) * col("n_grams"))))
+
   /** Heaps'-law vocabulary growth: V(N) ≈ K·N^β — how fast the corpus
     * keeps yielding new token types as it grows, the planning curve for
     * tokenizer vocab sizing and "is more data still adding diversity".

@@ -248,6 +248,20 @@ class PlanShapeSpec extends AnyFunSuite {
     winLines.foreach(w => assert(w.contains("windowspecdefinition(bkt"), w))
   }
 
+  test("user overlap never self-joins the corpus: pairs come from in-row combinatorics") {
+    val p = planOf("q_user_overlap")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // type-vocab-sized total joins
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("novelty uses the shingle-partitioned window, not a first-occurrence join") {
+    val p = planOf("text_novelty")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(g#") && l.contains("min(")), p)
+  }
+
   test("heaps pays one vocab shuffle and fits on the bounded checkpoint grid") {
     val p = planOf("text_heaps")
     // token first-occurrence groupBy (vocab-sized) + bucket totals +

@@ -113,6 +113,56 @@ class Round6cSpec extends AnyFunSuite {
     }
   }
 
+  test("user overlap matches the brute-force pair count and Jaccard identities") {
+    val out = EventOps.userOverlap(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byType = ev.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).toSet }
+    val types = byType.keys.toSeq.sorted
+    val expected = for {
+      i <- types.indices; j <- (i + 1) until types.length
+      a = types(i); b = types(j)
+      both = (byType(a) intersect byType(b)).size
+      if both > 0
+    } yield (a, b) -> (byType(a).size.toLong, byType(b).size.toLong, both.toLong)
+    assert(out.keySet === expected.map(_._1).toSet)
+    expected.foreach { case (k, (ua, ub, uboth)) =>
+      val (ga, gb, gboth, jac) = out(k)
+      assert((ga, gb, gboth) === ((ua, ub, uboth)), s"pair $k")
+      assert(jac === r6(uboth / (1.0 * (ua + ub - uboth))), s"jaccard $k")
+    }
+  }
+
+  test("novelty matches the collected-shingle replay; first doc is fully novel") {
+    val out = TextAnalysis.novelty(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sh = docs.map { case (d, t) =>
+      val tk = t.trim.split("\\s+")
+      d -> (if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSeq.distinct
+            else Seq.empty[String])
+    }
+    val firstDoc = sh.flatMap { case (d, gs) => gs.map(g => (g, d)) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    sh.filter(_._2.nonEmpty).foreach { case (d, gs) =>
+      val (ng, nn, nv) = out(d)
+      assert(ng === gs.length.toLong, s"doc $d gram count")
+      val novel = gs.count(g => firstDoc(g) == d).toLong
+      assert(nn === novel, s"doc $d novel count")
+      assert(nv === r6(novel / (1.0 * gs.length)), s"doc $d novelty")
+    }
+    // docs under 3 tokens have no shingles and no row
+    assert(out.keySet === sh.filter(_._2.nonEmpty).map(_._1).toSet)
+    // the minimum doc_id with shingles is 100% novel by construction
+    val d0 = sh.filter(_._2.nonEmpty).map(_._1).min
+    assert(out(d0)._3 === 1.0)
+  }
+
   test("heaps curve matches the collected-token replay and the fit is sane") {
     val out = TextAnalysis.heaps(spark, Sf).collect()
     assert(out.nonEmpty)
