@@ -2096,6 +2096,24 @@ object OracleSql {
        |  ${r6("(sum(tv) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / (1.0 * s)")} AS cum_share
        |FROM g, st ORDER BY decile""".stripMargin
 
+  /** Robust MAD outliers (EventOps.madOutliers): exact percentile ↔
+    * quantile_cont (the q_percentiles parity precedent); the modified-z
+    * threshold compares identical double expressions in both engines.
+    */
+  val qMadOutliers: String =
+    s"""WITH e AS (SELECT event_type, value FROM events),
+       |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1),
+       |d AS (SELECT e.event_type, value, med FROM e JOIN m USING (event_type)),
+       |md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+       |  FROM d GROUP BY 1),
+       |x AS (SELECT d.event_type, value, med, mad FROM d JOIN md USING (event_type))
+       |SELECT event_type, ${r6("min(med)")} AS med_value,
+       |  ${r6("min(mad)")} AS mad_value,
+       |  CAST(sum(CASE WHEN mad > 0 AND abs(0.6745 * (value - med) / mad) > 3.5
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  ${r6("max(CASE WHEN mad > 0 THEN abs(0.6745 * (value - med) / mad) END)")} AS max_abs_rz
+       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Audience-overlap matrix (EventOps.userOverlap): the oracle's
     * self-join on (user, type<type) distinct pairs is the relational
     * twin of Spark's in-array pair combinatorics.
@@ -2286,5 +2304,6 @@ object OracleSql {
     "text_heaps" -> textHeaps,
     "q_user_overlap" -> qUserOverlap,
     "text_novelty" -> textNovelty,
+    "q_mad_outliers" -> qMadOutliers,
   )
 }

@@ -621,6 +621,38 @@ object EventOps {
         r6(col("t1") / (lit(1.0) * col("s"))).as("top1_share"))
   }
 
+  /** Robust outlier screen per event type: median, MAD, and the count
+    * of modified-z outliers (Iglewicz–Hoaglin: |0.6745·(x−med)/MAD| >
+    * 3.5) — the heavy-tail-safe upgrade of [[anomaly]]'s mean/stddev
+    * z-score, which a single whale purchase can silently widen until
+    * real outliers pass.
+    *
+    * Scale shape: two exact-percentile aggregates (median, then MAD
+    * with the per-type median joined broadcast) + one flagging pass —
+    * three scans, all group stats broadcast. Spark's exact
+    * `percentile` buffers each group's values like the established
+    * `q_percentiles` surface; at extreme per-group cardinality swap in
+    * `approx_percentile` and re-tune the oracle gate to a tolerance
+    * check (the q_approx_quantile pattern).
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = base(spark, dir).select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = e.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    val rz = abs(lit(0.6745) * (col("value") - col("med")) / col("mad"))
+    e.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        r6(min(col("med"))).as("med_value"),
+        r6(min(col("mad"))).as("mad_value"),
+        sum(when(col("mad") > 0 && rz > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+        r6(max(when(col("mad") > 0, rz))).as("max_abs_rz"))
+      .orderBy(col("event_type"))
+  }
+
   /** Audience-overlap matrix: for every pair of event types, how many
     * users do both, with per-type audience sizes and Jaccard — the
     * cross-sell / feature-adjacency readout (and, on a corpus table,

@@ -163,6 +163,53 @@ class Round6cSpec extends AnyFunSuite {
     assert(out(d0)._3 === 1.0)
   }
 
+  test("MAD outliers match the brute force and survive a whale the z-score can't") {
+    val out = EventOps.madOutliers(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    val ev = Tables.events(spark, Sf).select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val xs = rows.map(_._2).toSeq
+      val med = medianOf(xs)
+      val mad = medianOf(xs.map(x => math.abs(x - med)))
+      val rzs = xs.map(x => math.abs(0.6745 * (x - med) / mad))
+      val (gm, gd, gn, gz) = out(t)
+      assert(gm === r6(med), s"$t median")
+      assert(gd === r6(mad), s"$t mad")
+      assert(gn === (if (mad > 0) rzs.count(_ > 3.5).toLong else 0L), s"$t outliers")
+      assert(gz === r6(rzs.max), s"$t max rz")
+    }
+    // robustness: inject one whale into a copied table — the median and
+    // MAD barely move while the mean/stddev screen visibly shifts
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    val base = ev.zipWithIndex.map { case ((t, v), i) =>
+      (i.toLong, "2024-06-01 10:00:00", i.toLong % 50, t, v, "{}")
+    }
+    val whale = (999999L, "2024-06-01 10:00:00", 1L, base.head._4, 1e9, "{}")
+    (base :+ whale).toSeq
+      .toDF("event_id", "ts0", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts0").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val spiked = EventOps.madOutliers(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val t0 = whale._4
+    val (m0, d0, n0, _) = out(t0)
+    val (m1, d1, n1) = spiked(t0)
+    // median/MAD shift at most one order-statistic step; the whale
+    // itself is simply one more outlier
+    assert(math.abs(m1 - m0) < d0, s"median moved robustly: $m0 -> $m1")
+    assert(math.abs(d1 - d0) < d0, s"MAD moved robustly: $d0 -> $d1")
+    assert(n1 >= n0, "the whale cannot reduce the outlier count")
+  }
+
   test("heaps curve matches the collected-token replay and the fit is sane") {
     val out = TextAnalysis.heaps(spark, Sf).collect()
     assert(out.nonEmpty)
