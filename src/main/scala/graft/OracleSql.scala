@@ -335,6 +335,36 @@ object OracleSql {
        |  FROM embeddings e JOIN bk USING(vec_id), q WHERE bk.bucket = q.qbucket)
        |SELECT bucket, vec_id, ${r6("s")} AS score FROM sc ORDER BY s DESC, vec_id LIMIT 5""".stripMargin
 
+  /** LSH measured recall (LshAnn.recallReport, probes=2 → the query
+    * bucket plus its first hamming flip): approximate top-k from the
+    * bucket equi-join vs brute-force top-k, same tiebreaks.
+    */
+  val vsLshRecall: String =
+    s"""WITH $lshPlanes,
+       |proj AS (SELECT e.vec_id, p.p, ${dot("e.embedding", "p.w")} AS pr
+       |  FROM embeddings e CROSS JOIN planes p),
+       |bk AS (SELECT vec_id,
+       |  CAST(sum(CASE WHEN pr > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1),
+       |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, bk.bucket AS qb
+       |  FROM embeddings e JOIN bk USING (vec_id) WHERE e.vec_id % 100 = 0),
+       |pb AS (SELECT query_id, qv, unnest([qb, CAST(xor(qb, 1) AS BIGINT)]) AS bucket FROM q),
+       |app AS (SELECT pb.query_id, e.vec_id, ${dot("e.embedding", "pb.qv")} AS s
+       |  FROM embeddings e JOIN bk USING (vec_id) JOIN pb ON bk.bucket = pb.bucket),
+       |ar AS (SELECT query_id, vec_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rnk FROM app),
+       |atop AS (SELECT query_id, vec_id FROM ar WHERE rnk <= 5),
+       |sc AS (SELECT q.query_id, e.vec_id, ${dot("e.embedding", "q.qv")} AS s
+       |  FROM embeddings e, q),
+       |br AS (SELECT query_id, vec_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rnk FROM sc),
+       |bt AS (SELECT query_id, vec_id FROM br WHERE rnk <= 5)
+       |SELECT bt.query_id,
+       |  CAST(sum(CASE WHEN atop.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  ${r6("sum(CASE WHEN atop.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0")} AS recall
+       |FROM bt LEFT JOIN atop ON bt.query_id = atop.query_id AND bt.vec_id = atop.vec_id
+       |GROUP BY 1""".stripMargin
+
   private val qVec0 = "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
   private val scoredAll =
     s"s AS (SELECT vec_id, ${dot("embedding", "qv")} AS sc FROM embeddings, q)"
@@ -2305,5 +2335,6 @@ object OracleSql {
     "q_user_overlap" -> qUserOverlap,
     "text_novelty" -> textNovelty,
     "q_mad_outliers" -> qMadOutliers,
+    "vs_lsh_recall" -> vsLshRecall,
   )
 }

@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_report" -> ((s, d) => Dedup.report(s, d)),
     "vs_ivf_kmeans" -> ((s, d) => IvfIndex.kmeansStats(s, d)),
     "vs_lsh_ann" -> ((s, d) => LshAnn.search(s, d)),
+    "vs_lsh_recall" -> ((s, d) => LshAnn.recallReport(s, d)),
     "vs_pq" -> ((s, d) => PqIndex.search(s, d)),
     "vs_pq_rerank" -> ((s, d) => PqIndex.searchRerank(s, d)),
     // C. dedup

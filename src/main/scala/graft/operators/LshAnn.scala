@@ -82,6 +82,52 @@ object LshAnn {
       .select(col("bucket"), col("vec_id"), r6(col("score")).as("score"))
   }
 
+  /** Measured recall@k of the multi-probe LSH path against exact
+    * brute-force top-k, per query — the LSH twin of
+    * [[IvfIndex.recallReport]]: the number an operator actually needs
+    * before trusting an approximate index at scale ("is 2-probe recall
+    * good enough, or do we pay more probes?").
+    *
+    * Scale shape: queries are a broadcast-sized set (one per 100
+    * vectors) carrying their probe buckets (bucket + hamming-1 flips,
+    * bounded by `probes`); the approximate side is an equi-join of the
+    * bucketed corpus against that broadcast, so the corpus is scanned
+    * once and never self-joined. The brute-force side is the same
+    * corpus×queries scan every recall measurement must pay — it exists
+    * to CERTIFY the cheap path, run on a sample in production.
+    */
+  def recallReport(spark: SparkSession, dir: String, k: Int = 5,
+      probes: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .withColumn("qb", bucketOf(col("qvec")))
+    val probeBuckets = array((col("qb") +: (0 until NumPlanes).map(p =>
+      col("qb").bitwiseXOR(lit(1L << p)))).take(math.max(1, probes)): _*)
+    val probed = queries.select(col("query_id"), col("qvec"),
+      explode(probeBuckets).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val approx = bucketed(spark, dir)
+      .join(broadcast(probed), "bucket")
+      .withColumn("score", dot(col("embedding"), col("qvec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val brute = KnnSearch.scored(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+        queries.select(col("query_id"), col("qvec")))
+      .select(col("query_id"), col("vec_id"), col("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id")
+    brute.join(approx.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        r6(col("n_hit") / lit(k.toDouble)).as("recall"))
+  }
+
   /** ANN search: hash the query, scan only its bucket, top-k by dot. */
   def search(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)

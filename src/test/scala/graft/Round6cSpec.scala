@@ -210,6 +210,29 @@ class Round6cSpec extends AnyFunSuite {
     assert(n1 >= n0, "the whale cannot reduce the outlier count")
   }
 
+  test("lsh recall: hits are real brute-force hits and more probes never hurt") {
+    import graft.operators.LshAnn
+    val r2 = LshAnn.recallReport(spark, Sf, k = 5, probes = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(r2.nonEmpty)
+    r2.foreach { case (q, (hits, rec)) =>
+      assert(hits >= 0L && hits <= 5L, s"query $q hits out of range")
+      assert(rec === r6(hits / 5.0), s"query $q recall mismatch")
+    }
+    // monotonicity: probing every bucket (>= 2^NumPlanes probes would
+    // be exhaustive; NumPlanes+1 covers all hamming-1 flips) can only
+    // add candidates, so per-query hits never decrease
+    val rAll = LshAnn.recallReport(spark, Sf, k = 5, probes = LshAnn.NumPlanes + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    r2.foreach { case (q, (hits, _)) =>
+      assert(rAll(q) >= hits, s"query $q lost hits with more probes")
+    }
+    // single-probe exact-bucket sanity: the query's own top-1 is itself
+    // (vec_id ∈ queries, score with itself maximal) and lives in its own
+    // bucket, so every query has at least one hit at any probe count
+    r2.foreach { case (q, (hits, _)) => assert(hits >= 1L, s"query $q found nothing") }
+  }
+
   test("heaps curve matches the collected-token replay and the fit is sane") {
     val out = TextAnalysis.heaps(spark, Sf).collect()
     assert(out.nonEmpty)
