@@ -2198,8 +2198,8 @@ object OracleSql {
        |  sum(${cents("(x6/1000000.0) * (x6/1000000.0)", "1000000.0")}) AS sxx
        |  FROM c3)
        |SELECT bkt, cum_tokens, cum_types,
-       |  ${r6("(n * (sxy/1000000.0) - (sx/1000000.0)*(sy/1000000.0)) / (n * (sxx/1000000.0) - (sx/1000000.0)*(sx/1000000.0))")} AS heaps_beta,
-       |  ${r6("((sy/1000000.0) - ((n * (sxy/1000000.0) - (sx/1000000.0)*(sy/1000000.0)) / (n * (sxx/1000000.0) - (sx/1000000.0)*(sx/1000000.0))) * (sx/1000000.0)) / n")} AS heaps_lnk
+       |  CASE WHEN n >= 2 THEN ${r6("(n * (sxy/1000000.0) - (sx/1000000.0)*(sy/1000000.0)) / (n * (sxx/1000000.0) - (sx/1000000.0)*(sx/1000000.0))")} END AS heaps_beta,
+       |  CASE WHEN n >= 2 THEN ${r6("((sy/1000000.0) - ((n * (sxy/1000000.0) - (sx/1000000.0)*(sy/1000000.0)) / (n * (sxx/1000000.0) - (sx/1000000.0)*(sx/1000000.0))) * (sx/1000000.0)) / n")} END AS heaps_lnk
        |FROM c3, agg ORDER BY bkt""".stripMargin
 
   /** name → oracle SQL for every SQL-expressible query. */

@@ -699,9 +699,12 @@ object TextAnalysis {
       - (col("sx") / lit(1e6)) * (col("sy") / lit(1e6))) /
       (col("n") * (col("sxx") / lit(1e6))
         - (col("sx") / lit(1e6)) * (col("sx") / lit(1e6)))
+    // a sub-2-point regression is degenerate: integerization residue
+    // would otherwise fabricate a finite slope out of 0/0
     curve.crossJoin(broadcast(fit.select(
-        r6(slope).as("heaps_beta"),
-        r6(((col("sy") / lit(1e6)) - slope * (col("sx") / lit(1e6))) / col("n"))
+        when(col("n") >= 2, r6(slope)).as("heaps_beta"),
+        when(col("n") >= 2,
+          r6(((col("sy") / lit(1e6)) - slope * (col("sx") / lit(1e6))) / col("n")))
           .as("heaps_lnk"))))
       .select(col("bkt"), col("cum_tokens"), col("cum_types"),
         col("heaps_beta"), col("heaps_lnk"))

@@ -168,4 +168,80 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(s.head.isNullAt(s.head.fieldIndex("valid_to_us")))
     assert(s.head.getLong(s.head.fieldIndex("version")) === 1L)
   }
+
+  private def writeEvents(dir: String,
+      rows: Seq[(Long, String, Long, String, Double, String)]): Unit =
+    rows.toDF("event_id", "ts0", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts0").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("gini/lorenz of a no-purchase corpus emit zero rows, not a division error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-gini0").toString
+    writeEvents(dir, Seq((1L, "2024-06-01 10:00:00", 1L, "view", 5.0, "{}")))
+    assert(graft.operators.EventOps.gini(spark, dir).collect().isEmpty)
+    assert(graft.operators.EventOps.lorenz(spark, dir).collect().isEmpty)
+  }
+
+  test("lorenz of a single purchaser is one decile-0 row with full share") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-lz1").toString
+    writeEvents(dir, Seq((1L, "2024-06-01 10:00:00", 7L, "purchase", 12.5, "{}")))
+    val rows = graft.operators.EventOps.lorenz(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("decile")) === 0L)
+    assert(r.getLong(r.fieldIndex("n_users")) === 1L)
+    assert(r.getDouble(r.fieldIndex("share")) === 1.0)
+    assert(r.getDouble(r.fieldIndex("cum_share")) === 1.0)
+    // and the gini of one user is exactly 2*(1/1)*(1) - 2 = 0
+    val g = graft.operators.EventOps.gini(spark, dir).collect().head
+    assert(g.getDouble(g.fieldIndex("gini")) === 0.0)
+  }
+
+  test("MAD of constant values flags nothing and reports a null max_rz") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-mad0").toString
+    writeEvents(dir, (1L to 9L).map(i =>
+      (i, "2024-06-01 10:00:00", i, "purchase", 4.0, "{}")))
+    val r = graft.operators.EventOps.madOutliers(spark, dir).collect().head
+    assert(r.getDouble(r.fieldIndex("med_value")) === 4.0)
+    assert(r.getDouble(r.fieldIndex("mad_value")) === 0.0)
+    assert(r.getLong(r.fieldIndex("n_outliers")) === 0L)
+    assert(r.isNullAt(r.fieldIndex("max_abs_rz")))
+  }
+
+  test("user overlap of a single-type corpus is an empty matrix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-ov1").toString
+    writeEvents(dir, (1L to 5L).map(i =>
+      (i, "2024-06-01 10:00:00", i, "view", 1.0, "{}")))
+    assert(graft.operators.EventOps.userOverlap(spark, dir).collect().isEmpty)
+  }
+
+  test("novelty of verbatim copies: the first doc owns every gram, the rest own none") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-nov").toString
+    val txt = "alpha beta gamma delta epsilon"
+    Seq((10L, txt, "en", "web", txt.length.toLong),
+        (11L, txt, "en", "web", txt.length.toLong),
+        (12L, txt, "en", "web", txt.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.novelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out === Map(10L -> 1.0, 11L -> 0.0, 12L -> 0.0))
+  }
+
+  test("heaps of a one-doc corpus yields one checkpoint and no crash on the degenerate fit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-heaps").toString
+    Seq((0L, "a b c a b", "en", "web", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis.heaps(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("cum_tokens")) === 5L)
+    assert(r.getLong(r.fieldIndex("cum_types")) === 3L)
+    // a 1-point regression is degenerate: the fit must be NaN/null,
+    // never a fabricated slope
+    val beta = r.get(r.fieldIndex("heaps_beta"))
+    assert(beta == null || beta.asInstanceOf[Double].isNaN)
+  }
 }
