@@ -44,7 +44,12 @@ object NewsletterPipeline {
     */
   def buildIndex(spark: SparkSession, htmlPath: String, indexPath: String,
       nClusters: Int = 4): Unit = {
+    // the parse+embed chain feeds three consumers (the centroid-literal
+    // collect, the centroid write, the vector write) — without the
+    // persist the corpus would be parsed and encoded three times per
+    // build (measured ~3× the build time on the 331-page real archive)
     val cv = chunkVectors(spark, htmlPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = cv.orderBy(col("chunk_id").asc).limit(nClusters)
       // bounded: nClusters rows by construction
       .withColumn("cluster_id",
@@ -57,6 +62,7 @@ object NewsletterPipeline {
       .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$indexPath/vectors")
     cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    cv.unpersist(false)
   }
 
   /** The user-facing search over the persisted store, with the

@@ -117,4 +117,39 @@ class NewsletterReplaySpec extends org.scalatest.funsuite.AnyFunSuite {
       .filter(col("lo") =!= 1L || col("hi") =!= col("n") || col("d") =!= col("n"))
     assert(bad.count() === 0L, bad.head(3).mkString(";"))
   }
+
+  test("the WHOLE pipeline runs on the real archive: build index, search, filter, prune") {
+    assume(available, s"$ArchiveDir not present")
+    import graft.operators.NewsletterPipeline
+    val idx = java.nio.file.Files.createTempDirectory("graft-replay-idx").toString
+    NewsletterPipeline.buildIndex(spark, ArchiveDir, idx, nClusters = 4)
+    // the store holds every real chunk exactly once, partitioned by cluster
+    val stored = spark.read.parquet(s"$idx/vectors")
+    assert(stored.count() === chunks.count())
+    assert(stored.select("chunk_id").distinct().count() === chunks.count())
+    val clusters = stored.select(col("cluster_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(clusters.nonEmpty && clusters.forall(c => c >= 0 && c < 4))
+    // plain search returns ranked, scored results from the real corpus
+    val hits = NewsletterPipeline.search(spark, idx, "spark distributed data", k = 5)
+      .collect()
+    assert(hits.length === 5)
+    val logits = hits.map(_.getDouble(hits.head.fieldIndex("logit"))).toSeq
+    assert(logits === logits.sortBy(-(_: Double)), "results must be logit-ranked")
+    // the reference's payload filters hold on real data
+    val quotes = NewsletterPipeline.search(spark, idx, "leadership", k = 5,
+      category = Some("quote")).collect()
+    assert(quotes.nonEmpty)
+    assert(quotes.forall(_.getString(2) === "quote"))
+    val dated = NewsletterPipeline.search(spark, idx, "leadership", k = 10,
+      fromDate = Some("2023-01-01"), toDate = Some("2023-12-31")).collect()
+    assert(dated.forall { r =>
+      val d = r.getString(3); d >= "2023-01-01" && d <= "2023-12-31"
+    })
+    // search scans only the probed partitions (the layout IS the index)
+    val pruned = spark.read.parquet(s"$idx/vectors")
+      .filter(col("cluster_id").cast("long").isin(0L, 1L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"), plan)
+  }
 }
