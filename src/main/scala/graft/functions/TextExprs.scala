@@ -87,9 +87,59 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Run-length duplicate statistics of a string array in ONE pass:
+    * struct(dup_cnt, tot_cnt, dup_mass, tot_mass), where an element
+    * counts as duplicated iff its multiplicity ≥ 2 and mass weights by
+    * character length. Semantics twin: the array_sort + `aggregate`
+    * HOF folds (TextAnalysis.dupCountFracHof/dupCharFracHof, which the
+    * DuckDB oracle mirrors); this native replaces TWO sorted HOF folds
+    * per row (count-frac + char-frac each re-sorted the array) with
+    * one sort + one scan in plain JVM code — the text-quality scan is
+    * the hot path of a 100 TB curation pass, and `aggregate` lambdas
+    * evaluate interpreted per element.
+    */
+  case class DupStatsExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("dup_cnt", LongType, nullable = false),
+      StructField("tot_cnt", LongType, nullable = false),
+      StructField("dup_mass", LongType, nullable = false),
+      StructField("tot_mass", LongType, nullable = false)))
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val xs = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) { xs(i) = arr.getUTF8String(i); i += 1 }
+      // any total order groups equal elements — binary UTF8 order here
+      java.util.Arrays.sort(xs, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+      var dupCnt = 0L; var dupMass = 0L; var totMass = 0L
+      var run = 0L; var runMass = 0L
+      i = 0
+      while (i < n) {
+        val len = xs(i).numChars().toLong
+        totMass += len
+        if (i > 0 && xs(i) == xs(i - 1)) { run += 1; runMass += len }
+        else {
+          if (run >= 2) { dupCnt += run; dupMass += runMass }
+          run = 1; runMass = len
+        }
+        i += 1
+      }
+      if (run >= 2) { dupCnt += run; dupMass += runMass }
+      org.apache.spark.sql.catalyst.InternalRow(dupCnt, n.toLong, dupMass, totMass)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def shingles(tokens: Column, k: Int = 3): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(tokens), k))
 
   def simhash(tokens: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
+
+  def dupStats(xs: Column): Column =
+    ColumnBridge.column(DupStatsExpr(ColumnBridge.expression(xs)))
 }

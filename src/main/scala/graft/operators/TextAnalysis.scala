@@ -428,7 +428,26 @@ object TextAnalysis {
     * row — the same shape that replaced this file's two hidden
     * quadratics in r5.
     */
+  /** Native single-pass form (TextExprs.DupStatsExpr): one sort + one
+    * scan per row instead of an interpreted `aggregate` lambda per
+    * element. The HOF twins below define the semantics (and are what
+    * the DuckDB oracle mirrors); DupStatsParitySpec asserts equality.
+    */
   private[graft] def dupCharFrac(grams: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val st = graft.functions.TextExprs.dupStats(grams)
+    when(st.getField("tot_mass") > 0,
+      r6(st.getField("dup_mass") / (lit(1.0) * st.getField("tot_mass"))))
+      .otherwise(lit(0.0))
+  }
+
+  private[graft] def dupCountFrac(xs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val st = graft.functions.TextExprs.dupStats(xs)
+    when(st.getField("tot_cnt") > 0,
+      r6(st.getField("dup_cnt") / (lit(1.0) * st.getField("tot_cnt"))))
+      .otherwise(lit(0.0))
+  }
+
+  private[graft] def dupCharFracHof(grams: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val runLen = (run: org.apache.spark.sql.Column, prev: org.apache.spark.sql.Column) =>
       run * length(prev).cast("long")
     val folded = aggregate(array_sort(grams),
@@ -538,7 +557,7 @@ object TextAnalysis {
     * Σ_{x: count(x)≥2} count(x) / Σ_x 1 — the element-count twin of
     * [[dupCharFrac]] (same sort + run-length fold, O(n log n) per row).
     */
-  private[graft] def dupCountFrac(xs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def dupCountFracHof(xs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val folded = aggregate(array_sort(xs),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup"), lit(0L).as("tot")),
       (acc, x) => {

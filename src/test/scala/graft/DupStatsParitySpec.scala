@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.TextAnalysis
+
+/** The native one-pass DupStatsExpr must agree EXACTLY with the
+  * `array_sort` + `aggregate` HOF folds that define the semantics (and
+  * that the DuckDB oracle mirrors) — on fixtures, edge cases, and the
+  * whole sf0.001 corpus at every gram size the graded queries use.
+  */
+class DupStatsParitySpec extends AnyFunSuite {
+  import SparkSuite._
+  import spark.implicits._
+
+  test("native == HOF on hand fixtures and edge cases") {
+    val df = Seq(
+      Seq("a", "b", "a", "c", "a", "b"),           // mixed runs
+      Seq("x"),                                    // singleton
+      Seq.empty[String],                           // empty
+      Seq("", "", "y"),                            // empty-string elements
+      Seq("same", "same", "same"),                 // all equal
+      Seq("aa", "b", "aa", "cc", "cc", "cc"),      // mass != count weighting
+    ).toDF("xs")
+    val got = df.select(
+      TextAnalysis.dupCountFrac(col("xs")).as("nc"),
+      TextAnalysis.dupCharFrac(col("xs")).as("nm"),
+      TextAnalysis.dupCountFracHof(col("xs")).as("hc"),
+      TextAnalysis.dupCharFracHof(col("xs")).as("hm")).collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(2), s"count frac: $r")
+      assert(r.getDouble(1) === r.getDouble(3), s"char frac: $r")
+    }
+    // spot-check absolute values on the first fixture:
+    // a×3 + b×2 duplicated of 6 elements → 5/6; all length-1 → same mass
+    assert(got(0).getDouble(0) === math.floor(5.0 / 6.0 * 1e6 + 0.5) / 1e6)
+  }
+
+  test("native == HOF over the whole corpus at every graded gram size") {
+    val toks = tokens(col("text"))
+    val lines = filter(transform(split(col("text"), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val cases = Seq(
+      gramsAll(toks, 2), gramsAll(toks, 3), gramsAll(toks, 4), lines)
+    cases.zipWithIndex.foreach { case (xs, i) =>
+      val bad = Tables.documents(spark, Sf)
+        .select(
+          TextAnalysis.dupCountFrac(xs).as("nc"),
+          TextAnalysis.dupCharFrac(xs).as("nm"),
+          TextAnalysis.dupCountFracHof(xs).as("hc"),
+          TextAnalysis.dupCharFracHof(xs).as("hm"))
+        .filter(col("nc") =!= col("hc") || col("nm") =!= col("hm"))
+        .count()
+      assert(bad === 0L, s"case $i diverged on $bad docs")
+    }
+  }
+}
