@@ -1767,6 +1767,30 @@ object OracleSql {
        |  CAST(abs(rev_cents * 1000000 - (sum_prev * 1000000) // n_prev) AS BIGINT) AS err_e6
        |FROM wn WHERE n_prev = 7""".stripMargin
 
+  /** Holt trend smoothing (EventOps.forecastHolt): the oracle replays
+    * the sequential recursion with a recursive CTE; α=1/2 and β=1/4
+    * are exact binary fractions, so the double arithmetic is
+    * bit-identical to Spark's fold.
+    */
+  val qForecastHolt: String =
+    s"""WITH RECURSIVE e AS (SELECT epoch_us(ts) // 86400000000 AS day, ${cents("value", "100.0")} AS vc FROM events),
+       |daily AS (SELECT day, CAST(sum(vc) AS BIGINT) AS rev_cents FROM e GROUP BY 1),
+       |dd AS (SELECT day, rev_cents,
+       |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn FROM daily),
+       |h(rn, day, y, l, b, f) AS (
+       |  SELECT rn, day, CAST(rev_cents AS DOUBLE) / 100.0,
+       |    CAST(rev_cents AS DOUBLE) / 100.0, CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE)
+       |  FROM dd WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.rn, d.day, CAST(d.rev_cents AS DOUBLE) / 100.0,
+       |    0.5 * (CAST(d.rev_cents AS DOUBLE) / 100.0) + 0.5 * (h.l + h.b),
+       |    0.25 * ((0.5 * (CAST(d.rev_cents AS DOUBLE) / 100.0) + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b,
+       |    h.l + h.b
+       |  FROM dd d JOIN h ON d.rn = h.rn + 1)
+       |SELECT day, ${r6("y")} AS actual, ${r6("f")} AS forecast,
+       |  ${r6("abs(y - f)")} AS abs_err
+       |FROM h WHERE rn > 1""".stripMargin
+
   /** Full-outer coverage — mirrors Relational.outerCoverage. */
   val qOuterJoin: String =
     s"""WITH cs AS (SELECT c_nationkey, count(*) AS n_cust FROM customer
@@ -2336,5 +2360,6 @@ object OracleSql {
     "text_novelty" -> textNovelty,
     "q_mad_outliers" -> qMadOutliers,
     "vs_lsh_recall" -> vsLshRecall,
+    "q_forecast_holt" -> qForecastHolt,
   )
 }

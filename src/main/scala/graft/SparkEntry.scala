@@ -159,6 +159,7 @@ object SparkEntry {
     "q_lorenz" -> ((s, d) => EventOps.lorenz(s, d)),
     "q_user_overlap" -> ((s, d) => EventOps.userOverlap(s, d)),
     "q_mad_outliers" -> ((s, d) => EventOps.madOutliers(s, d)),
+    "q_forecast_holt" -> ((s, d) => EventOps.forecastHolt(s, d)),
     "text_novelty" -> ((s, d) => TextAnalysis.novelty(s, d)),
     "text_heaps" -> ((s, d) => TextAnalysis.heaps(s, d)),
     // B2. faithful newsletter ingest (reference utils.py:93-187,

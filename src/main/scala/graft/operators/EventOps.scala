@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.VectorFunctions.r6
 
@@ -352,6 +353,58 @@ object EventOps {
       .withColumn("forecast_e6", expr(s"(sum_prev * 1000000) div n_prev"))
       .withColumn("err_e6", abs(col("rev_cents") * 1000000L - col("forecast_e6")))
       .select("day", "rev_cents", "forecast_e6", "err_e6")
+  }
+
+  /** Holt linear-trend exponential smoothing backtest (α=1/2, β=1/4):
+    * one-step-ahead forecasts ŷ_t = l_{t−1} + b_{t−1} over the daily
+    * revenue series with level/trend recursion — the trend-aware
+    * upgrade of [[forecastSma]], and the pattern SMA windows cannot
+    * express (each state depends on ALL history, not a fixed frame).
+    *
+    * Scale shape: the corpus collapses to the bounded daily series in
+    * one partial-agg shuffle; the recursion then runs as a sequential
+    * fold over that bounded array (same boundedness argument as every
+    * daily-series query here — a recursive scan is inherently serial,
+    * so the right distributed form is "reduce to the small series,
+    * then fold"). α and β are exact binary fractions, so the double
+    * recursion is the same bit pattern in any IEEE engine — the DuckDB
+    * oracle replays it with a recursive CTE and hash-matches.
+    */
+  def forecastHolt(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val daily = base(spark, dir)
+      .groupBy(expr("us div 86400000000").as("day"))
+      .agg(sum(cents(col("value"), 100.0)).as("rev_cents"))
+    val rowT = ArrayType(StructType(Seq(
+      StructField("day", LongType), StructField("actual", DoubleType),
+      StructField("forecast", DoubleType), StructField("abs_err", DoubleType))))
+    val folded = daily
+      .agg(array_sort(collect_list(struct(col("day"), col("rev_cents")))).as("s"))
+      .select(aggregate(col("s"),
+        struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(false).as("started"),
+          array().cast(rowT).as("out")),
+        (acc, x) => {
+          val y = x.getField("rev_cents") / lit(100.0)
+          val f = acc.getField("l") + acc.getField("b")
+          val newL = lit(0.5) * y + lit(0.5) * f
+          val newB = lit(0.25) * (newL - acc.getField("l")) +
+            lit(0.75) * acc.getField("b")
+          val row = struct(x.getField("day").as("day"), y.as("actual"),
+            f.as("forecast"), abs(y - f).as("abs_err"))
+          struct(
+            when(acc.getField("started"), newL).otherwise(y).as("l"),
+            when(acc.getField("started"), newB).otherwise(lit(0.0)).as("b"),
+            lit(true).as("started"),
+            when(acc.getField("started"),
+              array_append(acc.getField("out"), row))
+              .otherwise(acc.getField("out")).as("out"))
+        },
+        acc => acc.getField("out")).as("rows"))
+      .select(explode(col("rows")).as("r"))
+    folded.select(col("r.day").as("day"),
+      r6(col("r.actual")).as("actual"),
+      r6(col("r.forecast")).as("forecast"),
+      r6(col("r.abs_err")).as("abs_err"))
   }
 
   /** Gaps-and-islands: per-user activity streaks. The classic

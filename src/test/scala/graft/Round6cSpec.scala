@@ -233,6 +233,52 @@ class Round6cSpec extends AnyFunSuite {
     r2.foreach { case (q, (hits, _)) => assert(hits >= 1L, s"query $q found nothing") }
   }
 
+  test("holt backtest matches the scalar recursion replay") {
+    val out = EventOps.forecastHolt(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val daily = Tables.events(spark, Sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (d, xs) =>
+        d -> xs.map(x => math.floor(x._2 * 100.0 + 0.5).toLong).sum
+      }.toSeq.sortBy(_._1)
+    assert(daily.length >= 3 && out.size === daily.length - 1)
+    var l = daily.head._2 / 100.0
+    var b = 0.0
+    daily.tail.foreach { case (d, cents) =>
+      val y = cents / 100.0
+      val f = l + b
+      val (ga, gf, ge) = out(d)
+      assert(ga === r6(y), s"day $d actual")
+      assert(gf === r6(f), s"day $d forecast")
+      assert(ge === r6(math.abs(y - f)), s"day $d err")
+      val newL = 0.5 * y + 0.5 * f
+      b = 0.25 * (newL - l) + 0.75 * b
+      l = newL
+    }
+  }
+
+  test("holt locks onto a perfect linear trend; a flat-mean forecast cannot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-holt-trend").toString
+    // value 10, 20, 30, ... per day: after warmup the one-step error -> 0
+    (0L until 30L).map { d =>
+      (d, java.time.Instant.ofEpochSecond(86400L * (19000 + d)).toString.replace("T", " ").replace("Z", ""),
+        d % 5, "purchase", 10.0 * (d + 1), "{}")
+    }.toDF("event_id", "ts0", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts0").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = EventOps.forecastHolt(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    val lastErr = rows.last.getDouble(rows.last.fieldIndex("abs_err"))
+    val firstErr = rows.head.getDouble(rows.head.fieldIndex("abs_err"))
+    assert(lastErr < 1.0, s"holt must converge on a linear trend, err=$lastErr")
+    assert(firstErr > lastErr, "error must shrink as the trend is learned")
+    // a flat forecast (previous value) is off by the slope (10) forever
+    assert(lastErr < 5.0)
+  }
+
   test("heaps curve matches the collected-token replay and the fit is sane") {
     val out = TextAnalysis.heaps(spark, Sf).collect()
     assert(out.nonEmpty)
