@@ -1171,6 +1171,27 @@ object OracleSql {
        |JOIN pairs e2 ON e2.pa = e1.pb
        |JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb""".stripMargin
 
+  /** Degree distribution (GraphOps.degreeDist): node degree over the
+    * same support-pruned pair set qTriangles uses.
+    */
+  val qDegreeDist: String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pairs AS (SELECT x.p AS pa, y.p AS pb, count(*) AS sup
+       |  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |nodes AS (SELECT pa AS part FROM pairs UNION ALL SELECT pb FROM pairs),
+       |deg AS (SELECT part, count(*) AS degree FROM nodes GROUP BY 1)
+       |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Daily new-vs-returning users (EventOps.newVsReturning). */
+  val qNewReturning: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+       |f AS (SELECT user_id, min(day) AS fd FROM ud GROUP BY 1)
+       |SELECT day,
+       |  CAST(sum(CASE WHEN fd = day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       |  CAST(sum(CASE WHEN fd < day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+       |FROM ud JOIN f USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Zipf fit (TextAnalysis.zipf): every least-squares term integerized
     * (×1e6) before the sums — matches the Spark side bit-for-bit.
     */
@@ -2361,5 +2382,7 @@ object OracleSql {
     "q_mad_outliers" -> qMadOutliers,
     "vs_lsh_recall" -> vsLshRecall,
     "q_forecast_holt" -> qForecastHolt,
+    "q_degree_dist" -> qDegreeDist,
+    "q_new_returning" -> qNewReturning,
   )
 }

@@ -160,6 +160,8 @@ object SparkEntry {
     "q_user_overlap" -> ((s, d) => EventOps.userOverlap(s, d)),
     "q_mad_outliers" -> ((s, d) => EventOps.madOutliers(s, d)),
     "q_forecast_holt" -> ((s, d) => EventOps.forecastHolt(s, d)),
+    "q_degree_dist" -> ((s, d) => GraphOps.degreeDist(s, d)),
+    "q_new_returning" -> ((s, d) => EventOps.newVsReturning(s, d)),
     "text_novelty" -> ((s, d) => TextAnalysis.novelty(s, d)),
     "text_heaps" -> ((s, d) => TextAnalysis.heaps(s, d)),
     // B2. faithful newsletter ingest (reference utils.py:93-187,

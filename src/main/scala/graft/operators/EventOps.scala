@@ -674,6 +674,28 @@ object EventOps {
         r6(col("t1") / (lit(1.0) * col("s"))).as("top1_share"))
   }
 
+  /** Daily new-vs-returning user accounting — the growth ledger
+    * (every active user each day is exactly one of the two).
+    *
+    * Scale shape: ONE user_id shuffle collapses the corpus to each
+    * user's sorted active-day array (bounded by the time span, not
+    * activity); "first day" is element 0 of that array, so no join
+    * against a first-seen table; the rollup runs on the bounded day
+    * grid. The naive two-aggregation form (distinct user-days ⋈
+    * per-user min) pays a second shuffle for the join — this shape
+    * never re-partitions.
+    */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir)
+      .select(col("user_id"), expr("us div 86400000000").as("day"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("day"))).as("days"))
+      .select(element_at(col("days"), 1).as("fd"), explode(col("days")).as("day"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("fd") === col("day"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("fd") < col("day"), 1L).otherwise(0L)).as("returning_users"))
+      .orderBy(col("day"))
+
   /** Robust outlier screen per event type: median, MAD, and the count
     * of modified-z outliers (Iglewicz–Hoaglin: |0.6745·(x−med)/MAD| >
     * 3.5) — the heavy-tail-safe upgrade of [[anomaly]]'s mean/stddev

@@ -98,8 +98,13 @@ object GraphOps {
     * standard remedy is degree-ordered orientation, which changes only
     * the orientation rule, not the plan shape.
     */
-  def triangles(spark: SparkSession, dir: String, minSupport: Long = 2): DataFrame = {
-    val pairs = Tables.lineitem(spark, dir)
+  /** The support-pruned co-purchase edge set (pa < pb, support ≥
+    * minSupport) — in-basket pair fan-out, one orderkey shuffle, the
+    * shared stage of [[triangles]] and [[degreeDist]].
+    */
+  private[graft] def frequentPairs(spark: SparkSession, dir: String,
+      minSupport: Long): DataFrame =
+    Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
@@ -110,6 +115,23 @@ object GraphOps {
       .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSupport)
+
+  /** Degree distribution of the frequent co-purchase graph: how many
+    * nodes have each edge degree — the one-glance answer to "is this
+    * graph a few hubs or a broad mesh" (hub-dominated graphs break the
+    * wedge-join cost model [[triangles]] relies on, so this is also
+    * its capacity check). Two bounded aggregates on the pruned edge
+    * set; the corpus is only touched by the shared pair stage.
+    */
+  def degreeDist(spark: SparkSession, dir: String, minSupport: Long = 2): DataFrame =
+    frequentPairs(spark, dir, minSupport)
+      .select(explode(array(col("pa"), col("pb"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+
+  def triangles(spark: SparkSession, dir: String, minSupport: Long = 2): DataFrame = {
+    val pairs = frequentPairs(spark, dir, minSupport)
     val ab = pairs.select(col("pa").as("a"), col("pb").as("b"), col("sup").as("s_ab"))
     val bc = pairs.select(col("pa").as("b"), col("pb").as("c"), col("sup").as("s_bc"))
     val ac = pairs.select(col("pa").as("a"), col("pb").as("c"), col("sup").as("s_ac"))

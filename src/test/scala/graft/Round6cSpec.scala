@@ -279,6 +279,40 @@ class Round6cSpec extends AnyFunSuite {
     assert(lastErr < 5.0)
   }
 
+  test("degree distribution matches the edge-set brute force and the handshake identity") {
+    import graft.operators.GraphOps
+    val out = GraphOps.degreeDist(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = GraphOps.frequentPairs(spark, Sf, 2).select("pa", "pb")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty && out.nonEmpty)
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (_, xs) => xs.size.toLong }
+    val expected = deg.groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    assert(out === expected)
+    // handshake: sum of degrees = 2 * |edges|; node count conserved
+    assert(out.map { case (d, n) => d * n }.sum === 2L * edges.length)
+    assert(out.values.sum === deg.size.toLong)
+  }
+
+  test("new-vs-returning matches brute force and conserves users and user-days") {
+    val out = EventOps.newVsReturning(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ud = Tables.events(spark, Sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val firstDay = ud.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    ud.groupBy(_._2).foreach { case (d, xs) =>
+      val nNew = xs.count { case (u, _) => firstDay(u) == d }.toLong
+      val (gn, gr) = out(d)
+      assert(gn === nNew, s"day $d new")
+      assert(gr === xs.length - nNew, s"day $d returning")
+    }
+    // every user is new exactly once; every user-day is counted once
+    assert(out.values.map(_._1).sum === firstDay.size.toLong)
+    assert(out.values.map(v => v._1 + v._2).sum === ud.length.toLong)
+  }
+
   test("heaps curve matches the collected-token replay and the fit is sane") {
     val out = TextAnalysis.heaps(spark, Sf).collect()
     assert(out.nonEmpty)
