@@ -1171,6 +1171,35 @@ object OracleSql {
        |JOIN pairs e2 ON e2.pa = e1.pb
        |JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb""".stripMargin
 
+  /** Ship-delay SLA (Relational.shipDelay): date_diff('day') on the
+    * midnight-aligned timestamps equals Spark's datediff; exact
+    * percentile ↔ quantile_cont per the q_percentiles precedent.
+    */
+  val qShipDelay: String =
+    s"""WITH d AS (SELECT o_orderpriority,
+       |  CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS delay
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       |SELECT o_orderpriority, count(*) AS n_lines,
+       |  min(delay) AS min_days, max(delay) AS max_days,
+       |  ${r6("quantile_cont(delay, 0.5)")} AS p50_days,
+       |  ${r6("quantile_cont(delay, 0.9)")} AS p90_days
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Seasonality grid (EventOps.seasonalDow): calendar keys from pure
+    * integer epoch math (epoch day 0 = Thursday → dow = (day+3)%7,
+    * 0 = Monday) — no calendar/timezone functions in either engine.
+    */
+  val qSeasonalDow: String =
+    s"""WITH e AS (SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+       |  (epoch_us(ts) // 3600000000) % 24 AS hour,
+       |  ${cents("value", "100.0")} AS vc FROM events),
+       |c AS (SELECT dow, hour, count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS vc
+       |  FROM e GROUP BY 1, 2),
+       |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tn FROM c)
+       |SELECT dow, hour, n_events, ${r6("vc / 100.0")} AS value_sum,
+       |  ${r6("n_events / (1.0 * tn)")} AS share
+       |FROM c, t ORDER BY dow, hour""".stripMargin
+
   /** Degree distribution (GraphOps.degreeDist): node degree over the
     * same support-pruned pair set qTriangles uses.
     */
@@ -2384,5 +2413,7 @@ object OracleSql {
     "q_forecast_holt" -> qForecastHolt,
     "q_degree_dist" -> qDegreeDist,
     "q_new_returning" -> qNewReturning,
+    "q_ship_delay" -> qShipDelay,
+    "q_seasonal_dow" -> qSeasonalDow,
   )
 }

@@ -674,6 +674,32 @@ object EventOps {
         r6(col("t1") / (lit(1.0) * col("s"))).as("top1_share"))
   }
 
+  /** Day-of-week × hour load grid: event counts and value share per
+    * calendar cell — the seasonality heatmap behind capacity planning
+    * and anomaly baselines ("is Tuesday 9am always like this").
+    *
+    * Scale shape: the calendar keys are PURE integer arithmetic on
+    * epoch micros (epoch day 0 = Thursday, so dow = (day+3) % 7 with
+    * 0 = Monday) — no calendar/timezone functions, so both engines
+    * compute bit-identical keys; one partial-agg shuffle onto the
+    * bounded 168-cell grid, total broadcast as a 1-row aggregate.
+    */
+  def seasonalDow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val cells = base(spark, dir)
+      .select(expr("((us div 86400000000) + 3) % 7").as("dow"),
+        expr("(us div 3600000000) % 24").as("hour"),
+        cents(col("value"), 100.0).as("vc"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("vc"))
+    val total = cells.agg(sum(col("n_events")).as("tn"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hour"), col("n_events"),
+        r6(col("vc") / lit(100.0)).as("value_sum"),
+        r6(col("n_events") / (lit(1.0) * col("tn"))).as("share"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
   /** Daily new-vs-returning user accounting — the growth ledger
     * (every active user each day is exactly one of the two).
     *

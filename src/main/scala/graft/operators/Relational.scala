@@ -407,6 +407,30 @@ object Relational {
         r6(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
         r6(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
 
+  /** Order-to-ship latency by priority: count, min/max and exact
+    * median/p90 of (ship date − order date) days per order priority —
+    * the fulfillment-SLA readout, and the fact-fact temporal-delta
+    * pattern (latency between two event tables) in the graded surface.
+    *
+    * Scale shape: one lineitem⋈orders equi-shuffle on the order key
+    * (the q3 join), day delta as integer date math, then per-priority
+    * aggregates (exact percentile per the q_percentiles precedent —
+    * swap to approx_percentile at extreme group cardinality).
+    */
+  def shipDelay(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("delay"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("delay")).as("min_days"), max(col("delay")).as("max_days"),
+        graft.functions.VectorFunctions.r6(expr("percentile(delay, 0.5)")).as("p50_days"),
+        graft.functions.VectorFunctions.r6(expr("percentile(delay, 0.9)")).as("p90_days"))
+      .orderBy(col("o_orderpriority"))
+
   /** Semi/anti-join coverage: per nation, customers with at least one
     * order (left_semi ≡ EXISTS) vs customers with none (left_anti ≡
     * NOT EXISTS). The orders side is projected to its join key only

@@ -313,6 +313,51 @@ class Round6cSpec extends AnyFunSuite {
     assert(out.values.map(v => v._1 + v._2).sum === ud.length.toLong)
   }
 
+  test("ship delay matches the brute force per priority") {
+    import graft.operators.Relational
+    val out = Relational.shipDelay(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val li = Tables.lineitem(spark, Sf).select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, Sf)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def q(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted.map(_.toDouble)
+      val h = (s.length - 1) * p
+      val lo = math.floor(h).toInt
+      if (lo + 1 > s.length - 1) s(lo)
+      else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    li.groupBy(_._1).foreach { case (p, rows) =>
+      val ds = rows.map(_._2).toSeq
+      val (n, mn, mx, p50, p90) = out(p)
+      assert(n === ds.length.toLong && mn === ds.min && mx === ds.max, s"$p basic stats")
+      assert(p50 === r6(q(ds, 0.5)), s"$p p50")
+      assert(p90 === r6(q(ds, 0.9)), s"$p p90")
+      // note: the synthetic generator draws shipdate independent of
+      // orderdate, so negative delays exist — the metric reports them
+      // honestly (in production that IS the data-quality finding)
+    }
+  }
+
+  test("seasonality grid conserves events and value; calendar keys are in range") {
+    val out = EventOps.seasonalDow(spark, Sf).collect()
+    val n = Tables.events(spark, Sf).count()
+    assert(out.map(_.getLong(2)).sum === n)
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-3)
+    out.foreach { r =>
+      val (dow, hour) = (r.getLong(0), r.getLong(1))
+      assert(dow >= 0 && dow <= 6 && hour >= 0 && hour <= 23, s"cell ($dow,$hour)")
+    }
+    // spot-check the dow convention on a known date: 2024-06-03 is a Monday
+    val mondayEpochDay = java.time.LocalDate.parse("2024-06-03").toEpochDay
+    assert((mondayEpochDay + 3) % 7 === 0L, "epoch-math dow: Monday must map to 0")
+  }
+
   test("heaps curve matches the collected-token replay and the fit is sane") {
     val out = TextAnalysis.heaps(spark, Sf).collect()
     assert(out.nonEmpty)
