@@ -1171,6 +1171,29 @@ object OracleSql {
        |JOIN pairs e2 ON e2.pa = e1.pb
        |JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb""".stripMargin
 
+  /** Funnel time-to-convert (EventOps.funnelTime): sequential-first
+    * semantics — first view, first click after it, first purchase
+    * after that; second-based integer deltas, exact percentiles.
+    */
+  val qFunnelTime: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |fv AS (SELECT user_id, min(us) AS fv FROM e WHERE event_type = 'view' GROUP BY 1),
+       |fc AS (SELECT e.user_id, min(us) AS fc, min(fv) AS fv
+       |  FROM e JOIN fv USING (user_id)
+       |  WHERE event_type = 'click' AND us > fv GROUP BY 1),
+       |fp AS (SELECT e.user_id, min(us) AS fp, min(fc) AS fc, min(fc2.fv) AS fv
+       |  FROM e JOIN fc fc2 USING (user_id)
+       |  WHERE event_type = 'purchase' AND us > fc GROUP BY 1),
+       |d AS (SELECT (fc - fv) // 1000000 AS v2c_s, (fp - fc) // 1000000 AS c2p_s FROM fp),
+       |nv AS (SELECT count(*) AS n_view_users FROM fv),
+       |nc AS (SELECT count(*) AS n_clicked FROM fc)
+       |SELECT n_view_users, n_clicked, count(*) AS n_converted,
+       |  ${r6("quantile_cont(v2c_s, 0.5)")} AS p50_view_click_s,
+       |  ${r6("quantile_cont(v2c_s, 0.9)")} AS p90_view_click_s,
+       |  ${r6("quantile_cont(c2p_s, 0.5)")} AS p50_click_purchase_s,
+       |  ${r6("quantile_cont(c2p_s, 0.9)")} AS p90_click_purchase_s
+       |FROM d, nv, nc GROUP BY 1, 2""".stripMargin
+
   /** Ship-delay SLA (Relational.shipDelay): date_diff('day') on the
     * midnight-aligned timestamps equals Spark's datediff; exact
     * percentile ↔ quantile_cont per the q_percentiles precedent.
@@ -2415,5 +2438,6 @@ object OracleSql {
     "q_new_returning" -> qNewReturning,
     "q_ship_delay" -> qShipDelay,
     "q_seasonal_dow" -> qSeasonalDow,
+    "q_funnel_time" -> qFunnelTime,
   )
 }

@@ -164,6 +164,7 @@ object SparkEntry {
     "q_new_returning" -> ((s, d) => EventOps.newVsReturning(s, d)),
     "q_ship_delay" -> ((s, d) => Relational.shipDelay(s, d)),
     "q_seasonal_dow" -> ((s, d) => EventOps.seasonalDow(s, d)),
+    "q_funnel_time" -> ((s, d) => EventOps.funnelTime(s, d)),
     "text_novelty" -> ((s, d) => TextAnalysis.novelty(s, d)),
     "text_heaps" -> ((s, d) => TextAnalysis.heaps(s, d)),
     // B2. faithful newsletter ingest (reference utils.py:93-187,

@@ -674,6 +674,46 @@ object EventOps {
         r6(col("t1") / (lit(1.0) * col("s"))).as("top1_share"))
   }
 
+  /** Time-to-convert through the view → click → purchase funnel:
+    * per-user first view, first click AFTER that view, first purchase
+    * AFTER that click, reported as conversion counts plus exact
+    * p50/p90 latencies in seconds for each hop — the metric
+    * [[funnel]]'s stage-presence counts can't answer ("how LONG does
+    * conversion take").
+    *
+    * Scale shape: three per-user aggregates, each joined back on
+    * user_id — the groupBy establishes the user partitioning and the
+    * subsequent co-keyed joins/aggregates reuse it (no second
+    * partitioning of the corpus); the final percentile aggregate runs
+    * over the (user-sized, much smaller than events) delta table.
+    */
+  def funnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val e = base(spark, dir).select(col("user_id"), col("event_type"), col("us"))
+    val fv = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("fv"))
+    val fc = e.filter(col("event_type") === "click").join(fv, "user_id")
+      .filter(col("us") > col("fv"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("fc"), min(col("fv")).as("fv"))
+    val fp = e.filter(col("event_type") === "purchase").join(fc, "user_id")
+      .filter(col("us") > col("fc"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("fp"), min(col("fc")).as("fc"), min(col("fv")).as("fv"))
+    val deltas = fp
+      .select(expr("(fc - fv) div 1000000").as("v2c_s"),
+        expr("(fp - fc) div 1000000").as("c2p_s"))
+    deltas.crossJoin(broadcast(fv.agg(count(lit(1)).as("n_view_users"))))
+      .crossJoin(broadcast(fc.agg(count(lit(1)).as("n_clicked"))))
+      .groupBy(col("n_view_users"), col("n_clicked"))
+      .agg(count(lit(1)).as("n_converted"),
+        r6(expr("percentile(v2c_s, 0.5)")).as("p50_view_click_s"),
+        r6(expr("percentile(v2c_s, 0.9)")).as("p90_view_click_s"),
+        r6(expr("percentile(c2p_s, 0.5)")).as("p50_click_purchase_s"),
+        r6(expr("percentile(c2p_s, 0.9)")).as("p90_click_purchase_s"))
+      .select(col("n_view_users"), col("n_clicked"), col("n_converted"),
+        col("p50_view_click_s"), col("p90_view_click_s"),
+        col("p50_click_purchase_s"), col("p90_click_purchase_s"))
+  }
+
   /** Day-of-week × hour load grid: event counts and value share per
     * calendar cell — the seasonality heatmap behind capacity planning
     * and anomaly baselines ("is Tuesday 9am always like this").

@@ -358,6 +358,45 @@ class Round6cSpec extends AnyFunSuite {
     assert((mondayEpochDay + 3) % 7 === 0L, "epoch-math dow: Monday must map to 0")
   }
 
+  test("funnel time matches the sequential-first brute force") {
+    val out = EventOps.funnelTime(spark, Sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val fv = byUser.flatMap { case (u, xs) =>
+      val vs = xs.filter(_._2 == "view").map(_._3)
+      if (vs.isEmpty) None else Some(u -> vs.min)
+    }
+    val fc = fv.flatMap { case (u, v) =>
+      val cs = byUser(u).filter(x => x._2 == "click" && x._3 > v).map(_._3)
+      if (cs.isEmpty) None else Some(u -> (v, cs.min))
+    }
+    val fp = fc.flatMap { case (u, (v, c)) =>
+      val ps = byUser(u).filter(x => x._2 == "purchase" && x._3 > c).map(_._3)
+      if (ps.isEmpty) None else Some(u -> (v, c, ps.min))
+    }
+    assert(r.getLong(r.fieldIndex("n_view_users")) === fv.size.toLong)
+    assert(r.getLong(r.fieldIndex("n_clicked")) === fc.size.toLong)
+    assert(r.getLong(r.fieldIndex("n_converted")) === fp.size.toLong)
+    def q(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted.map(_.toDouble)
+      val h = (s.length - 1) * p
+      val lo = math.floor(h).toInt
+      if (lo + 1 > s.length - 1) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    val v2c = fp.values.map(x => (x._2 - x._1) / 1000000L).toSeq
+    val c2p = fp.values.map(x => (x._3 - x._2) / 1000000L).toSeq
+    assert(r.getDouble(r.fieldIndex("p50_view_click_s")) === r6(q(v2c, 0.5)))
+    assert(r.getDouble(r.fieldIndex("p90_view_click_s")) === r6(q(v2c, 0.9)))
+    assert(r.getDouble(r.fieldIndex("p50_click_purchase_s")) === r6(q(c2p, 0.5)))
+    assert(r.getDouble(r.fieldIndex("p90_click_purchase_s")) === r6(q(c2p, 0.9)))
+    // funnel monotonicity
+    assert(fv.size >= fc.size && fc.size >= fp.size && fp.nonEmpty)
+  }
+
   test("heaps curve matches the collected-token replay and the fit is sane") {
     val out = TextAnalysis.heaps(spark, Sf).collect()
     assert(out.nonEmpty)
