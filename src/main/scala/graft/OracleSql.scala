@@ -1171,6 +1171,35 @@ object OracleSql {
        |JOIN pairs e2 ON e2.pa = e1.pb
        |JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb""".stripMargin
 
+  /** Per-source length profile (TextAnalysis.lengthProfile): exact
+    * percentile ↔ quantile_cont; mean tokens from the integer token
+    * count over the count.
+    */
+  val textLengthProfile: String =
+    s"""WITH d AS (SELECT source, n_chars,
+       |  CAST(len($toks) AS BIGINT) AS n_tokens FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  ${r6("sum(n_tokens) / (1.0 * count(*))")} AS mean_tokens,
+       |  ${r6("quantile_cont(n_chars, 0.1)")} AS p10_chars,
+       |  ${r6("quantile_cont(n_chars, 0.5)")} AS p50_chars,
+       |  ${r6("quantile_cont(n_chars, 0.9)")} AS p90_chars
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Dimension variance spectrum (KnnSearch.dimVariance): x at 1e6 and
+    * x² at 1e9 integerized per row before the sums, like vsPcaIter.
+    */
+  val vsDimVariance: String =
+    s"""WITH x AS (SELECT i AS pos, embedding[i]::DOUBLE AS v
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+       |a AS (SELECT pos, count(*) AS n,
+       |  CAST(sum(${cents("v", "1000000.0")}) AS BIGINT) AS s6,
+       |  CAST(sum(${cents("v * v", "1000000000.0")}) AS BIGINT) AS q9
+       |  FROM x GROUP BY 1)
+       |SELECT CAST(pos AS BIGINT) AS pos,
+       |  ${r6("s6 / 1000000.0 / n")} AS mean_v,
+       |  ${r6("q9 / 1000000000.0 / n - (s6 / 1000000.0 / n) * (s6 / 1000000.0 / n)")} AS var_v
+       |FROM a ORDER BY pos""".stripMargin
+
   /** Funnel time-to-convert (EventOps.funnelTime): sequential-first
     * semantics — first view, first click after it, first purchase
     * after that; second-based integer deltas, exact percentiles.
@@ -2439,5 +2468,7 @@ object OracleSql {
     "q_ship_delay" -> qShipDelay,
     "q_seasonal_dow" -> qSeasonalDow,
     "q_funnel_time" -> qFunnelTime,
+    "text_length_profile" -> textLengthProfile,
+    "vs_dim_variance" -> vsDimVariance,
   )
 }

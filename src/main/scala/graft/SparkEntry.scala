@@ -165,6 +165,8 @@ object SparkEntry {
     "q_ship_delay" -> ((s, d) => Relational.shipDelay(s, d)),
     "q_seasonal_dow" -> ((s, d) => EventOps.seasonalDow(s, d)),
     "q_funnel_time" -> ((s, d) => EventOps.funnelTime(s, d)),
+    "text_length_profile" -> ((s, d) => TextAnalysis.lengthProfile(s, d)),
+    "vs_dim_variance" -> ((s, d) => KnnSearch.dimVariance(s, d)),
     "text_novelty" -> ((s, d) => TextAnalysis.novelty(s, d)),
     "text_heaps" -> ((s, d) => TextAnalysis.heaps(s, d)),
     // B2. faithful newsletter ingest (reference utils.py:93-187,

@@ -410,6 +410,33 @@ object KnnSearch {
     * sums, so means, scores, and loadings are bit-identical to the
     * oracle regardless of partitioning.
     */
+  /** Per-dimension mean/variance spectrum of the embedding space — the
+    * anisotropy diagnostic next to [[pcaIter]]'s principal direction:
+    * a healthy encoder spreads variance; a collapsed or rogue
+    * dimension (variance ≈ 0, or one dim holding most of the energy)
+    * breaks cosine geometry and quantization codebooks alike.
+    *
+    * Scale shape: one posexplode scan, per-row integerized
+    * contributions (x at 1e6, x² at 1e9 — order-independent bigint
+    * sums), one partial-agg shuffle onto the d-row grid.
+    */
+  def dimVariance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    Tables.fanOut(Tables.embeddings(spark, dir))
+      .select(posexplode(col("embedding")).as(Seq("p0", "v")))
+      .select((col("p0") + 1).cast("long").as("pos"), col("v").cast("double").as("v"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("v"), 1e6)).as("s6"),
+        sum(cents(col("v") * col("v"), 1e9)).as("q9"))
+      .select(col("pos"),
+        r6(col("s6") / lit(1e6) / col("n")).as("mean_v"),
+        r6(col("q9") / lit(1e9) / col("n")
+          - (col("s6") / lit(1e6) / col("n")) * (col("s6") / lit(1e6) / col("n")))
+          .as("var_v"))
+      .orderBy(col("pos"))
+  }
+
   def pcaIter(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.cents
     val x = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))

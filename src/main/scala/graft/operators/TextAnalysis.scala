@@ -646,6 +646,28 @@ object TextAnalysis {
       .select(col("bg"), col("cbg"), col("ca"), col("cb"), col("pmi"))
   }
 
+  /** Per-source document-length profile: count, mean tokens, and exact
+    * p10/p50/p90 of characters per document — the first diagnostic a
+    * corpus owner reads (a source whose median length collapses is
+    * broken upstream; one whose p90 explodes needs chunking budget).
+    *
+    * Scale shape: one scan with per-row token counts, one partial-agg
+    * shuffle onto the bounded source grid (exact percentile per the
+    * q_percentiles precedent — swap to approx_percentile when a
+    * source's doc count outgrows a single aggregation buffer).
+    */
+  def lengthProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("source"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        r6(sum(col("n_tokens")) / (lit(1.0) * count(lit(1)))).as("mean_tokens"),
+        r6(expr("percentile(n_chars, 0.1)")).as("p10_chars"),
+        r6(expr("percentile(n_chars, 0.5)")).as("p50_chars"),
+        r6(expr("percentile(n_chars, 0.9)")).as("p90_chars"))
+      .orderBy(col("source"))
+
   /** Per-document n-gram novelty against everything EARLIER in the
     * corpus (doc_id order): the fraction of a doc's distinct 3-gram
     * shingles whose first corpus appearance is this doc. Low novelty =

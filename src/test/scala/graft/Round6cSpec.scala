@@ -397,6 +397,50 @@ class Round6cSpec extends AnyFunSuite {
     assert(fv.size >= fc.size && fc.size >= fp.size && fp.nonEmpty)
   }
 
+  test("length profile matches the brute force per source") {
+    val out = TextAnalysis.lengthProfile(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val docs = Tables.documents(spark, Sf)
+      .select(col("source"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def q(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted.map(_.toDouble)
+      val h = (s.length - 1) * p
+      val lo = math.floor(h).toInt
+      if (lo + 1 > s.length - 1) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      val (n, mt, p10, p50, p90) = out(src)
+      assert(n === xs.length.toLong)
+      val toks = xs.map(_._3.trim.split("\\s+").length.toLong)
+      assert(mt === r6(toks.sum / (1.0 * xs.length)), s"$src mean tokens")
+      val cs = xs.map(_._2).toSeq
+      assert(p10 === r6(q(cs, 0.1)) && p50 === r6(q(cs, 0.5)) && p90 === r6(q(cs, 0.9)),
+        s"$src percentiles")
+    }
+  }
+
+  test("dim variance matches the brute force and is nonnegative everywhere") {
+    import graft.operators.KnnSearch
+    val out = KnnSearch.dimVariance(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val embs = Tables.embeddings(spark, Sf).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble))
+    val d = embs.head.length
+    assert(out.size === d)
+    (1 to d).foreach { pos =>
+      val vs = embs.map(_(pos - 1))
+      val s6 = vs.map(v => math.floor(v * 1e6 + 0.5).toLong).sum
+      val q9 = vs.map(v => math.floor(v * v * 1e9 + 0.5).toLong).sum
+      val mean = s6 / 1e6 / vs.length
+      val (gm, gv) = out(pos.toLong)
+      assert(gm === r6(mean), s"pos $pos mean")
+      assert(gv === r6(q9 / 1e9 / vs.length - mean * mean), s"pos $pos var")
+      assert(gv >= -1e-9, s"pos $pos variance must be nonnegative")
+    }
+  }
+
   test("heaps curve matches the collected-token replay and the fit is sane") {
     val out = TextAnalysis.heaps(spark, Sf).collect()
     assert(out.nonEmpty)
