@@ -1171,6 +1171,39 @@ object OracleSql {
        |JOIN pairs e2 ON e2.pa = e1.pb
        |JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb""".stripMargin
 
+  /** Repeat-purchase cadence (EventOps.repeatPurchase): lag with the
+    * (us, event_id) tiebreak; second-scale integer gaps; exact
+    * percentiles.
+    */
+  val qRepeatPurchase: String =
+    s"""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+       |  WHERE event_type = 'purchase'),
+       |l AS (SELECT user_id,
+       |  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev, us FROM p),
+       |g AS (SELECT user_id, (us - prev) // 1000000 AS gap_s FROM l WHERE prev IS NOT NULL)
+       |SELECT count(*) AS n_repeat_gaps,
+       |  count(DISTINCT user_id) AS n_repeat_users,
+       |  ${r6("quantile_cont(gap_s, 0.5)")} AS p50_gap_s,
+       |  ${r6("quantile_cont(gap_s, 0.9)")} AS p90_gap_s
+       |FROM g""".stripMargin
+
+  /** Vocabulary overlap (TextAnalysis.vocabOverlap): the vocab-sized
+    * self-join keyed by token; Jaccard on type counts.
+    */
+  val textVocabOverlap: String =
+    s"""WITH sv AS (SELECT DISTINCT source, tok FROM
+       |  (SELECT source, unnest($toks) AS tok FROM documents)),
+       |tot AS (SELECT source, count(*) AS n_types FROM sv GROUP BY 1),
+       |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |  FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, ta.n_types AS types_a, tb.n_types AS types_b,
+       |  n_shared,
+       |  ${r6("n_shared / (1.0 * (ta.n_types + tb.n_types - n_shared))")} AS vocab_jaccard
+       |FROM p JOIN tot ta ON ta.source = source_a
+       |JOIN tot tb ON tb.source = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** Per-source length profile (TextAnalysis.lengthProfile): exact
     * percentile ↔ quantile_cont; mean tokens from the integer token
     * count over the count.
@@ -2470,5 +2503,7 @@ object OracleSql {
     "q_funnel_time" -> qFunnelTime,
     "text_length_profile" -> textLengthProfile,
     "vs_dim_variance" -> vsDimVariance,
+    "q_repeat_purchase" -> qRepeatPurchase,
+    "text_vocab_overlap" -> textVocabOverlap,
   )
 }

@@ -166,6 +166,8 @@ object SparkEntry {
     "q_seasonal_dow" -> ((s, d) => EventOps.seasonalDow(s, d)),
     "q_funnel_time" -> ((s, d) => EventOps.funnelTime(s, d)),
     "text_length_profile" -> ((s, d) => TextAnalysis.lengthProfile(s, d)),
+    "q_repeat_purchase" -> ((s, d) => EventOps.repeatPurchase(s, d)),
+    "text_vocab_overlap" -> ((s, d) => TextAnalysis.vocabOverlap(s, d)),
     "vs_dim_variance" -> ((s, d) => KnnSearch.dimVariance(s, d)),
     "text_novelty" -> ((s, d) => TextAnalysis.novelty(s, d)),
     "text_heaps" -> ((s, d) => TextAnalysis.heaps(s, d)),

@@ -674,6 +674,29 @@ object EventOps {
         r6(col("t1") / (lit(1.0) * col("s"))).as("top1_share"))
   }
 
+  /** Repeat-purchase cadence: the distribution of gaps between a
+    * user's consecutive purchases (count of repeat intervals, repeat
+    * purchaser count, exact p50/p90 gap in seconds) — the
+    * replenishment-cycle readout behind re-engagement timing.
+    *
+    * Scale shape: one user_id shuffle for the lag window (explicit
+    * (us, event_id) tiebreak so both engines order identically); the
+    * percentile aggregate runs over the gap table, which is at most
+    * one row per purchase.
+    */
+  def repeatPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gaps = base(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), expr("(us - prev) div 1000000").as("gap_s"))
+    gaps.agg(count(lit(1)).as("n_repeat_gaps"),
+        countDistinct(col("user_id")).as("n_repeat_users"),
+        r6(expr("percentile(gap_s, 0.5)")).as("p50_gap_s"),
+        r6(expr("percentile(gap_s, 0.9)")).as("p90_gap_s"))
+  }
+
   /** Time-to-convert through the view → click → purchase funnel:
     * per-user first view, first click AFTER that view, first purchase
     * AFTER that click, reported as conversion counts plus exact

@@ -668,6 +668,39 @@ object TextAnalysis {
         r6(expr("percentile(n_chars, 0.9)")).as("p90_chars"))
       .orderBy(col("source"))
 
+  /** Cross-source vocabulary overlap: per source pair, the shared
+    * type count and vocabulary Jaccard — which sources are lexical
+    * near-twins (a high-overlap pair is a dedup/contamination lead
+    * BEFORE any document-level comparison is paid).
+    *
+    * Scale shape: distinct (source, token) is one exploded-corpus
+    * shuffle down to the per-source vocabularies; the self-join runs
+    * on the VOCAB-sized table keyed by token (never the corpus), and
+    * the pair rollup/totals are source-grid-sized with broadcast
+    * joins.
+    */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sv = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = sv.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+    val pairs = sv.select(col("source").as("source_a"), col("tok"))
+      .join(sv.select(col("source").as("source_b"), col("tok")), "tok")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("source_a"), col("n_types").as("types_a"))), "source_a")
+      .join(broadcast(totals.select(col("source").as("source_b"), col("n_types").as("types_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("types_a"), col("types_b"),
+        col("n_shared"),
+        r6(col("n_shared") /
+          (lit(1.0) * (col("types_a") + col("types_b") - col("n_shared"))))
+          .as("vocab_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Per-document n-gram novelty against everything EARLIER in the
     * corpus (doc_id order): the fraction of a doc's distinct 3-gram
     * shingles whose first corpus appearance is this doc. Low novelty =

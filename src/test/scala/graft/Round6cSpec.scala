@@ -441,6 +441,52 @@ class Round6cSpec extends AnyFunSuite {
     }
   }
 
+  test("repeat-purchase cadence matches the per-user gap brute force") {
+    val out = EventOps.repeatPurchase(spark, Sf).collect().head
+    val p = Tables.events(spark, Sf).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = p.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._2))
+      sorted.sliding(2).collect {
+        case Array(a, b) => u -> (b._3 - a._3) / 1000000L
+      }
+    }
+    def q(xs: Seq[Long], pp: Double): Double = {
+      val s = xs.sorted.map(_.toDouble)
+      val h = (s.length - 1) * pp
+      val lo = math.floor(h).toInt
+      if (lo + 1 > s.length - 1) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    assert(out.getLong(0) === gaps.length.toLong)
+    assert(out.getLong(1) === gaps.map(_._1).distinct.length.toLong)
+    assert(out.getDouble(2) === r6(q(gaps.map(_._2), 0.5)))
+    assert(out.getDouble(3) === r6(q(gaps.map(_._2), 0.9)))
+    assert(gaps.forall(_._2 >= 0L))
+  }
+
+  test("vocab overlap matches the per-source type-set brute force") {
+    val out = TextAnalysis.vocabOverlap(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val docs = Tables.documents(spark, Sf).select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.flatMap(_._2.trim.split("\\s+")).toSet
+    }
+    val srcs = vocab.keys.toSeq.sorted
+    for (i <- srcs.indices; j <- (i + 1) until srcs.length) {
+      val (a, b) = (srcs(i), srcs(j))
+      val shared = (vocab(a) intersect vocab(b)).size.toLong
+      if (shared > 0) {
+        val (ta, tb, sh, jac) = out((a, b))
+        assert(ta === vocab(a).size.toLong && tb === vocab(b).size.toLong)
+        assert(sh === shared, s"pair ($a,$b)")
+        assert(jac === r6(shared / (1.0 * (ta + tb - shared))))
+      } else assert(!out.contains((a, b)))
+    }
+  }
+
   test("heaps curve matches the collected-token replay and the fit is sane") {
     val out = TextAnalysis.heaps(spark, Sf).collect()
     assert(out.nonEmpty)
