@@ -1171,6 +1171,45 @@ object OracleSql {
        |JOIN pairs e2 ON e2.pa = e1.pb
        |JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb""".stripMargin
 
+  /** Cohort LTV (EventOps.cohortLtv): epoch-week integer cohorts;
+    * cents-integerized revenue; per-user rate divides in the same
+    * order as Spark.
+    */
+  val qCohortLtv: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, value FROM events),
+       |f AS (SELECT user_id, min(us) // 604800000000 AS cohort_week FROM e GROUP BY 1),
+       |s AS (SELECT cohort_week, count(*) AS cohort_users FROM f GROUP BY 1),
+       |p AS (SELECT cohort_week, (us // 604800000000) - cohort_week AS week_age,
+       |  ${cents("value", "100.0")} AS vc
+       |  FROM e JOIN f USING (user_id) WHERE event_type = 'purchase'),
+       |g AS (SELECT cohort_week, week_age, count(*) AS n_purchases,
+       |  CAST(sum(vc) AS BIGINT) AS vc FROM p GROUP BY 1, 2)
+       |SELECT cohort_week, week_age, cohort_users, n_purchases,
+       |  ${r6("vc / 100.0")} AS revenue,
+       |  ${r6("vc / 100.0 / cohort_users")} AS revenue_per_user
+       |FROM g JOIN s USING (cohort_week) ORDER BY 1, 2""".stripMargin
+
+  /** Jensen–Shannon divergence (TextAnalysis.jsDivergence): per-token
+    * contributions integerized at 1e9; the private-token tail comes
+    * from the shared probability masses, no anti-join.
+    */
+  val textJsDivergence: String =
+    s"""WITH tokc AS (SELECT source, tok, count(*) AS c FROM
+       |  (SELECT source, unnest($toks) AS tok FROM documents) GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tokc GROUP BY 1),
+       |a AS (SELECT tokc.source AS source_a, tok, c / (1.0 * n) AS p
+       |  FROM tokc JOIN tot USING (source)),
+       |b AS (SELECT tokc.source AS source_b, tok, c / (1.0 * n) AS q
+       |  FROM tokc JOIN tot USING (source)),
+       |j AS (SELECT source_a, source_b, count(*) AS shared_types,
+       |  CAST(sum(${cents("0.5 * (p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0)))", "1000000000.0")}) AS BIGINT) AS s9,
+       |  CAST(sum(${cents("p", "1000000000.0")}) AS BIGINT) AS pm9,
+       |  CAST(sum(${cents("q", "1000000000.0")}) AS BIGINT) AS qm9
+       |  FROM a JOIN b USING (tok) WHERE source_a < source_b GROUP BY 1, 2)
+       |SELECT source_a, source_b, shared_types,
+       |  ${r6("s9 / 1000000000.0 + 0.5 * ln(2.0) * ((1.0 - pm9 / 1000000000.0) + (1.0 - qm9 / 1000000000.0))")} AS js_divergence
+       |FROM j ORDER BY 1, 2""".stripMargin
+
   /** Repeat-purchase cadence (EventOps.repeatPurchase): lag with the
     * (us, event_id) tiebreak; second-scale integer gaps; exact
     * percentiles.
@@ -2505,5 +2544,7 @@ object OracleSql {
     "vs_dim_variance" -> vsDimVariance,
     "q_repeat_purchase" -> qRepeatPurchase,
     "text_vocab_overlap" -> textVocabOverlap,
+    "q_cohort_ltv" -> qCohortLtv,
+    "text_js_divergence" -> textJsDivergence,
   )
 }

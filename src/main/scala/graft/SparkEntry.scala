@@ -167,6 +167,8 @@ object SparkEntry {
     "q_funnel_time" -> ((s, d) => EventOps.funnelTime(s, d)),
     "text_length_profile" -> ((s, d) => TextAnalysis.lengthProfile(s, d)),
     "q_repeat_purchase" -> ((s, d) => EventOps.repeatPurchase(s, d)),
+    "q_cohort_ltv" -> ((s, d) => EventOps.cohortLtv(s, d)),
+    "text_js_divergence" -> ((s, d) => TextAnalysis.jsDivergence(s, d)),
     "text_vocab_overlap" -> ((s, d) => TextAnalysis.vocabOverlap(s, d)),
     "vs_dim_variance" -> ((s, d) => KnnSearch.dimVariance(s, d)),
     "text_novelty" -> ((s, d) => TextAnalysis.novelty(s, d)),

@@ -674,6 +674,38 @@ object EventOps {
         r6(col("t1") / (lit(1.0) * col("s"))).as("top1_share"))
   }
 
+  /** Cohort LTV matrix: revenue by (signup-week cohort × weeks since
+    * signup) with cohort sizes — the value companion of
+    * [[retention]]'s presence matrix ("how much does the March cohort
+    * spend in its 3rd week", the payback-period readout).
+    *
+    * Scale shape: one user_id shuffle for first-seen (a per-user min),
+    * the purchase stream joins it co-keyed (same partitioning), value
+    * integerized per row, and the rollup lands on the bounded
+    * cohort × age grid.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val e = base(spark, dir)
+    val first = e.groupBy(col("user_id"))
+      .agg(expr("min(us) div 604800000000").as("cohort_week"))
+    val sizes = first.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    e.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .select(col("cohort_week"),
+        (expr("us div 604800000000") - col("cohort_week")).as("week_age"),
+        cents(col("value"), 100.0).as("vc"))
+      .groupBy(col("cohort_week"), col("week_age"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("vc")).as("vc"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_age"), col("cohort_users"),
+        col("n_purchases"),
+        r6(col("vc") / lit(100.0)).as("revenue"),
+        r6(col("vc") / lit(100.0) / col("cohort_users")).as("revenue_per_user"))
+      .orderBy(col("cohort_week"), col("week_age"))
+  }
+
   /** Repeat-purchase cadence: the distribution of gaps between a
     * user's consecutive purchases (count of repeat intervals, repeat
     * purchaser count, exact p50/p90 gap in seconds) — the

@@ -668,6 +668,50 @@ object TextAnalysis {
         r6(expr("percentile(n_chars, 0.9)")).as("p90_chars"))
       .orderBy(col("source"))
 
+  /** Jensen–Shannon divergence between source token DISTRIBUTIONS —
+    * the proper domain-shift measure where [[vocabOverlap]] only
+    * compares type sets (two sources can share every type yet use
+    * them completely differently). JS = ½KL(P‖M) + ½KL(Q‖M),
+    * M = (P+Q)/2, in [0, ln 2]; tokens private to one side contribute
+    * exactly p·ln2, so JS = Σ_shared ½(p·ln(p/m) + q·ln(q/m)) +
+    * ½ln2·((1−Σ_shared p) + (1−Σ_shared q)) — the private-token tail
+    * needs NO anti-join, just the shared probability masses.
+    *
+    * Scale shape: per-source token counts in one exploded-corpus
+    * shuffle; the pair stage joins the VOCAB-sized count table to
+    * itself on token; per-token contributions integerized at 1e9
+    * before the order-independent sums.
+    */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val counts = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val a = counts.join(broadcast(totals), "source")
+      .select(col("source").as("source_a"), col("tok"),
+        (col("c") / (lit(1.0) * col("n"))).as("p"))
+    val b = counts.join(broadcast(totals), "source")
+      .select(col("source").as("source_b"), col("tok"),
+        (col("c") / (lit(1.0) * col("n"))).as("q"))
+    val m = (col("p") + col("q")) / lit(2.0)
+    a.join(b, "tok")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_types"),
+        sum(cents(lit(0.5) * (col("p") * log(col("p") / m)
+          + col("q") * log(col("q") / m)), 1e9)).as("s9"),
+        sum(cents(col("p"), 1e9)).as("pm9"),
+        sum(cents(col("q"), 1e9)).as("qm9"))
+      .select(col("source_a"), col("source_b"), col("shared_types"),
+        r6(col("s9") / lit(1e9)
+          + lit(0.5) * log(lit(2.0))
+            * ((lit(1.0) - col("pm9") / lit(1e9)) + (lit(1.0) - col("qm9") / lit(1e9))))
+          .as("js_divergence"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Cross-source vocabulary overlap: per source pair, the shared
     * type count and vocabulary Jaccard — which sources are lexical
     * near-twins (a high-overlap pair is a dedup/contamination lead

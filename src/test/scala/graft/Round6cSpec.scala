@@ -487,6 +487,63 @@ class Round6cSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort LTV matches brute force and conserves purchases and revenue") {
+    val out = EventOps.cohortLtv(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val first = ev.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._3).min / 604800000000L }
+    val sizes = first.values.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val purchases = ev.filter(_._2 == "purchase")
+    val grid = purchases.groupBy(p => (first(p._1), p._3 / 604800000000L - first(p._1)))
+    grid.foreach { case ((cw, wa), xs) =>
+      val (cu, np, rev, rpu) = out((cw, wa))
+      assert(cu === sizes(cw))
+      assert(np === xs.length.toLong)
+      val vc = xs.map(x => math.floor(x._4 * 100.0 + 0.5).toLong).sum
+      assert(rev === r6(vc / 100.0), s"cell ($cw,$wa)")
+      assert(rpu === r6(vc / 100.0 / sizes(cw)), s"cell ($cw,$wa) per-user")
+    }
+    assert(out.keySet === grid.keySet)
+    // conservation: cells hold every purchase exactly once
+    assert(out.values.map(_._2).sum === purchases.length.toLong)
+    // week_age is never negative (first event is the cohort anchor)
+    assert(out.keys.forall(_._2 >= 0L))
+  }
+
+  test("JS divergence matches brute force and lives in [0, ln 2]") {
+    val out = TextAnalysis.jsDivergence(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val docs = Tables.documents(spark, Sf).select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val dist = docs.groupBy(_._1).map { case (s, xs) =>
+      val toks = xs.flatMap(_._2.trim.split("\\s+"))
+      val n = toks.length.toDouble
+      s -> toks.groupBy(identity).map { case (t, ys) => t -> ys.length / n }
+    }
+    def c9(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    val srcs = dist.keys.toSeq.sorted
+    for (i <- srcs.indices; j <- (i + 1) until srcs.length) {
+      val (sa, sb) = (srcs(i), srcs(j))
+      val (pa, pb) = (dist(sa), dist(sb))
+      val shared = pa.keySet intersect pb.keySet
+      val s9 = shared.toSeq.map { t =>
+        val (p, q) = (pa(t), pb(t)); val m = (p + q) / 2.0
+        c9(0.5 * (p * math.log(p / m) + q * math.log(q / m)))
+      }.sum
+      val pm9 = shared.toSeq.map(t => c9(pa(t))).sum
+      val qm9 = shared.toSeq.map(t => c9(pb(t))).sum
+      val js = r6(s9 / 1e9 + 0.5 * math.log(2.0) *
+        ((1.0 - pm9 / 1e9) + (1.0 - qm9 / 1e9)))
+      val (gs, gj) = out((sa, sb))
+      assert(gs === shared.size.toLong, s"($sa,$sb) shared types")
+      assert(gj === js, s"($sa,$sb) js")
+      assert(gj >= -1e-9 && gj <= math.log(2.0) + 1e-9, s"($sa,$sb) out of range")
+    }
+  }
+
   test("heaps curve matches the collected-token replay and the fit is sane") {
     val out = TextAnalysis.heaps(spark, Sf).collect()
     assert(out.nonEmpty)
