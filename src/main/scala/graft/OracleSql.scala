@@ -1399,6 +1399,26 @@ object OracleSql {
        |  md5(substr(m.text, fi*32 + 1, 32)) AS frame_hash
        |FROM f JOIN m USING (doc_id) WHERE fi % 4 = 0""".stripMargin
 
+  /** Energy profile (Multimodal.energyQuery): the payload is the UTF-8
+    * text bytes, so the per-window byte fold is an ascii fold over the
+    * same substrings in both engines.
+    */
+  val mmEnergy: String =
+    s"""WITH m AS (SELECT doc_id, text,
+       |  CAST(ceil(length(text) / 32.0) AS INT) AS nw FROM documents),
+       |w AS (SELECT doc_id, unnest(generate_series(0, nw - 1)) AS wi
+       |  FROM m WHERE nw > 0),
+       |x AS (SELECT w.doc_id,
+       |  substr(m.text, wi*32 + 1, 32) AS win FROM w JOIN m USING (doc_id)),
+       |e AS (SELECT doc_id,
+       |  CAST(list_reduce(list_transform(generate_series(1, length(win)),
+       |    i -> ascii(substr(win, i, 1))), (a, b) -> a + b) AS BIGINT) AS sum_codes,
+       |  CAST(length(win) AS BIGINT) AS wlen FROM x)
+       |SELECT doc_id, count(*) AS n_windows,
+       |  ${r6("max(sum_codes / (1.0 * wlen))")} AS peak_energy,
+       |  ${r6("sum(sum_codes) / (1.0 * sum(wlen))")} AS mean_energy
+       |FROM e GROUP BY 1""".stripMargin
+
   val mmResize: String =
     s"""WITH m AS (SELECT doc_id,
        |  CAST((n_chars % 64) * 10 + 10 AS INT) AS width,
@@ -2546,5 +2566,6 @@ object OracleSql {
     "text_vocab_overlap" -> textVocabOverlap,
     "q_cohort_ltv" -> qCohortLtv,
     "text_js_divergence" -> textJsDivergence,
+    "mm_energy" -> mmEnergy,
   )
 }

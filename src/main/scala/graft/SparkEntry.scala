@@ -136,6 +136,7 @@ object SparkEntry {
     "mm_phash" -> ((s, d) => Multimodal.phashDedup(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.framesQuery(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resizeQuery(s, d)),
+    "mm_energy" -> ((s, d) => Multimodal.energyQuery(s, d)),
     "vs_ivfpq_residual" -> ((s, d) => PqIndex.searchIvfPqResidual(s, d)),
     "q_forecast_sma" -> ((s, d) => EventOps.forecastSma(s, d)),
     "q_outer_join" -> ((s, d) => Relational.outerCoverage(s, d)),

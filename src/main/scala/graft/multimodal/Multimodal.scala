@@ -131,6 +131,36 @@ object Multimodal {
       .select(col("doc_id"), col("width"), col("height"),
         col("rs_width"), col("rs_height"))
 
+  /** Graded energy-profile query: per-window mean byte value over the
+    * payload (the RMS-energy shape of an audio pipeline — silence
+    * trimming, clipping detection — with the stub codec's bytes
+    * standing in for samples): per-doc window count, peak-window mean
+    * and overall mean. The Spark-side plumbing (windowed slices,
+    * per-window fold, per-asset rollup) is the real thing; a sample
+    * decoder would replace the ascii fold. Zero joins; one explode
+    * scan + a per-doc partial agg.
+    */
+  def energyQuery(spark: SparkSession, dir: String, windowBytes: Int = 32): DataFrame = {
+    val media = graft.Tables.fanOut(withBinary(Tables.documents(spark, dir)))
+      .withColumn("s", decode(col("payload"), "UTF-8"))
+    val nWin = ceil(length(col("s")) / lit(windowBytes.toDouble)).cast("int")
+    val idx = when(nWin > 0, sequence(lit(0), nWin - 1))
+      .otherwise(array().cast("array<int>"))
+    media
+      .withColumn("widx", explode(idx))
+      .select(col("doc_id"), col("widx"),
+        expr(s"substr(s, widx * $windowBytes + 1, $windowBytes)").as("w"))
+      .withColumn("sum_codes", expr(
+        "aggregate(transform(sequence(1, length(w)), i -> ascii(substr(w, i, 1))), 0L, (a, x) -> a + x)"))
+      .withColumn("wlen", length(col("w")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        graft.functions.VectorFunctions
+          .r6(max(col("sum_codes") / (lit(1.0) * col("wlen")))).as("peak_energy"),
+        graft.functions.VectorFunctions
+          .r6(sum(col("sum_codes")) / (lit(1.0) * sum(col("wlen")))).as("mean_energy"))
+  }
+
   /** Frame sampling for audio/video-like payloads: split the byte
     * stream into fixed-size frames and keep every `stride`-th one —
     * the Spark-side plumbing (explode with positional index, pruned

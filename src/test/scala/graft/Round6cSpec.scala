@@ -544,6 +544,25 @@ class Round6cSpec extends AnyFunSuite {
     }
   }
 
+  test("energy profile matches the byte-window brute force") {
+    val out = graft.multimodal.Multimodal.energyQuery(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.filter(_._2.nonEmpty).foreach { case (d, t) =>
+      val wins = t.grouped(32).toSeq
+      val (nw, peak, mean) = out(d)
+      assert(nw === wins.length.toLong, s"doc $d windows")
+      val sums = wins.map(w => w.map(_.toInt).map(_.toLong).sum)
+      val peakE = wins.zip(sums).map { case (w, s) => s / (1.0 * w.length) }.max
+      assert(peak === r6(peakE), s"doc $d peak")
+      assert(mean === r6(sums.sum / (1.0 * t.length)), s"doc $d mean")
+      // byte "energy" of printable ASCII lives in [32, 127]
+      assert(mean >= 32.0 && mean <= 127.0)
+    }
+    assert(out.keySet === docs.filter(_._2.nonEmpty).map(_._1).toSet)
+  }
+
   test("heaps curve matches the collected-token replay and the fit is sane") {
     val out = TextAnalysis.heaps(spark, Sf).collect()
     assert(out.nonEmpty)
