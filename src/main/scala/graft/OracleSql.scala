@@ -1189,6 +1189,19 @@ object OracleSql {
        |  ${r6("vc / 100.0 / cohort_users")} AS revenue_per_user
        |FROM g JOIN s USING (cohort_week) ORDER BY 1, 2""".stripMargin
 
+  /** Hapax/type-token profile (TextAnalysis.hapaxProfile). */
+  val textHapax: String =
+    s"""WITH tokc AS (SELECT source, tok, count(*) AS c FROM
+       |  (SELECT source, unnest($toks) AS tok FROM documents) GROUP BY 1, 2),
+       |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  count(*) AS n_types,
+       |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+       |  FROM tokc GROUP BY 1)
+       |SELECT source, n_tokens, n_types, n_hapax,
+       |  ${r6("n_types / (1.0 * n_tokens)")} AS type_token_ratio,
+       |  ${r6("n_hapax / (1.0 * n_types)")} AS hapax_share
+       |FROM g ORDER BY source""".stripMargin
+
   /** Jensen–Shannon divergence (TextAnalysis.jsDivergence): per-token
     * contributions integerized at 1e9; the private-token tail comes
     * from the shared probability masses, no anti-join.
@@ -2567,5 +2580,6 @@ object OracleSql {
     "q_cohort_ltv" -> qCohortLtv,
     "text_js_divergence" -> textJsDivergence,
     "mm_energy" -> mmEnergy,
+    "text_hapax" -> textHapax,
   )
 }

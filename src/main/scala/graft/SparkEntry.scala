@@ -170,6 +170,7 @@ object SparkEntry {
     "q_repeat_purchase" -> ((s, d) => EventOps.repeatPurchase(s, d)),
     "q_cohort_ltv" -> ((s, d) => EventOps.cohortLtv(s, d)),
     "text_js_divergence" -> ((s, d) => TextAnalysis.jsDivergence(s, d)),
+    "text_hapax" -> ((s, d) => TextAnalysis.hapaxProfile(s, d)),
     "text_vocab_overlap" -> ((s, d) => TextAnalysis.vocabOverlap(s, d)),
     "vs_dim_variance" -> ((s, d) => KnnSearch.dimVariance(s, d)),
     "text_novelty" -> ((s, d) => TextAnalysis.novelty(s, d)),

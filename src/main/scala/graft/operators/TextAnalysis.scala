@@ -668,6 +668,27 @@ object TextAnalysis {
         r6(expr("percentile(n_chars, 0.9)")).as("p90_chars"))
       .orderBy(col("source"))
 
+  /** Vocabulary-richness profile per source: type/token ratio and the
+    * hapax-legomena share (fraction of types appearing exactly once) —
+    * the quick lexical-diversity readout next to [[heaps]]'s growth
+    * curve (template-generated text has a collapsing hapax share;
+    * natural text holds ~40-60%).
+    *
+    * Scale shape: per-source token counts in one exploded-corpus
+    * shuffle (vocab-sized result), then a source-grid rollup.
+    */
+  def hapaxProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        r6(col("n_types") / (lit(1.0) * col("n_tokens"))).as("type_token_ratio"),
+        r6(col("n_hapax") / (lit(1.0) * col("n_types"))).as("hapax_share"))
+      .orderBy(col("source"))
+
   /** Jensen–Shannon divergence between source token DISTRIBUTIONS —
     * the proper domain-shift measure where [[vocabOverlap]] only
     * compares type sets (two sources can share every type yet use

@@ -563,6 +563,24 @@ class Round6cSpec extends AnyFunSuite {
     assert(out.keySet === docs.filter(_._2.nonEmpty).map(_._1).toSet)
   }
 
+  test("hapax profile matches brute force; identities hold") {
+    val out = TextAnalysis.hapaxProfile(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val docs = Tables.documents(spark, Sf).select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (s, xs) =>
+      val toks = xs.flatMap(_._2.trim.split("\\s+"))
+      val byTok = toks.groupBy(identity).map { case (_, ys) => ys.length }
+      val (nt, ny, nh, ttr, hs) = out(s)
+      assert(nt === toks.length.toLong && ny === byTok.size.toLong)
+      assert(nh === byTok.count(_ == 1).toLong)
+      assert(ttr === r6(ny / (1.0 * nt)) && hs === r6(nh / (1.0 * ny)))
+      // hapax <= types <= tokens, always
+      assert(nh <= ny && ny <= nt)
+    }
+  }
+
   test("heaps curve matches the collected-token replay and the fit is sane") {
     val out = TextAnalysis.heaps(spark, Sf).collect()
     assert(out.nonEmpty)
