@@ -112,13 +112,20 @@ object TextExprs {
       val xs = new Array[UTF8String](n)
       var i = 0
       while (i < n) { xs(i) = arr.getUTF8String(i); i += 1 }
-      // any total order groups equal elements — binary UTF8 order here
-      java.util.Arrays.sort(xs, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+      // any total order groups equal elements — binary UTF8 order here,
+      // with null elements grouped first (current call sites never
+      // produce element nulls, but a future caller gets defined
+      // behavior — all nulls mutually equal, mass 0 — instead of an NPE
+      // from compareTo/numChars)
+      java.util.Arrays.sort(xs, (a: UTF8String, b: UTF8String) =>
+        if (a eq null) { if (b eq null) 0 else -1 }
+        else if (b eq null) 1
+        else a.compareTo(b))
       var dupCnt = 0L; var dupMass = 0L; var totMass = 0L
       var run = 0L; var runMass = 0L
       i = 0
       while (i < n) {
-        val len = xs(i).numChars().toLong
+        val len = if (xs(i) eq null) 0L else xs(i).numChars().toLong
         totMass += len
         if (i > 0 && xs(i) == xs(i - 1)) { run += 1; runMass += len }
         else {

@@ -83,7 +83,7 @@ object Multimodal {
     val blks = sigs
       .select(col("doc_id"), col("sig"), explode(blkArr).as("e"))
       .select(col("doc_id"), col("sig"), col("e.blk").as("blk"), col("e.bval").as("bval"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.ScanShare.shared)
     blks.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("blk"), col("bval"))
       .join(blks.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
         col("blk"), col("bval")), Seq("blk", "bval"))
@@ -131,25 +131,29 @@ object Multimodal {
       .select(col("doc_id"), col("width"), col("height"),
         col("rs_width"), col("rs_height"))
 
-  /** Graded energy-profile query: per-window mean byte value over the
-    * payload (the RMS-energy shape of an audio pipeline — silence
-    * trimming, clipping detection — with the stub codec's bytes
-    * standing in for samples): per-doc window count, peak-window mean
-    * and overall mean. The Spark-side plumbing (windowed slices,
-    * per-window fold, per-asset rollup) is the real thing; a sample
-    * decoder would replace the ascii fold. Zero joins; one explode
-    * scan + a per-doc partial agg.
+  /** Graded energy-profile query: per-window mean CODEPOINT value over
+    * the payload decoded as UTF-8 text (the RMS-energy shape of an
+    * audio pipeline — silence trimming, clipping detection — with the
+    * stub codec's characters standing in for samples): per-doc window
+    * count, peak-window mean and overall mean. Note the stub operates
+    * on CHARACTERS, not raw bytes — `substr`/`ascii` on the decoded
+    * string yield codepoints, so `windowChars` counts characters and
+    * the energies are codepoint means (identical for the ASCII test
+    * payloads; a real codec would fold raw sample bytes instead). The
+    * Spark-side plumbing (windowed slices, per-window fold, per-asset
+    * rollup) is the real thing; a sample decoder would replace the
+    * ascii fold. Zero joins; one explode scan + a per-doc partial agg.
     */
-  def energyQuery(spark: SparkSession, dir: String, windowBytes: Int = 32): DataFrame = {
+  def energyQuery(spark: SparkSession, dir: String, windowChars: Int = 32): DataFrame = {
     val media = graft.Tables.fanOut(withBinary(Tables.documents(spark, dir)))
       .withColumn("s", decode(col("payload"), "UTF-8"))
-    val nWin = ceil(length(col("s")) / lit(windowBytes.toDouble)).cast("int")
+    val nWin = ceil(length(col("s")) / lit(windowChars.toDouble)).cast("int")
     val idx = when(nWin > 0, sequence(lit(0), nWin - 1))
       .otherwise(array().cast("array<int>"))
     media
       .withColumn("widx", explode(idx))
       .select(col("doc_id"), col("widx"),
-        expr(s"substr(s, widx * $windowBytes + 1, $windowBytes)").as("w"))
+        expr(s"substr(s, widx * $windowChars + 1, $windowChars)").as("w"))
       .withColumn("sum_codes", expr(
         "aggregate(transform(sequence(1, length(w)), i -> ascii(substr(w, i, 1))), 0L, (a, x) -> a + x)"))
       .withColumn("wlen", length(col("w")).cast("long"))

@@ -112,7 +112,7 @@ object Dedup {
     // otherwise recompute 16 md5s per shingle twice). Lazy MEMORY_AND_DISK
     // keeps lineage (fault-tolerant, unlike a checkpoint) and costs
     // nothing when the plan is built but never run.
-    val bands = bandSignatures(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = graft.plans.ScanShare.shared(bandSignatures(spark, dir))
     bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
         Seq("band", "sig"))
@@ -149,7 +149,7 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String,
       eagerCand: Boolean = false): DataFrame = {
     val cand = minhashLsh(spark, dir).select("doc_a", "doc_b")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.ScanShare.shared)
     if (eagerCand) cand.count()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
@@ -233,7 +233,7 @@ object Dedup {
     val pairs = ngramJaccard(spark, dir, eagerCand = false)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.ScanShare.shared)
     val nPairs = pairs.count()
     // edges are two-column projections of the cached pairs — shallow
     // plans, nothing to checkpoint
@@ -380,7 +380,7 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
     // 4 narrow rows per doc, consumed by both sides of the self-join
     // (the simhash vote scan is the expensive part); lazy+lineage-keeping
-    val blocks = simhashBlocks(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val blocks = graft.plans.ScanShare.shared(simhashBlocks(spark, dir))
     blocks.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
         col("lang"), col("blk"), col("bval"))
       .join(blocks.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),

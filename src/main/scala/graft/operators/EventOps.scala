@@ -866,7 +866,7 @@ object EventOps {
       .agg(array_sort(collect_set(col("event_type"))).as("ts"))
       // consumed by both the totals and the pair rollup — lazy persist
       // shares one corpus shuffle between the two traversals
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.ScanShare.shared)
     val totals = ts.select(explode(col("ts")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("u"))
     val pairs = ts.select(explode(flatten(transform(col("ts"), (a, i) =>

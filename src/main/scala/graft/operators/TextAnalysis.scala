@@ -626,7 +626,7 @@ object TextAnalysis {
     val counts = docs.select(explode(concat(toks, gramsAll(toks, 2))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .withColumn("is_bg", col("g").contains(" "))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.ScanShare.shared)
     val uni = counts.filter(!col("is_bg")).select(col("g").as("tok"), col("c").as("cu"))
     val big = counts.filter(col("is_bg")).select(col("g").as("bg"), col("c").as("cbg"))
     val totals = broadcast(counts.agg(
@@ -708,7 +708,7 @@ object TextAnalysis {
     val counts = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.ScanShare.shared)
     val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val a = counts.join(broadcast(totals), "source")
       .select(col("source").as("source_a"), col("tok"),
@@ -748,7 +748,7 @@ object TextAnalysis {
     val sv = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.ScanShare.shared)
     val totals = sv.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
     val pairs = sv.select(col("source").as("source_a"), col("tok"))
       .join(sv.select(col("source").as("source_b"), col("tok")), "tok")
@@ -829,7 +829,7 @@ object TextAnalysis {
         cents(log(col("cum_types")), 1e6).as("y6"))
       // ≤B rows consumed by both the fit aggregate and the output join —
       // the lazy persist makes the plan share one corpus pass, not two
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.ScanShare.shared)
     val fit = curve.agg(
       count(lit(1)).as("n"), sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
       sum(cents((col("x6") / lit(1e6)) * (col("y6") / lit(1e6)), 1e6)).as("sxy"),

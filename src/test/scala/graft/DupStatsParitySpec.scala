@@ -37,6 +37,22 @@ class DupStatsParitySpec extends AnyFunSuite {
     assert(got(0).getDouble(0) === math.floor(5.0 / 6.0 * 1e6 + 0.5) / 1e6)
   }
 
+  test("null elements get defined behavior, not an NPE (ADVICE r6)") {
+    // current call sites (split/gramsAll/shingles) never produce null
+    // elements; a future caller must get the documented semantics —
+    // nulls mutually equal with mass 0 — instead of a comparator NPE
+    val got = Seq(1).toDF("one")
+      .select(graft.functions.TextExprs.dupStats(
+        array(lit(null).cast("string"), lit("a"), lit(null).cast("string"),
+          lit("a"), lit("bb"))).as("s"))
+      .select(col("s.dup_cnt"), col("s.tot_cnt"), col("s.dup_mass"), col("s.tot_mass"))
+      .head()
+    assert(got.getLong(0) === 4L) // two nulls + two "a"s duplicated
+    assert(got.getLong(1) === 5L)
+    assert(got.getLong(2) === 2L) // nulls carry no mass; "a"×2 = 2 chars
+    assert(got.getLong(3) === 4L) // a+a+bb
+  }
+
   test("native == HOF over the whole corpus at every graded gram size") {
     val toks = tokens(col("text"))
     val lines = filter(transform(split(col("text"), "\n"), l => trim(l)),

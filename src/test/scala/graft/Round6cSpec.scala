@@ -227,10 +227,14 @@ class Round6cSpec extends AnyFunSuite {
     r2.foreach { case (q, (hits, _)) =>
       assert(rAll(q) >= hits, s"query $q lost hits with more probes")
     }
-    // single-probe exact-bucket sanity: the query's own top-1 is itself
-    // (vec_id ∈ queries, score with itself maximal) and lives in its own
-    // bucket, so every query has at least one hit at any probe count
-    r2.foreach { case (q, (hits, _)) => assert(hits >= 1L, s"query $q found nothing") }
+    // recall-floor sanity at the corpus level: per-query hits>=1 is NOT
+    // guaranteed (scores are unnormalized dot products, so dot(q,x) can
+    // exceed dot(q,q) and the self vector need not make the brute-force
+    // top-5; a data refresh could then legitimately zero one query), but
+    // a 2-probe LSH sweep that finds nothing ANYWHERE is broken — assert
+    // a mean-recall floor instead of the data-dependent per-query claim
+    val meanRecall = r2.values.map(_._2).sum / r2.size
+    assert(meanRecall >= 0.2, s"mean 2-probe recall collapsed: $meanRecall")
   }
 
   test("holt backtest matches the scalar recursion replay") {
