@@ -25,6 +25,10 @@ object Verify {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // session runs the whole dedup family — share its chain artifact
+    // (opt-out: SPARK_GRAFT_CHAIN_CACHE=0)
+    if (sys.env.getOrElse("SPARK_GRAFT_CHAIN_CACHE", "1") != "0")
+      graft.operators.DedupChain.enable()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

