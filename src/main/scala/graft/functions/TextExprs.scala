@@ -141,6 +141,103 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Raw Gopher repetition statistics of a token array in ONE pass:
+    * struct(n_toks, n_uniq, top2_cnt, n_g2, dup3_cnt, n_g3, tok_mass),
+    * all longs. Replaces five interpreted HOF traversals per row
+    * (gramsAll×2, array_sort + aggregate fold for the top-bigram run,
+    * array_distinct×2, the token-length fold) with one hash-counting
+    * scan — the quality-decision scan is the hot path of a 100 TB
+    * curation pass. The double arithmetic (r6 fractions, keep
+    * thresholds) deliberately stays OUTSIDE in column expressions, so
+    * the consumer's values are bit-identical to the HOF twin
+    * (TextAnalysis.gopherStatsHof, which the DuckDB oracle mirrors).
+    */
+  case class GopherRawExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_toks", LongType, nullable = false),
+      StructField("n_uniq", LongType, nullable = false),
+      StructField("top2_cnt", LongType, nullable = false),
+      StructField("n_g2", LongType, nullable = false),
+      StructField("dup3_cnt", LongType, nullable = false),
+      StructField("n_g3", LongType, nullable = false),
+      StructField("tok_mass", LongType, nullable = false)))
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      // null elements never occur at the call sites (split() output);
+      // treat one as the empty token for defined behavior
+      def tok(i: Int): UTF8String = {
+        val t = toks.getUTF8String(i)
+        if (t eq null) UTF8String.EMPTY_UTF8 else t
+      }
+      val sp = UTF8String.fromString(" ")
+      val uniq = new java.util.HashSet[UTF8String]()
+      val big = new java.util.HashMap[UTF8String, Long]()
+      val tri = new java.util.HashSet[UTF8String]()
+      var mass = 0L
+      var i = 0
+      while (i < n) {
+        val t = tok(i)
+        mass += t.numChars().toLong
+        uniq.add(t)
+        if (i + 1 < n) {
+          val b = UTF8String.concat(t, sp, tok(i + 1))
+          big.merge(b, 1L, (a, x) => a + x)
+          if (i + 2 < n) tri.add(UTF8String.concat(b, sp, tok(i + 2)))
+        }
+        i += 1
+      }
+      var top2 = 0L
+      val it = big.values().iterator()
+      while (it.hasNext) { val v = it.next(); if (v > top2) top2 = v }
+      val nG2 = if (n >= 2) (n - 1).toLong else 0L
+      val nG3 = if (n >= 3) (n - 2).toLong else 0L
+      org.apache.spark.sql.catalyst.InternalRow(
+        n.toLong, uniq.size.toLong, top2, nG2, nG3 - tri.size, nG3, mass)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Raw token-entropy statistics in ONE pass:
+    * struct(n_uniq, ent_e6), where ent_e6 is Σ over distinct tokens of
+    * floor((-p·ln p)·1e6 + 0.5) with p = count/n — term-for-term the
+    * integerized fold of the HOF twin (TextAnalysis.entropyScoreHof /
+    * the DuckDB oracle), so the sum is identical regardless of
+    * iteration order. Replaces an array_sort + interpreted run-length
+    * `aggregate` fold per row with one hash count.
+    */
+  case class EntropyRawExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_uniq", LongType, nullable = false),
+      StructField("ent_e6", LongType, nullable = false)))
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val counts = new java.util.HashMap[UTF8String, Long]()
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        counts.merge(if (t eq null) UTF8String.EMPTY_UTF8 else t, 1L, (a, x) => a + x)
+        i += 1
+      }
+      var ent = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        // exactly cents(-p * log(p), 1e6) on the same IEEE doubles
+        val p = it.next().toDouble / (1.0 * n)
+        ent += math.floor((-p) * math.log(p) * 1e6 + 0.5).toLong
+      }
+      org.apache.spark.sql.catalyst.InternalRow(counts.size.toLong, ent)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def shingles(tokens: Column, k: Int = 3): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(tokens), k))
 
@@ -149,4 +246,10 @@ object TextExprs {
 
   def dupStats(xs: Column): Column =
     ColumnBridge.column(DupStatsExpr(ColumnBridge.expression(xs)))
+
+  def gopherRaw(tokens: Column): Column =
+    ColumnBridge.column(GopherRawExpr(ColumnBridge.expression(tokens)))
+
+  def entropyRaw(tokens: Column): Column =
+    ColumnBridge.column(EntropyRawExpr(ColumnBridge.expression(tokens)))
 }

@@ -246,8 +246,36 @@ object TextAnalysis {
     * (n_toks, uniq_frac, top2_frac, dup3_frac, mean_wlen, keep) — the
     * single source of truth shared by [[gopherRules]] and the dataset
     * card, so the keep decision cannot drift between consumers.
+    *
+    * Native single-pass form (TextExprs.GopherRawExpr): one
+    * hash-counting scan per row replaces five interpreted HOF
+    * traversals (gramsAll×2, the sorted top-bigram fold,
+    * array_distinct×2, the length fold). Only the raw integer counts
+    * are native — every fraction and the keep decision are the same
+    * column expressions as [[gopherStatsHof]] (which the DuckDB oracle
+    * mirrors), so values are bit-identical; GopherParitySpec asserts it.
     */
   def gopherStats(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = graft.functions.TextExprs.gopherRaw(tokens(text))
+    val nToks = s.getField("n_toks")
+    val nG2 = s.getField("n_g2")
+    val nG3 = s.getField("n_g3")
+    val uniqFrac = r6(s.getField("n_uniq") / (lit(1.0) * nToks))
+    val top2Frac = when(nG2 > 0, r6(s.getField("top2_cnt") / (lit(1.0) * nG2)))
+      .otherwise(lit(0.0))
+    val dup3Frac = when(nG3 > 0, r6(s.getField("dup3_cnt") / (lit(1.0) * nG3)))
+      .otherwise(lit(0.0))
+    val meanWlen = r6(s.getField("tok_mass") / (lit(1.0) * nToks))
+    val keep = (top2Frac <= 0.08 && uniqFrac >= 0.42
+      && meanWlen >= 3.0 && meanWlen <= 10.0).cast("long")
+    struct(nToks.as("n_toks"), uniqFrac.as("uniq_frac"), top2Frac.as("top2_frac"),
+      dup3Frac.as("dup3_frac"), meanWlen.as("mean_wlen"), keep.as("keep"))
+  }
+
+  /** HOF twin of [[gopherStats]] — the semantic definition the oracle
+    * mirrors (grams + sorted run-length fold); spec-only.
+    */
+  private[graft] def gopherStatsHof(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import graft.functions.TextFunctions.gramsAll
     val toks = tokens(text)
     val g2 = gramsAll(toks, 2)
@@ -299,10 +327,35 @@ object TextAnalysis {
     * O(T log T) per row (HOF lambdas are interpreted; the naive
     * count-equal-per-distinct-token scan is O(T²) and was this file's
     * second hidden quadratic after gopher's top-2-gram).
+    *
+    * Native single-pass form (TextExprs.EntropyRawExpr): one hash
+    * count per row replaces the sort + interpreted run-length fold;
+    * the per-term integerization is identical, so the sum matches the
+    * HOF twin [[entropyScoreHof]] exactly (GopherParitySpec).
     */
   def entropyScore(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.cents
     val toks = tokens(col("text"))
+    val s = graft.functions.TextExprs.entropyRaw(toks)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        s.getField("n_uniq").as("n_uniq"),
+        s.getField("ent_e6").as("ent_e6"))
+      .withColumn("entropy", r6(col("ent_e6") / lit(1e6)))
+      .withColumn("norm_entropy",
+        when(col("n_uniq") > 1, r6(col("ent_e6") / (lit(1e6) * log(col("n_uniq")))))
+          .otherwise(lit(0.0)))
+      .select("doc_id", "n_toks", "n_uniq", "entropy", "norm_entropy")
+  }
+
+  /** HOF twin of [[entropyScore]] — the sorted run-length fold the
+    * oracle mirrors; spec-only.
+    */
+  /** The sorted run-length entropy fold as a column (spec/measurement
+    * twin of TextExprs.entropyRaw's ent_e6 field).
+    */
+  private[graft] def entropyE6Hof(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.VectorFunctions.cents
     val n = size(toks)
     // cents(-p ln p) for a token occurring `run` times — identical
     // per-distinct-token terms to the oracle's formulation; the sum is
@@ -311,7 +364,7 @@ object TextAnalysis {
       val p = run / (lit(1.0) * n)
       cents(-p * log(p), 1e6)
     }
-    val entE6 = aggregate(array_sort(toks),
+    aggregate(array_sort(toks),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
       (acc, x) => {
         val closes = acc.getField("run") > 0 && (x =!= acc.getField("prev"))
@@ -323,11 +376,15 @@ object TextAnalysis {
       },
       acc => acc.getField("acc") +
         when(acc.getField("run") > 0, termOf(acc.getField("run"))).otherwise(lit(0L)))
+  }
+
+  private[graft] def entropyScoreHof(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        n.cast("long").as("n_toks"),
+        size(toks).cast("long").as("n_toks"),
         size(array_distinct(toks)).cast("long").as("n_uniq"),
-        entE6.as("ent_e6"))
+        entropyE6Hof(toks).as("ent_e6"))
       .withColumn("entropy", r6(col("ent_e6") / lit(1e6)))
       .withColumn("norm_entropy",
         when(col("n_uniq") > 1, r6(col("ent_e6") / (lit(1e6) * log(col("n_uniq")))))

@@ -31,6 +31,14 @@ object Scratch {
     // warmup
     graft.SparkEntry.queries("q1_agg")(spark, sfDir).count()
     dropCaches()
+    // real-length prose for text-expression A/Bs: the 331 reference
+    // archive pages as markdown, replicated 30× (~10k docs)
+    def archiveDocs(s: SparkSession): org.apache.spark.sql.DataFrame = {
+      val one = graft.sources.Ingest.fromHtml(s, "/root/reference/data/raw/html")
+        .select(col("md_text").as("text"))
+      (1 to 30).map(_ => one).reduce(_ union _)
+        .repartition(cpus.toInt).persist()
+    }
     val variants: Map[String, () => Unit] = Map(
       "ngram" -> (() => graft.operators.Dedup.ngramJaccard(spark, sfDir).count()),
       "ngram_lazy" -> (() =>
@@ -41,6 +49,22 @@ object Scratch {
       "report" -> (() => graft.operators.Dedup.report(spark, sfDir).count()),
       "components" -> (() => graft.operators.Dedup.components(spark, sfDir).count()),
       "bigram" -> (() => graft.operators.TextAnalysis.bigramLm(spark, sfDir).count()),
+      // gopher/entropy native-vs-HOF over REAL-length docs: the 331
+      // archive pages' markdown, replicated 30x (~10k docs of real prose)
+      "gopher_nat" -> (() => archiveDocs(spark).select(
+        graft.operators.TextAnalysis.gopherStats(col("text")).as("g"))
+        .agg(sum(col("g.keep"))).collect()),
+      "gopher_hof" -> (() => archiveDocs(spark).select(
+        graft.operators.TextAnalysis.gopherStatsHof(col("text")).as("g"))
+        .agg(sum(col("g.keep"))).collect()),
+      "entropy_nat" -> (() => archiveDocs(spark).select(
+        graft.functions.TextExprs.entropyRaw(
+          graft.functions.TextFunctions.tokens(col("text"))).as("s"))
+        .agg(sum(col("s.ent_e6"))).collect()),
+      "entropy_hof" -> (() => archiveDocs(spark).select(
+        graft.operators.TextAnalysis.entropyE6Hof(
+          graft.functions.TextFunctions.tokens(col("text"))).as("e"))
+        .agg(sum(col("e"))).collect()),
       "pagerank" -> (() => graft.operators.GraphOps.pagerank(spark, sfDir).count()),
       // copy of Dedup.components with per-phase timing + round count
       "comp_diag" -> { () =>
