@@ -632,11 +632,18 @@ object EventOps {
     * columns (user_id, t cents, bkt, rank, mx, n, s). Shared by the
     * Gini/Lorenz concentration family.
     */
-  private def rankedTotals(spark: SparkSession, dir: String,
-      buckets: Int): DataFrame = {
+  /** Per-user purchase totals in value-cents — the substrate gini and
+    * lorenz rank (and what streaming/InequalityStream maintains
+    * incrementally; its readout shares [[giniFromTotals]] /
+    * [[lorenzFromTotals]] so stream ≡ batch is exact by construction).
+    */
+  private[graft] def purchaseTotals(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.cents
-    val t = base(spark, dir).filter(col("event_type") === "purchase")
+    base(spark, dir).filter(col("event_type") === "purchase")
       .groupBy(col("user_id")).agg(sum(cents(col("value"), 100.0)).as("t"))
+  }
+
+  private def rankedFromTotals(t: DataFrame, buckets: Int): DataFrame = {
     // two 1-row aggregates ride one pass over the (user-sized) totals
     val stats = t.agg(max(col("t")).as("mx"), count(lit(1)).as("n"),
       sum(col("t")).as("s"))
@@ -655,9 +662,12 @@ object EventOps {
       .withColumn("rank", col("off") + col("r_in"))
   }
 
-  def gini(spark: SparkSession, dir: String, buckets: Int = 1000): DataFrame = {
+  def gini(spark: SparkSession, dir: String, buckets: Int = 1000): DataFrame =
+    giniFromTotals(purchaseTotals(spark, dir), buckets)
+
+  private[graft] def giniFromTotals(t: DataFrame, buckets: Int = 1000): DataFrame = {
     import graft.functions.VectorFunctions.cents
-    rankedTotals(spark, dir, buckets)
+    rankedFromTotals(t, buckets)
       .withColumn("term_e9",
         cents((col("rank") / (lit(1.0) * col("n"))) * (col("t") / (lit(1.0) * col("s"))), 1e9))
       .withColumn("top10", col("rank") > col("n") - expr("n div 10"))
@@ -894,10 +904,13 @@ object EventOps {
     * both engines bucket identically. The rollup and the cumulative
     * window run on the bounded 10-row grid.
     */
-  def lorenz(spark: SparkSession, dir: String, buckets: Int = 1000): DataFrame = {
+  def lorenz(spark: SparkSession, dir: String, buckets: Int = 1000): DataFrame =
+    lorenzFromTotals(purchaseTotals(spark, dir), buckets)
+
+  private[graft] def lorenzFromTotals(t: DataFrame, buckets: Int = 1000): DataFrame = {
     val w = graft.functions.VectorFunctions.boundedWindow(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rankedTotals(spark, dir, buckets)
+    rankedFromTotals(t, buckets)
       .withColumn("decile", expr("((rank - 1) * 10) div n"))
       .groupBy(col("decile"), col("s"))
       .agg(count(lit(1)).as("n_users"), sum(col("t")).as("tv"))
