@@ -42,14 +42,22 @@ object SearchApi {
       .otherwise(transform(raw, x => x.cast("float")))
   }
 
+  /** The session's query-time encoder. Default: the hashing stub; a
+    * deployment with a real model swaps in a [[BatchedEncoder]] whose
+    * model fn wraps the inference runtime — EncoderSeamSpec proves the
+    * search surface is unchanged under either.
+    */
+  val defaultEncoder: TextEncoder = new HashingEncoder(Dim)
+
   /** Full search pipeline over the corpus embeddings + documents:
     * returns (doc_id, retrieve_score, logit, prob, label, rerank_rank).
     */
   def search(spark: SparkSession, dir: String, queryText: String,
       retrieveK: Int = 20, minLogit: Option[Double] = None,
-      lang: Option[String] = None): DataFrame = {
+      lang: Option[String] = None,
+      encoder: TextEncoder = defaultEncoder): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = spark.range(1).select(embedText(lit(queryText)).as("qvec"))
+    val q = encoder.encodeQuery(spark, queryText)
     val top = KnnSearch.scored(Tables.embeddings(spark, dir).select("vec_id", "embedding"), q)
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(retrieveK)
