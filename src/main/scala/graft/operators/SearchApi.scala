@@ -49,13 +49,21 @@ object SearchApi {
     */
   val defaultEncoder: TextEncoder = new HashingEncoder(Dim)
 
+  /** The session's rerank scorer (the second model seam — reference
+    * query.py:57-60 CrossEncoder.predict). Default: the column stub; a
+    * deployment swaps in a [[BatchedScorer]] wrapping the real model —
+    * RerankSeamSpec proves the search surface is unchanged.
+    */
+  val defaultScorer: CrossScorer = new ColumnScorer
+
   /** Full search pipeline over the corpus embeddings + documents:
     * returns (doc_id, retrieve_score, logit, prob, label, rerank_rank).
     */
   def search(spark: SparkSession, dir: String, queryText: String,
       retrieveK: Int = 20, minLogit: Option[Double] = None,
       lang: Option[String] = None,
-      encoder: TextEncoder = defaultEncoder): DataFrame = {
+      encoder: TextEncoder = defaultEncoder,
+      scorer: CrossScorer = defaultScorer): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = encoder.encodeQuery(spark, queryText)
     val top = KnnSearch.scored(Tables.embeddings(spark, dir).select("vec_id", "embedding"), q)
@@ -64,8 +72,8 @@ object SearchApi {
       .select(col("vec_id"), col("score"))
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
-    val reranked = top.join(docs, top("vec_id") === docs("doc_id"))
-      .withColumn("logit", KnnSearch.rerankLogit(col("score"), col("n_chars")))
+    val reranked = scorer.score(
+        top.join(docs, top("vec_id") === docs("doc_id")), queryText, "logit")
       .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
       .withColumn("label", KnnSearch.relevanceLabel(col("logit")))
     val filtered = Seq(
