@@ -238,6 +238,56 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Per-row k-gram COUNTS in one pass: array<struct<g,c>> with one
+    * entry per distinct k-gram (first-occurrence order) and its
+    * multiplicity. Exploding this instead of the raw gram stream gives
+    * downstream corpus-level counting the same totals (Σc ≡ one row
+    * per occurrence) while (a) shrinking the exploded volume to
+    * per-doc DISTINCT grams and (b) replacing the interpreted
+    * `transform`+`concat_ws` gram construction with native JVM code —
+    * the two dominant costs of the bigram-LM / PMI family. Semantics
+    * twin: `gramCountsHof` (array_distinct + per-gram filter count);
+    * GramCountsParity in PropertyParitySpec asserts exact equality.
+    */
+  case class GramCountsExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))), containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      // null elements never occur at the call sites (split() output);
+      // treat one as the empty token for defined behavior
+      def tok(i: Int): UTF8String = {
+        val t = toks.getUTF8String(i)
+        if (t eq null) UTF8String.EMPTY_UTF8 else t
+      }
+      val sp = UTF8String.fromString(" ")
+      val counts = new java.util.LinkedHashMap[UTF8String, Long]()
+      var i = 0
+      while (i + k <= n) {
+        var g = tok(i)
+        var j = 1
+        while (j < k) { g = UTF8String.concat(g, sp, tok(i + j)); j += 1 }
+        counts.merge(g, 1L, (a, x) => a + x)
+        i += 1
+      }
+      val out = new Array[Any](counts.size)
+      val it = counts.entrySet().iterator()
+      i = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def shingles(tokens: Column, k: Int = 3): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(tokens), k))
 
@@ -246,6 +296,19 @@ object TextExprs {
 
   def dupStats(xs: Column): Column =
     ColumnBridge.column(DupStatsExpr(ColumnBridge.expression(xs)))
+
+  def gramCounts(tokens: Column, k: Int): Column =
+    ColumnBridge.column(GramCountsExpr(ColumnBridge.expression(tokens), k))
+
+  /** HOF twin of [[gramCounts]] — the semantic definition (spec-only;
+    * O(G²) interpreted, never on the hot path).
+    */
+  def gramCountsHof(tokens: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val grams = TextFunctions.gramsAll(tokens, k)
+    transform(array_distinct(grams), g =>
+      struct(g.as("g"), size(filter(grams, x => x === g)).cast("long").as("c")))
+  }
 
   def gopherRaw(tokens: Column): Column =
     ColumnBridge.column(GopherRawExpr(ColumnBridge.expression(tokens)))

@@ -399,22 +399,34 @@ object TextAnalysis {
     * surfaced. Per-bigram contributions are integerized before the
     * per-doc sum.
     *
-    * Scale shape: the bigram explode is map-side; the corpus shuffles
-    * once for the bigram counts (partial-agg'd) and once for the
-    * per-doc aggregate. The scoring join BROADCASTS the vocab-sized
-    * probability table instead of shuffling the exploded corpus on
-    * `bg` (the r5 shape relied on AQE reusing the count exchange for
-    * the scoring join; the driver bench showed it does not — 3.9 s vs
-    * the 1.7 s bar). Prefix counts roll up from the vocab-sized bigram
-    * counts and are folded back into them vocab-side, so the corpus
-    * never shuffles on `pre` either.
+    * Scale shape: ONE corpus scan emits per-doc native bigram counts
+    * (row-local first-level aggregation, no (doc, bigram) shuffle);
+    * the count shuffle is partial-agg'd over the already-deduped
+    * per-doc rows, and the per-doc aggregate combines map-side. The
+    * scoring join BROADCASTS the vocab-sized probability table instead
+    * of shuffling the exploded corpus on `bg` (the r5 shape relied on
+    * AQE reusing the count exchange for the scoring join; the driver
+    * bench showed it does not — 3.9 s vs the 1.7 s bar). Prefix counts
+    * roll up from the vocab-sized bigram counts and are folded back
+    * into them vocab-side, so the corpus never shuffles on `pre`
+    * either.
     */
   def bigramLm(spark: SparkSession, dir: String, worstK: Int = 10): DataFrame = {
-    import graft.functions.TextFunctions.gramsAll
     import graft.functions.VectorFunctions.cents
-    val bg = graft.Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(gramsAll(tokens(col("text")), 2)).as("bg"))
-    val cbg = bg.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    // per-doc bigram COUNTS straight off the scan (native one-pass,
+    // TextExprs.GramCountsExpr): the exploded volume is per-doc
+    // DISTINCT bigrams (not one row per occurrence) and there is no
+    // (doc, bigram) shuffle — row-local counting did the first
+    // aggregation level already. Shared by both consumers below via a
+    // bounded-lifetime persist (the r7 rework: the previous plan
+    // scanned + gram-exploded the corpus twice, once for counts and
+    // once for scoring — measured 2.0 s vs 1.1 s at sf0.1).
+    val dbg = graft.Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.gramCounts(tokens(col("text")), 2)).as("gc"))
+      .select(col("doc_id"), col("gc.g").as("bg"), col("gc.c").as("occ"))
+      .transform(graft.plans.ScanShare.shared)
+    val cbg = dbg.groupBy(col("bg")).agg(sum(col("occ")).as("cbg"))
     // prefix counts roll up from the bigram counts (vocab-sized input),
     // NOT from the exploded corpus — and join back into the bigram
     // counts here, while everything is still vocab-sized
@@ -423,10 +435,13 @@ object TextAnalysis {
     val probs = cbg.withColumn("pre", substring_index(col("bg"), " ", 1))
       .join(cpre, "pre")
       .select(col("bg"), col("cbg"), col("cpre"))
-    bg.join(broadcast(probs), "bg")
+    // Σ occ·lp_e6 over distinct bigrams ≡ Σ lp_e6 over occurrences
+    // (lp_e6 is integerized per bigram TYPE) — values unchanged
+    dbg.join(broadcast(probs), "bg")
       .withColumn("lp_e6", cents(log(col("cbg") / (lit(1.0) * col("cpre"))), 1e6))
       .groupBy(col("doc_id"))
-      .agg(sum(col("lp_e6")).as("sum_lp_e6"), count(lit(1)).as("n_bigrams"))
+      .agg(sum(col("occ") * col("lp_e6")).as("sum_lp_e6"),
+        sum(col("occ")).as("n_bigrams"))
       .withColumn("avg_logprob", r6(col("sum_lp_e6") / (lit(1e6) * col("n_bigrams"))))
       .orderBy(col("avg_logprob").asc, col("doc_id").asc)
       .limit(worstK)
@@ -664,24 +679,28 @@ object TextAnalysis {
     * estimator out of PMI's low-count noise regime). The corpus-level
     * companion to [[bigramLm]]'s per-document scoring.
     *
-    * Scale shape: ONE corpus scan and ONE exploded-corpus shuffle —
-    * unigrams and bigrams ride the same explode as tagged (kind, gram)
-    * rows and aggregate together (a second explode would double the
-    * dominant cost, measured 3.3 s → the corpus side of bigram_lm's
-    * 1.3 s at sf0.1). The vocab-sized count table is persisted and
-    * reused by all four consumers (both totals, both unigram joins);
-    * the PMI join then runs entirely on vocab-sized inputs with the
-    * unigram side broadcast twice and the two scalar totals broadcast
-    * as a 1-row aggregate. The corpus is never joined.
+    * Scale shape: ONE corpus scan and ONE exploded shuffle — unigram
+    * and bigram counts ride the same explode as (gram, count) rows
+    * pre-aggregated per row by the native GramCountsExpr (a second
+    * explode would double the dominant cost, measured 3.3 s → the
+    * corpus side of bigram_lm's 1.3 s at sf0.1; the r7 native counts
+    * shrink the exploded volume to per-doc distinct grams on top). The
+    * vocab-sized count table is persisted and reused by all four
+    * consumers (both totals, both unigram joins); the PMI join then
+    * runs entirely on vocab-sized inputs with the unigram side
+    * broadcast twice and the two scalar totals broadcast as a 1-row
+    * aggregate. The corpus is never joined.
     */
   def pmi(spark: SparkSession, dir: String, minCount: Long = 20, topK: Int = 30): DataFrame = {
+    import graft.functions.TextExprs.gramCounts
     val docs = Tables.fanOut(Tables.documents(spark, dir))
     val toks = tokens(col("text"))
     // no kind tag needed: a token never contains whitespace (the
     // tokenizer split on it), a bigram always contains exactly one
     // space — the gram IS its own tag
-    val counts = docs.select(explode(concat(toks, gramsAll(toks, 2))).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val counts = docs.select(
+        explode(concat(gramCounts(toks, 1), gramCounts(toks, 2))).as("gc"))
+      .groupBy(col("gc.g").as("g")).agg(sum(col("gc.c")).as("c"))
       .withColumn("is_bg", col("g").contains(" "))
       .transform(graft.plans.ScanShare.shared)
     val uni = counts.filter(!col("is_bg")).select(col("g").as("tok"), col("c").as("cu"))

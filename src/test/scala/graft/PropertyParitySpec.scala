@@ -94,6 +94,18 @@ class PropertyParitySpec extends AnyFunSuite {
     }
   }
 
+  // --- gram counts: native ≡ HOF at every graded k -----------------------
+  test("gramCounts ≡ HOF twin for k=1,2,3 on arbitrary arrays") {
+    val df = arrays.toDF("xs")
+    Seq(1, 2, 3).foreach { k =>
+      val bad = df.select(
+        TextExprs.gramCounts(col("xs"), k).as("n"),
+        TextExprs.gramCountsHof(col("xs"), k).as("h"))
+        .filter(col("n") =!= col("h")).count()
+      assert(bad === 0L, s"k=$k gram-count divergence")
+    }
+  }
+
   // --- gopher: native raw counts ≡ HOF fold on degenerate raw text -------
   test("gopherStats ≡ HOF fold on 300 arbitrary whitespace-degenerate texts") {
     val df = texts.toDF("text")
