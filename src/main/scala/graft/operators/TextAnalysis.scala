@@ -179,9 +179,21 @@ object TextAnalysis {
     */
   def tfidfKeywords(spark: SparkSession, dir: String, maxDocId: Long = 20,
       topN: Int = 3): DataFrame = {
-    val tok = graft.Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // per-doc tf straight off the scan — NO (doc, token) shuffle: the
+    // native GramCountsExpr did that aggregation row-local (measured
+    // 0.85 → 0.62 s at sf0.1). The k=1 substitution is kept ONLY where
+    // it deletes a corpus shuffle like here: for the plain
+    // explode→count family (heavy_hitters, zipf, hapax, js_divergence,
+    // vocab_overlap, lm_score, heaps) it was tried and REVERTED — the
+    // codegen'd split+explode beats the CodegenFallback expression when
+    // there is no shuffle to remove (lm_score 0.64 → 1.17 s measured;
+    // k≥2 grams are different: their HOF construction is interpreted,
+    // which is why bigramLm/pmi keep the native counts)
+    val tf = graft.Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.gramCounts(tokens(col("text")), 1)).as("gc"))
+      .select(col("doc_id"), col("gc.g").as("token"), col("gc.c").as("tf"))
+      .transform(graft.plans.ScanShare.shared)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val st = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
