@@ -255,7 +255,7 @@ object IvfIndex {
     * scan; verified by IvfIndexSpec).
     */
   def searchIndex(spark: SparkSession, indexPath: String, query: DataFrame,
-      nprobe: Int = 3, k: Int = 10): DataFrame = {
+      nprobe: Int = 3, k: Int = 10, roundScore: Boolean = true): DataFrame = {
     val probed = spark.read.parquet(s"$indexPath/centroids").crossJoin(broadcast(query))
       .withColumn("cd2", dist2(col("cvec"), col("qvec")))
       .orderBy(col("cd2").asc, col("cluster_id").asc)
@@ -271,7 +271,10 @@ object IvfIndex {
       .withColumn("score", dot(col("embedding"), col("qvec")))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
-      .select(col("cluster_id"), col("vec_id"), r6(col("score")).as("score"))
+      // roundScore=false keeps full precision so SearchApi.searchIndexed
+      // is bit-identical to the brute-force path at nprobe=all
+      .select(col("cluster_id"), col("vec_id"),
+        (if (roundScore) r6(col("score")) else col("score")).as("score"))
   }
 
   /** Batch IVF search: the production ANN shape for a query SET. Each

@@ -86,6 +86,42 @@ object SearchApi {
       .select("doc_id", "score", "logit", "prob", "label", "rerank_rank", "lang", "text")
   }
 
+  /** The serving-scale variant of [[search]]: same surface (encode →
+    * retrieve → rerank → prob/label/rank → filters), but retrieval
+    * scans a PERSISTED cluster-partitioned IVF index
+    * ([[IvfIndex.writeIndex]]) instead of brute-forcing the corpus —
+    * only the nprobe nearest cluster partitions are read
+    * (PartitionFilters pruning), which is the O(N·nprobe/k) shape a
+    * 100 TB deployment serves queries from (the reference's Qdrant
+    * collection, mcp_server.py:80-215). Both model seams compose:
+    * IndexedSearchSpec proves output ≡ [[search]] exactly when every
+    * cluster is probed, under either encoder/scorer.
+    */
+  def searchIndexed(spark: SparkSession, dir: String, indexPath: String,
+      queryText: String, nprobe: Int = 3, retrieveK: Int = 20,
+      minLogit: Option[Double] = None, lang: Option[String] = None,
+      encoder: TextEncoder = defaultEncoder,
+      scorer: CrossScorer = defaultScorer): DataFrame = {
+    val q = encoder.encodeQuery(spark, queryText)
+    val top = IvfIndex.searchIndex(spark, indexPath, q, nprobe, retrieveK,
+        roundScore = false)
+      .select(col("vec_id"), col("score"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val reranked = scorer.score(
+        top.join(docs, top("vec_id") === docs("doc_id")), queryText, "logit")
+      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
+      .withColumn("label", KnnSearch.relevanceLabel(col("logit")))
+    val filtered = Seq(
+      minLogit.map(m => col("logit") >= m),
+      lang.map(l => col("lang") === l),
+    ).flatten.foldLeft(reranked)((df, p) => df.filter(p))
+    filtered
+      .withColumn("rerank_rank",
+        row_number().over(graft.functions.VectorFunctions.boundedWindow(col("logit").desc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "score", "logit", "prob", "label", "rerank_rank", "lang", "text")
+  }
+
   /** Diversified search: encode the query text, retrieve a candidate
     * pool, then apply maximal-marginal-relevance selection so the k
     * results cover distinct regions of the embedding space instead of
