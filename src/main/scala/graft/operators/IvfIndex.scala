@@ -54,11 +54,40 @@ object IvfIndex {
     * `row_number() OVER (ORDER BY d2, cluster_id) = 1` the oracle
     * computes, with bitwise-identical d² folds. No join, no window, no
     * shuffle: the corpus never moves.
+    *
+    * This HOF formulation is the numeric spec; [[nearest]] runs the
+    * same argmin as a native one-loop expression
+    * (AnnExprs.NearestCentroidExpr — bitwise parity pinned by
+    * AnnParitySpec, including the degenerate-input corners).
     */
-  def nearest(embedding: Column, centsLit: Column): Column =
+  def nearestHof(embedding: Column, centsLit: Column): Column =
     array_min(transform(centsLit, c =>
       struct(dist2(embedding, c.getField("cvec")).as("d2"),
         c.getField("cluster_id").as("cluster_id"))))
+
+  /** Collected centroid metadata for the native argmin: parallel
+    * (ids, vectors) arrays, floats widened to double (exact — the HOF
+    * fold casts per element, so the math is unchanged).
+    */
+  def centroidMeta(cents: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    val rows = cents.select(col("cluster_id").cast("long"), col("cvec")).collect()
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Any](1).map {
+      case f: java.lang.Float => f.doubleValue()
+      case d: java.lang.Double => d.doubleValue()
+    }.toArray)
+    (ids, vecs)
+  }
+
+  /** Native nearest-centroid assignment (struct(d2, cluster_id)):
+    * one tight JVM loop per row instead of a per-centroid interpreted
+    * HOF lambda — the §16 scan-bound ANN tail was this cost. Collects
+    * the centroid table once (index metadata, k×dim).
+    */
+  def nearest(embedding: Column, cents: DataFrame): Column = {
+    val (ids, vecs) = centroidMeta(cents)
+    graft.functions.AnnExprs.nearestCentroid(embedding, ids, vecs)
+  }
 
   /** Nearest-centroid assignment of `vecs` against an arbitrary
     * centroid table, distance retained. Plan: a single map-side
@@ -66,7 +95,7 @@ object IvfIndex {
     * IvfIndexSpec).
     */
   def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val best = nearest(col("embedding"), centroidLiteral(cents))
+    val best = nearest(col("embedding"), cents)
     vecs.select(col("vec_id"), col("embedding"), best.as("best"))
       .select(col("vec_id"), col("best.cluster_id").as("cluster_id"), col("best.d2").as("d2"))
   }
@@ -77,7 +106,7 @@ object IvfIndex {
     * writeIndex) starts from, replacing an assign⋈embeddings self-join.
     */
   def assignedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
-    val best = nearest(col("embedding"), centroidLiteral(centroids(spark, dir)))
+    val best = nearest(col("embedding"), centroids(spark, dir))
     Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
       .withColumn("best", best)
       .select(col("vec_id"), col("embedding"),
@@ -112,7 +141,7 @@ object IvfIndex {
     * shuffle; the argmax/total run on the aggregated k×labels rows.
     */
   def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
-    val best = nearest(col("embedding"), centroidLiteral(centroids(spark, dir)))
+    val best = nearest(col("embedding"), centroids(spark, dir))
     val counts = Tables.fanOut(
         Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"), col("label")))
       .select(col("label").cast("long").as("label"),
@@ -204,7 +233,7 @@ object IvfIndex {
       .select(col("cluster_id"), transform(col("cvec"), _.cast("double")).as("cvec"))
     val objectives = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 0 until iters) {
-      val best = nearest(col("embedding"), centroidLiteral(cents))
+      val best = nearest(col("embedding"), cents)
       val assigned = vecs
         .withColumn("best", best)
         .select(col("vec_id"), col("best.cluster_id").as("cluster_id"),
@@ -240,7 +269,7 @@ object IvfIndex {
     val cents =
       if (refineIters > 0) kmeans(spark, dir, refineIters)._1
       else centroids(spark, dir)
-    val best = nearest(col("embedding"), centroidLiteral(cents))
+    val best = nearest(col("embedding"), cents)
     Tables.embeddings(spark, dir).select("vec_id", "embedding")
       .withColumn("cluster_id", best.getField("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id")

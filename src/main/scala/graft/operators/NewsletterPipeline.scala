@@ -55,7 +55,7 @@ object NewsletterPipeline {
       .withColumn("cluster_id",
         (row_number().over(boundedWindow(col("chunk_id").asc)) - 1).cast("long"))
       .select(col("cluster_id"), col("embedding").as("cvec"))
-    val best = IvfIndex.nearest(col("embedding"), IvfIndex.centroidLiteral(cents))
+    val best = IvfIndex.nearest(col("embedding"), cents)
     cv.withColumn("cluster_id", best.getField("cluster_id"))
       .select("chunk_id", "doc_id", "category", "idx", "text", "source",
         "source_name", "date", "embedding", "cluster_id")

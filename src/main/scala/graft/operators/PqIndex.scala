@@ -46,12 +46,25 @@ object PqIndex {
         expr(s"slice(embedding, s * $SubDim + 1, $SubDim)").as("subvec"))
   }
 
+  /** Codebooks collected to primitive arrays [s][code][SubDim] for the
+    * native ADC expression (floats widened to double — exact, the HOF
+    * fold casts per element). Index metadata, never data.
+    */
+  private def codebookMeta(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val rows = codebooks(spark, dir)
+      .select(col("s"), col("code").cast("long"), col("cvec")).collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    Array.tabulate(NumSub) { s =>
+      bySub(s).sortBy(_.getLong(1)).map(_.getSeq[Float](2).map(_.toDouble).toArray)
+    }
+  }
+
   /** The NumSub codebooks collected into one literal column:
     * `array` (indexed by s+1) `of array<struct<code, cvec>>`. Codebooks
     * are index metadata (NumSub×NumCodes×SubDim floats — the thing a PQ
     * engine keeps in L1), never data.
     */
-  private def codebookLiteral(spark: SparkSession, dir: String) = {
+  private[graft] def codebookLiteral(spark: SparkSession, dir: String) = {
     val bySub = codebooks(spark, dir)
       .select(col("s"), col("code").cast("long"), col("cvec"))
       .collect()
@@ -64,13 +77,23 @@ object PqIndex {
   }
 
   /** PQ encoding: nearest codeword per subspace (argmin d², tiebreak
-    * code) → (vec_id, s, code). The codeword argmin is a per-row
-    * `array_min` over (d², code) structs against the literal codebook of
-    * subspace s — a map-side projection, no join, no window, no shuffle
-    * of the corpus (struct ordering ≡ the oracle's
-    * `row_number() OVER (ORDER BY d2, code) = 1`).
+    * code) → (vec_id, s, code). All NumSub codes are computed in ONE
+    * native pass over the row (AnnExprs.PqCodesExpr) and unrolled with
+    * `posexplode` — a map-side projection, no join, no window, no
+    * shuffle of the corpus. [[encodeHof]] is the per-subspace
+    * `array_min`-over-structs formulation that defines the semantics
+    * (≡ the oracle's `row_number() OVER (ORDER BY d2, code) = 1`);
+    * AnnParitySpec pins row-for-row equality.
     */
   def encode(spark: SparkSession, dir: String): DataFrame = {
+    val cb = codebookMeta(spark, dir)
+    Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .select(col("vec_id"),
+        posexplode(graft.functions.AnnExprs.pqCodes(col("embedding"), cb)).as(Seq("s", "code")))
+  }
+
+  /** HOF twin of [[encode]] (the numeric spec the oracle mirrors). */
+  private[graft] def encodeHof(spark: SparkSession, dir: String): DataFrame = {
     val cb = codebookLiteral(spark, dir)
     subvectors(spark, dir)
       .withColumn("best", array_min(transform(element_at(cb, col("s") + 1), c =>
@@ -87,11 +110,23 @@ object PqIndex {
     * NumSub×NumCodes longs. This is the table a PQ engine keeps in
     * registers during the scan.
     */
-  private def lutLiteral(spark: SparkSession, dir: String, q: DataFrame) = {
-    val rows = codebooks(spark, dir).crossJoin(broadcast(q))
+  private def lutRows(spark: SparkSession, dir: String, q: DataFrame) =
+    codebooks(spark, dir).crossJoin(broadcast(q))
       .select(col("s"), col("code").cast("long"),
         cents(dot(expr(s"slice(qvec, s * $SubDim + 1, $SubDim)"), col("cvec")), 1e9).as("e9"))
       .collect()
+
+  /** Per-query LUT as primitive longs [s][code] for the native fold. */
+  private def lutMeta(spark: SparkSession, dir: String, q: DataFrame): Array[Array[Long]] = {
+    val rows = lutRows(spark, dir, q)
+    Array.tabulate(NumSub) { s =>
+      val bySub = rows.filter(_.getInt(0) == s).map(r => r.getLong(1) -> r.getLong(2)).toMap
+      Array.tabulate(NumCodes)(c => bySub(c.toLong))
+    }
+  }
+
+  private[graft] def lutLiteral(spark: SparkSession, dir: String, q: DataFrame) = {
+    val rows = lutRows(spark, dir, q)
     array((0 until NumSub).map { s =>
       val bySub = rows.filter(_.getInt(0) == s).map(r => r.getLong(1) -> r.getLong(2)).toMap
       array((0 until NumCodes).map(c => lit(bySub(c.toLong))): _*)
@@ -99,13 +134,23 @@ object PqIndex {
   }
 
   /** (vec_id, embedding, approx_e9) in a single corpus scan: per row,
-    * each subspace picks its nearest codeword against the literal
-    * codebook and accumulates the literal LUT entry — encode + ADC
-    * scoring fused into one map-side projection. Zero joins, zero
-    * shuffles; the integer partial sums are order-free, so the result is
-    * bitwise the oracle's encode⋈lut⋈groupBy formulation.
+    * each subspace picks its nearest codeword and accumulates the LUT
+    * entry — encode + ADC scoring fused into ONE native loop
+    * (AnnExprs.PqAdcExpr; codebooks and LUT in registers). Zero joins,
+    * zero shuffles; the integer partial sums are order-free, so the
+    * result is bitwise the oracle's encode⋈lut⋈groupBy formulation.
+    * [[adcScoredHof]] is the interpreted-HOF twin defining the
+    * semantics; AnnParitySpec pins bitwise equality.
     */
   private def adcScored(spark: SparkSession, dir: String, q: DataFrame): DataFrame = {
+    val cb = codebookMeta(spark, dir)
+    val lut = lutMeta(spark, dir, q)
+    Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .withColumn("approx_e9", graft.functions.AnnExprs.pqAdc(col("embedding"), cb, lut))
+  }
+
+  /** HOF twin of [[adcScored]] (the numeric spec). */
+  private[graft] def adcScoredHof(spark: SparkSession, dir: String, q: DataFrame): DataFrame = {
     val cb = codebookLiteral(spark, dir)
     val lut = lutLiteral(spark, dir, q)
     val approxE9 = aggregate(sequence(lit(0), lit(NumSub - 1)), lit(0L), (acc, s) =>
@@ -164,10 +209,10 @@ object PqIndex {
       .orderBy(col("cd2").asc, col("cluster_id").asc)
       .limit(nprobe)
       .select("cluster_id")
-    val centsLit = IvfIndex.centroidLiteral(IvfIndex.centroids(spark, dir))
     val cand = adcScored(spark, dir, q)
       .withColumn("cluster_id",
-        IvfIndex.nearest(col("embedding"), centsLit).getField("cluster_id"))
+        IvfIndex.nearest(col("embedding"), IvfIndex.centroids(spark, dir))
+          .getField("cluster_id"))
       .join(broadcast(probed), "cluster_id")
       .select(col("cluster_id"), col("vec_id"), col("embedding"), col("approx_e9"))
       .orderBy(col("approx_e9").desc, col("vec_id").asc)
@@ -193,7 +238,9 @@ object PqIndex {
     val subs = broadcast((0 until NumSub).toDF("s"))
     Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 17 === 0 && col("vec_id") < NumCodes * 17)
-      .withColumn("best", IvfIndex.nearest(col("embedding"), centsLit))
+      // NumCodes sample rows — the HOF argmin is fine here and keeps
+      // this metadata derivation in the oracle-mirrored formulation
+      .withColumn("best", IvfIndex.nearestHof(col("embedding"), centsLit))
       .withColumn("cvec",
         element_at(filter(centsLit,
           c => c.getField("cluster_id") === col("best.cluster_id")), 1).getField("cvec"))
@@ -205,7 +252,19 @@ object PqIndex {
         expr(s"slice(rvec, s * $SubDim + 1, $SubDim)").as("rcvec"))
   }
 
-  private def residualCodebookLiteral(spark: SparkSession, dir: String) = {
+  /** Residual codebooks as primitive arrays [s][code][SubDim] (already
+    * double — residuals are computed in double).
+    */
+  private def residualCodebookMeta(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val rows = residualCodebooks(spark, dir)
+      .select(col("s"), col("code").cast("long"), col("rcvec")).collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    Array.tabulate(NumSub) { s =>
+      bySub(s).sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray)
+    }
+  }
+
+  private[graft] def residualCodebookLiteral(spark: SparkSession, dir: String) = {
     val bySub = residualCodebooks(spark, dir)
       .select(col("s"), col("code").cast("long"), col("rcvec"))
       .collect()
@@ -215,6 +274,69 @@ object PqIndex {
         struct(lit(r.getLong(1)).as("code"), lit(r.getSeq[Double](2).toArray).as("rcvec"))
       }.toIndexedSeq: _*)
     }: _*)
+  }
+
+  /** Per-query residual LUT rows (s, code, e9), integerized before
+    * collection — shared by the native meta and the HOF literal.
+    */
+  private def residualLutRows(spark: SparkSession, dir: String, q: DataFrame) =
+    residualCodebooks(spark, dir).crossJoin(broadcast(q))
+      .select(col("s"), col("code").cast("long"),
+        cents(dot(expr(s"slice(qvec, s * $SubDim + 1, $SubDim)"), col("rcvec")), 1e9).as("e9"))
+      .collect()
+
+  /** (vec_id, embedding, cluster_id, res_e9) in ONE native corpus scan:
+    * cluster assignment, residual computation and residual-codeword
+    * argmin + LUT accumulation fused into a single tight loop per row
+    * (AnnExprs.ResidualAdcExpr) — the residual vector is never
+    * materialized. [[residualScoredHof]] defines the semantics;
+    * AnnParitySpec pins bitwise equality.
+    */
+  private def residualScored(spark: SparkSession, dir: String, q: DataFrame): DataFrame = {
+    val (ids, cvecs) = IvfIndex.centroidMeta(IvfIndex.centroids(spark, dir))
+    val rcb = residualCodebookMeta(spark, dir)
+    val rows = residualLutRows(spark, dir, q)
+    val lut = Array.tabulate(NumSub) { s =>
+      val bySub = rows.filter(_.getInt(0) == s).map(r => r.getLong(1) -> r.getLong(2)).toMap
+      Array.tabulate(NumCodes)(c => bySub(c.toLong))
+    }
+    Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .withColumn("ra",
+        graft.functions.AnnExprs.residualAdc(col("embedding"), ids, cvecs, rcb, lut))
+      .select(col("vec_id"), col("embedding"),
+        col("ra.cluster_id").as("cluster_id"), col("ra.res_e9").as("res_e9"))
+  }
+
+  /** HOF twin of [[residualScored]] (the numeric spec the oracle
+    * mirrors): literal-array argmins, `zip_with` residual, interpreted
+    * `aggregate` fold.
+    */
+  private[graft] def residualScoredHof(spark: SparkSession, dir: String,
+      q: DataFrame): DataFrame = {
+    val centsLit = IvfIndex.centroidLiteral(IvfIndex.centroids(spark, dir))
+    val rcbLit = residualCodebookLiteral(spark, dir)
+    val lutRows = residualLutRows(spark, dir, q)
+    val lut = array((0 until NumSub).map { s =>
+      val bySub = lutRows.filter(_.getInt(0) == s).map(r => r.getLong(1) -> r.getLong(2)).toMap
+      array((0 until NumCodes).map(c => lit(bySub(c.toLong))): _*)
+    }: _*)
+    val best = IvfIndex.nearestHof(col("embedding"), centsLit)
+    val resE9 = aggregate(sequence(lit(0), lit(NumSub - 1)), lit(0L), (acc, s) =>
+      acc + element_at(element_at(lut, s + 1),
+        array_min(transform(element_at(rcbLit, s + 1), c =>
+          struct(dist2(slice(col("rvec"), s * SubDim + 1, lit(SubDim)),
+            c.getField("rcvec")).as("d2"),
+            c.getField("code").as("code"))))
+          .getField("code").cast("int") + 1))
+    Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .withColumn("cluster_id", best.getField("cluster_id"))
+      .withColumn("cvec",
+        element_at(filter(centsLit,
+          c => c.getField("cluster_id") === col("cluster_id")), 1).getField("cvec"))
+      .withColumn("rvec", zip_with(col("embedding"), col("cvec"),
+        (a, b) => a.cast("double") - b.cast("double")))
+      .withColumn("res_e9", resE9)
+      .select(col("vec_id"), col("embedding"), col("cluster_id"), col("res_e9"))
   }
 
   /** Residual IVF+PQ search — the faithful Faiss-IVFPQ layout: vectors
@@ -230,39 +352,13 @@ object PqIndex {
       candidates: Int = 50, k: Int = 10): DataFrame = {
     val q = queryVec(spark, dir)
     val cents0 = IvfIndex.centroids(spark, dir)
-    val centsLit = IvfIndex.centroidLiteral(cents0)
-    val rcbLit = residualCodebookLiteral(spark, dir)
-    // per-query LUT over residual codewords, integerized before collection
-    val lutRows = residualCodebooks(spark, dir).crossJoin(broadcast(q))
-      .select(col("s"), col("code").cast("long"),
-        cents(dot(expr(s"slice(qvec, s * $SubDim + 1, $SubDim)"), col("rcvec")), 1e9).as("e9"))
-      .collect()
-    val lut = array((0 until NumSub).map { s =>
-      val bySub = lutRows.filter(_.getInt(0) == s).map(r => r.getLong(1) -> r.getLong(2)).toMap
-      array((0 until NumCodes).map(c => lit(bySub(c.toLong))): _*)
-    }: _*)
     val probed = cents0.crossJoin(broadcast(q))
       .withColumn("cd2", dist2(col("cvec"), col("qvec")))
       .orderBy(col("cd2").asc, col("cluster_id").asc)
       .limit(nprobe).select("cluster_id")
     val constDf = cents0.crossJoin(broadcast(q))
       .select(col("cluster_id"), cents(dot(col("cvec"), col("qvec")), 1e9).as("const_e9"))
-    val best = IvfIndex.nearest(col("embedding"), centsLit)
-    val resE9 = aggregate(sequence(lit(0), lit(NumSub - 1)), lit(0L), (acc, s) =>
-      acc + element_at(element_at(lut, s + 1),
-        array_min(transform(element_at(rcbLit, s + 1), c =>
-          struct(dist2(slice(col("rvec"), s * SubDim + 1, lit(SubDim)),
-            c.getField("rcvec")).as("d2"),
-            c.getField("code").as("code"))))
-          .getField("code").cast("int") + 1))
-    val cand = Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
-      .withColumn("cluster_id", best.getField("cluster_id"))
-      .withColumn("cvec",
-        element_at(filter(centsLit,
-          c => c.getField("cluster_id") === col("cluster_id")), 1).getField("cvec"))
-      .withColumn("rvec", zip_with(col("embedding"), col("cvec"),
-        (a, b) => a.cast("double") - b.cast("double")))
-      .withColumn("res_e9", resE9)
+    val cand = residualScored(spark, dir, q)
       .join(broadcast(probed), "cluster_id")
       .join(broadcast(constDf), "cluster_id")
       .withColumn("approx_e9", col("const_e9") + col("res_e9"))

@@ -32,7 +32,7 @@ object IndexStream {
   def assignWithIndexCentroids(spark: SparkSession, indexPath: String,
       vecs: DataFrame): DataFrame = {
     val cents = spark.read.parquet(s"$indexPath/centroids")
-    val best = IvfIndex.nearest(col("embedding"), IvfIndex.centroidLiteral(cents))
+    val best = IvfIndex.nearest(col("embedding"), cents)
     vecs.select(col("vec_id"), col("embedding"))
       .withColumn("cluster_id", best.getField("cluster_id"))
   }
