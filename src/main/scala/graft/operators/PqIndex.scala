@@ -373,6 +373,84 @@ object PqIndex {
         r6(col("approx_e9") / 1e9).as("approx_score"), r6(col("exact")).as("score"))
   }
 
+  /** Persist the PQ index — the 100 TB serving layout (Faiss IVFPQ on
+    * parquet): one row per vector with its IVF cluster as the PARTITION
+    * column and its NumSub PQ codes as flat int columns
+    * (`code_0..code_{NumSub-1}`), the embedding alongside for rerank
+    * fetch. A query then (a) prunes to nprobe cluster partitions
+    * (PartitionFilters), (b) scans ONLY vec_id + the code columns for
+    * candidate generation — column pruning drops the embedding, so
+    * stage one reads NumSub smallints per vector instead of dim floats
+    * (the 16–64× I/O cut that makes PQ an index rather than a codec) —
+    * and (c) fetches full vectors for `candidates` rows only. Codebooks
+    * and centroids are stored alongside (index metadata, read once per
+    * query). PqIndexedSpec proves result parity with the in-memory
+    * fused paths and pins both prunings in the plan.
+    */
+  def writeIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val cb = codebookMeta(spark, dir)
+    val codes = graft.functions.AnnExprs.pqCodes(col("embedding"), cb)
+    val best = IvfIndex.nearest(col("embedding"), IvfIndex.centroids(spark, dir))
+    val codeCols = (0 until NumSub).map(s =>
+      element_at(col("codes"), s + 1).cast("int").as(s"code_$s"))
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .withColumn("cluster_id", best.getField("cluster_id"))
+      .withColumn("codes", codes)
+      .select(col("vec_id") +: col("embedding") +: col("cluster_id") +: codeCols: _*)
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$indexPath/vectors")
+    codebooks(spark, dir).write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    IvfIndex.centroids(spark, dir).write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
+  /** Search the persisted index: rank the stored centroids against the
+    * query (nprobe probe list — collected index metadata), build the
+    * per-query LUT from the stored codebooks with the same integerized
+    * fold the build used, then score candidates off the CODE COLUMNS
+    * alone — `approx_e9 = Σ_s lut_s[code_s]`, a literal-array
+    * `element_at` per subspace, fully codegen'd — and rerank only the
+    * top `candidates` with exact dot products fetched by vec_id from
+    * the probed partitions. Same output shape and ordering contract as
+    * [[searchIvfPq]].
+    */
+  def searchIndex(spark: SparkSession, indexPath: String, query: DataFrame,
+      nprobe: Int = 3, candidates: Int = 50, k: Int = 10): DataFrame = {
+    val probed = spark.read.parquet(s"$indexPath/centroids").crossJoin(broadcast(query))
+      .withColumn("cd2", dist2(col("cvec"), col("qvec")))
+      .orderBy(col("cd2").asc, col("cluster_id").asc)
+      .limit(nprobe)
+      .select("cluster_id")
+      .collect().map(_.getLong(0)) // index metadata, O(nprobe)
+    val lutRows = spark.read.parquet(s"$indexPath/codebooks").crossJoin(broadcast(query))
+      .select(col("s"), col("code").cast("long"),
+        cents(dot(expr(s"slice(qvec, s * $SubDim + 1, $SubDim)"), col("cvec")), 1e9).as("e9"))
+      .collect()
+    val lutLit = (0 until NumSub).map { s =>
+      val bySub = lutRows.filter(_.getInt(0) == s).map(r => r.getLong(1) -> r.getLong(2)).toMap
+      array((0 until NumCodes).map(c => lit(bySub(c.toLong))): _*)
+    }
+    val vectors = spark.read.parquet(s"$indexPath/vectors")
+      .withColumn("cluster_id", col("cluster_id").cast("long"))
+      .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
+    val approxE9 = (0 until NumSub).map(s =>
+      element_at(lutLit(s), col(s"code_$s") + 1)).reduce(_ + _)
+    val cand = vectors
+      .select(col("vec_id") +: col("cluster_id") +:
+        (0 until NumSub).map(s => col(s"code_$s")): _*)
+      .withColumn("approx_e9", approxE9)
+      .orderBy(col("approx_e9").desc, col("vec_id").asc)
+      .limit(candidates)
+      .select("vec_id", "cluster_id", "approx_e9")
+    broadcast(cand)
+      .join(vectors.select("vec_id", "embedding"), "vec_id")
+      .crossJoin(broadcast(query))
+      .withColumn("exact", dot(col("embedding"), col("qvec")))
+      .orderBy(col("exact").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("cluster_id"), col("vec_id"),
+        r6(col("approx_e9") / 1e9).as("approx_score"), r6(col("exact")).as("score"))
+  }
+
   /** Asymmetric-distance scoring against query vec 0: the approximate
     * dot product is Σ_s dot(q_s, codeword(s, code_s)), reported next to
     * the exact score and the absolute quantization error — both computed
