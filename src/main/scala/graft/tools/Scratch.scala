@@ -66,6 +66,16 @@ object Scratch {
           graft.functions.TextFunctions.tokens(col("text"))).as("e"))
         .agg(sum(col("e"))).collect()),
       "pagerank" -> (() => graft.operators.GraphOps.pagerank(spark, sfDir).count()),
+      // persisted-PQ serving vs the fused in-memory path (same query)
+      "pq_build" -> (() => graft.operators.PqIndex.writeIndex(spark, sfDir,
+        s"/tmp/graft_pq_idx_${sfDir.replaceAll("[^a-z0-9.]", "_")}")),
+      "pq_mem" -> (() => graft.operators.PqIndex.searchIvfPq(spark, sfDir).count()),
+      "pq_disk" -> { () =>
+        val p = s"/tmp/graft_pq_idx_${sfDir.replaceAll("[^a-z0-9.]", "_")}"
+        val q = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"))
+        graft.operators.PqIndex.searchIndex(spark, p, q).count()
+      },
       // copy of Dedup.components with per-phase timing + round count
       "comp_diag" -> { () =>
         val t0 = System.nanoTime()
