@@ -414,7 +414,8 @@ object PqIndex {
     * [[searchIvfPq]].
     */
   def searchIndex(spark: SparkSession, indexPath: String, query: DataFrame,
-      nprobe: Int = 3, candidates: Int = 50, k: Int = 10): DataFrame = {
+      nprobe: Int = 3, candidates: Int = 50, k: Int = 10,
+      roundScore: Boolean = true): DataFrame = {
     val probed = spark.read.parquet(s"$indexPath/centroids").crossJoin(broadcast(query))
       .withColumn("cd2", dist2(col("cvec"), col("qvec")))
       .orderBy(col("cd2").asc, col("cluster_id").asc)
@@ -447,8 +448,11 @@ object PqIndex {
       .withColumn("exact", dot(col("embedding"), col("qvec")))
       .orderBy(col("exact").desc, col("vec_id").asc)
       .limit(k)
+      // roundScore=false keeps full precision so SearchApi.searchQuantized
+      // is bit-identical to the brute-force path at nprobe=all
       .select(col("cluster_id"), col("vec_id"),
-        r6(col("approx_e9") / 1e9).as("approx_score"), r6(col("exact")).as("score"))
+        r6(col("approx_e9") / 1e9).as("approx_score"),
+        (if (roundScore) r6(col("exact")) else col("exact")).as("score"))
   }
 
   /** Asymmetric-distance scoring against query vec 0: the approximate

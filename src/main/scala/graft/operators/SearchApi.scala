@@ -122,6 +122,43 @@ object SearchApi {
       .select("doc_id", "score", "logit", "prob", "label", "rerank_rank", "lang", "text")
   }
 
+  /** Quantized serving — [[searchIndexed]]'s PQ sibling (the
+    * reference's Qdrant-with-quantization mode): retrieval runs over
+    * the persisted PQ index ([[PqIndex.writeIndex]]), so stage one
+    * reads ONLY the byte codes of the nprobe probed cluster partitions
+    * (both prunings pinned by PqIndexedSpec) and exact dot products are
+    * computed for `candidates` rows before the usual rerank → prob →
+    * label → filter pipeline. With every cluster probed and a
+    * candidate pool covering the corpus this is bit-identical to the
+    * brute-force [[search]] (spec-proven); production trades recall
+    * for the codes-only scan by tightening nprobe/candidates.
+    */
+  def searchQuantized(spark: SparkSession, dir: String, indexPath: String,
+      queryText: String, nprobe: Int = 3, candidates: Int = 50,
+      retrieveK: Int = 20, minLogit: Option[Double] = None,
+      lang: Option[String] = None,
+      encoder: TextEncoder = defaultEncoder,
+      scorer: CrossScorer = defaultScorer): DataFrame = {
+    val q = encoder.encodeQuery(spark, queryText)
+    val top = PqIndex.searchIndex(spark, indexPath, q, nprobe, candidates,
+        k = retrieveK, roundScore = false)
+      .select(col("vec_id"), col("score"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val reranked = scorer.score(
+        top.join(docs, top("vec_id") === docs("doc_id")), queryText, "logit")
+      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
+      .withColumn("label", KnnSearch.relevanceLabel(col("logit")))
+    val filtered = Seq(
+      minLogit.map(m => col("logit") >= m),
+      lang.map(l => col("lang") === l),
+    ).flatten.foldLeft(reranked)((df, p) => df.filter(p))
+    filtered
+      .withColumn("rerank_rank",
+        row_number().over(graft.functions.VectorFunctions.boundedWindow(col("logit").desc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "score", "logit", "prob", "label", "rerank_rank", "lang", "text")
+  }
+
   /** Diversified search: encode the query text, retrieve a candidate
     * pool, then apply maximal-marginal-relevance selection so the k
     * results cover distinct regions of the embedding space instead of

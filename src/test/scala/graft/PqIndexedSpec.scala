@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{IvfIndex, PqIndex}
+import graft.operators.{IvfIndex, PqIndex, SearchApi}
 
 /** The persisted PQ index (PqIndex.writeIndex/searchIndex — cluster
   * partitions + flat code columns) must reproduce the in-memory fused
@@ -59,6 +59,40 @@ class PqIndexedSpec extends AnyFunSuite {
     assert(codeScan.isDefined,
       s"no codes-only scan (column pruning lost):\n${scans.mkString("\n---\n")}")
     scans.foreach(s => assert(s.contains("PartitionFilters: [cluster_id"), s))
+  }
+
+  test("quantized serving == brute-force search when nothing is pruned") {
+    val n = Tables.embeddings(spark, Sf).count().toInt
+    val brute = SearchApi.search(spark, Sf, "vector search data pipelines")
+      .collect().toSeq
+    val quant = SearchApi.searchQuantized(spark, Sf, indexPath,
+      "vector search data pipelines", nprobe = nClusters, candidates = n)
+      .collect().toSeq
+    assert(brute.nonEmpty)
+    assert(quant === brute)
+  }
+
+  test("quantized serving composes with filters and both model seams") {
+    val n = Tables.embeddings(spark, Sf).count().toInt
+    val a = SearchApi.searchQuantized(spark, Sf, indexPath, "distributed joins",
+      nprobe = nClusters, candidates = n, minLogit = Some(-5.0), lang = Some("en"),
+      encoder = new graft.operators.BatchedEncoder(batchSize = 3),
+      scorer = new graft.operators.BatchedScorer(batchSize = 3)).collect().toSeq
+    val b = SearchApi.search(spark, Sf, "distributed joins",
+      minLogit = Some(-5.0), lang = Some("en")).collect().toSeq
+    assert(a === b)
+  }
+
+  test("tight nprobe/candidates returns real docs with exact brute-force scores") {
+    val brute = SearchApi.search(spark, Sf, "vector search data pipelines",
+      retrieveK = 50).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val narrow = SearchApi.searchQuantized(spark, Sf, indexPath,
+      "vector search data pipelines", nprobe = 2, candidates = 30).collect()
+    assert(narrow.nonEmpty)
+    narrow.foreach { r =>
+      val (id, score) = (r.getLong(0), r.getDouble(1))
+      assert(brute.get(id).forall(_ == score))
+    }
   }
 
   test("index layout: cluster partitions on disk, codes dense and in range") {
