@@ -189,13 +189,26 @@ object IvfIndex {
       .select(col("cluster_id"), col("n"), col("action"))
   }
 
-  /** One integerized Lloyd step: per-(cluster, dim) means computed from
-    * per-row integerized sums (order-independent — the oracle's serial
-    * sum and Spark's partial-agg tree agree bitwise), reassembled into
-    * double centroid vectors. The k-means update as pure relational ops.
+  /** Per-cluster mean vectors of (cluster_id, embedding) rows in ONE
+    * aggregation pass (VecAgg.vecSumE9 — the k-means update step
+    * without posexplode's dim× row fan-out): per-dim integerized sums
+    * and counts fold row-local into long[dim] buffers, merge
+    * elementwise, and divide once per cluster. Bitwise the exploded
+    * twin [[meanVectorsExploded]] — order-independent long sums,
+    * identical division — pinned by AnnParitySpec.
     */
-  def refinedCentroids(spark: SparkSession, dir: String): DataFrame =
-    assignedEmbeddings(spark, dir)
+  private[graft] def meanVectors(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cluster_id"))
+      .agg(graft.functions.VecAgg.vecSumE9(col("embedding")).as("sc"))
+      .select(col("cluster_id"),
+        zip_with(col("sc._1"), col("sc._2"),
+          (s, n) => s / (lit(1e9) * n)).as("cvec"))
+
+  /** The posexplode formulation — the numeric spec the oracle mirrors
+    * (per-(cluster, pos) integerized sums, reassembled by sorted pos).
+    */
+  private[graft] def meanVectorsExploded(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cluster_id"), col("pos"))
       .agg(sum(cents(col("v").cast("double"), 1e9)).as("s"), count(lit(1)).as("n"))
@@ -203,6 +216,14 @@ object IvfIndex {
       .groupBy(col("cluster_id"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("cvec"))
+
+  /** One integerized Lloyd step: per-(cluster, dim) means computed from
+    * per-row integerized sums (order-independent — the oracle's serial
+    * sum and Spark's partial-agg tree agree bitwise), as double centroid
+    * vectors. The k-means update as one aggregation.
+    */
+  def refinedCentroids(spark: SparkSession, dir: String): DataFrame =
+    meanVectors(assignedEmbeddings(spark, dir))
 
   /** Oracle-checked k-means path (`vs_ivf_kmeans`): refine the seed
     * centroids with one integerized Lloyd step, re-assign the corpus
@@ -239,13 +260,12 @@ object IvfIndex {
         .select(col("vec_id"), col("best.cluster_id").as("cluster_id"),
           col("embedding"), col("best.d2").as("d2"))
       objectives += assigned.agg(sum(col("d2"))).head().getDouble(0)
-      val means = assigned
-        .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cluster_id"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("m"))
-        .groupBy(col("cluster_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cvec"))
+      // integerized means (meanVectors) rather than avg-of-doubles:
+      // same one-pass update as refinedCentroids, and deterministic
+      // under any partitioning (a double avg's partial-sum order is
+      // not); the ~1e-9 shift is far below assignment resolution and
+      // Lloyd's monotonic descent is unaffected (spec asserts)
+      val means = meanVectors(assigned.select(col("cluster_id"), col("embedding")))
       // k×dim doubles — index metadata; collect to keep lineage flat
       val rows = means.collect().map(r =>
         (r.getLong(0), r.getSeq[Double](1)))

@@ -259,6 +259,51 @@ class AnnParitySpec extends AnyFunSuite {
 
   private def cents2(c: org.apache.spark.sql.Column) = cents(c, 1e9)
 
+  // ---- vector-sum aggregator (VecAggParity) -----------------------------
+
+  test("meanVectors == posexplode twin on the corpus, bitwise") {
+    val assigned = IvfIndex.assignedEmbeddings(spark, Sf)
+      .select(col("cluster_id"), col("embedding"))
+    val a = IvfIndex.meanVectors(assigned).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = IvfIndex.meanVectorsExploded(assigned).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a.nonEmpty && a.keySet === b.keySet)
+    a.foreach { case (cl, va) =>
+      val vb = b(cl)
+      assert(va.length === vb.length, s"cluster $cl dims")
+      va.indices.foreach(i =>
+        assert(java.lang.Double.doubleToLongBits(va(i)) ===
+          java.lang.Double.doubleToLongBits(vb(i)), s"cluster $cl dim $i"))
+    }
+  }
+
+  test("meanVectors == posexplode twin on ragged and null-bearing groups") {
+    val rows = Seq(
+      Row(1L, Seq[Any](1.0f, 2.0f, 3.0f)),
+      Row(1L, Seq[Any](0.5f, null)),     // ragged + null element
+      Row(2L, Seq[Any](2.0f)),
+      Row(3L, Seq[Any](null, 4.0f)),     // null at dim 0
+      Row(3L, Seq[Any](1.0f)),           // shorter row
+      Row(3L, null),                     // whole-row NULL: contributes nothing
+    )
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("cluster_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = true), nullable = true))))
+    val a = IvfIndex.meanVectors(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = IvfIndex.meanVectorsExploded(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (cl, va) => assert(va === b(cl), s"cluster $cl") }
+    // spot math: cluster 3 dim 0 averages over BOTH rows bearing the dim
+    // (the null element counts toward n, contributes 0 to the sum)
+    assert(a(3L) === Seq(0.5, 4.0))
+    assert(a(1L) === Seq(0.75, 1.0, 3.0))
+  }
+
   // ---- seeded random parity ---------------------------------------------
 
   test("seeded random vectors: all three natives == HOF") {
