@@ -50,13 +50,35 @@ object PqIndex {
     * native ADC expression (floats widened to double — exact, the HOF
     * fold casts per element). Index metadata, never data.
     */
-  private def codebookMeta(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
-    val rows = codebooks(spark, dir)
-      .select(col("s"), col("code").cast("long"), col("cvec")).collect()
+  private def codebookMeta(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    codebookMetaOf(codebooks(spark, dir))
+
+  /** Same, from an arbitrary (s, code, cvec) codebook table — e.g. the
+    * one persisted under an index path (IndexStream.appendToPqIndex).
+    */
+  private[graft] def codebookMetaOf(cbDf: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = cbDf.select(col("s"), col("code").cast("long"), col("cvec")).collect()
     val bySub = rows.groupBy(_.getInt(0))
-    Array.tabulate(NumSub) { s =>
+    Array.tabulate(bySub.size) { s =>
       bySub(s).sortBy(_.getLong(1)).map(_.getSeq[Float](2).map(_.toDouble).toArray)
     }
+  }
+
+  /** The persisted-layout projection — (vec_id, embedding, cluster_id,
+    * code_0..code_{NumSub-1}) — for a (vec_id, embedding) frame against
+    * explicit index metadata; shared by the batch build and the
+    * streaming append so both write byte-identical rows.
+    */
+  private[graft] def indexRows(vecs: DataFrame, cents: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val best = IvfIndex.nearest(col("embedding"), cents)
+    val codes = graft.functions.AnnExprs.pqCodes(col("embedding"), cb)
+    val codeCols = (0 until NumSub).map(s =>
+      element_at(col("codes"), s + 1).cast("int").as(s"code_$s"))
+    vecs.select(col("vec_id"), col("embedding"))
+      .withColumn("cluster_id", best.getField("cluster_id"))
+      .withColumn("codes", codes)
+      .select(col("vec_id") +: col("embedding") +: col("cluster_id") +: codeCols: _*)
   }
 
   /** The NumSub codebooks collected into one literal column:
@@ -388,15 +410,8 @@ object PqIndex {
     * fused paths and pins both prunings in the plan.
     */
   def writeIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
-    val cb = codebookMeta(spark, dir)
-    val codes = graft.functions.AnnExprs.pqCodes(col("embedding"), cb)
-    val best = IvfIndex.nearest(col("embedding"), IvfIndex.centroids(spark, dir))
-    val codeCols = (0 until NumSub).map(s =>
-      element_at(col("codes"), s + 1).cast("int").as(s"code_$s"))
-    Tables.embeddings(spark, dir).select("vec_id", "embedding")
-      .withColumn("cluster_id", best.getField("cluster_id"))
-      .withColumn("codes", codes)
-      .select(col("vec_id") +: col("embedding") +: col("cluster_id") +: codeCols: _*)
+    indexRows(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+        IvfIndex.centroids(spark, dir), codebookMeta(spark, dir))
       .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$indexPath/vectors")
     codebooks(spark, dir).write.mode("overwrite").parquet(s"$indexPath/codebooks")

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.operators.IvfIndex
+import graft.operators.{IvfIndex, PqIndex}
 
 /** Streaming maintenance of the persisted IVF index: newly-ingested
   * embeddings are assigned to their cluster map-side (the same
@@ -45,6 +45,35 @@ object IndexStream {
   def appendToIndex(spark: SparkSession, indexPath: String,
       newVecs: DataFrame, checkpoint: String): StreamingQuery =
     assignWithIndexCentroids(spark, indexPath, newVecs)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$indexPath/vectors")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cluster_id")
+      .outputMode("append")
+      .start()
+
+  /** PQ twin of [[assignWithIndexCentroids]]: cluster assignment AND
+    * byte codes computed from the metadata persisted under the PQ
+    * index path (PqIndex.writeIndex), so streamed rows are
+    * byte-identical to batch-built ones (shared projection —
+    * PqIndex.indexRows). Centroids and codebooks are fixed between
+    * re-trainings, exactly like the IVF path.
+    */
+  def assignWithPqIndexMeta(spark: SparkSession, indexPath: String,
+      vecs: DataFrame): DataFrame =
+    PqIndex.indexRows(vecs,
+      spark.read.parquet(s"$indexPath/centroids"),
+      PqIndex.codebookMetaOf(spark.read.parquet(s"$indexPath/codebooks")))
+
+  /** Continuously append a stream of new embeddings into the persisted
+    * PQ index — the quantized store stays serveable (codes-only
+    * candidate scans, partition pruning) while it grows; exactly-once
+    * per source file via the checkpoint, like [[appendToIndex]].
+    */
+  def appendToPqIndex(spark: SparkSession, indexPath: String,
+      newVecs: DataFrame, checkpoint: String): StreamingQuery =
+    assignWithPqIndexMeta(spark, indexPath, newVecs)
       .writeStream
       .format("parquet")
       .option("path", s"$indexPath/vectors")

@@ -61,6 +61,49 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters"), scan)
   }
 
+  test("stream-appended PQ index serves identically to the batch-built one") {
+    import graft.operators.PqIndex
+    val fullIdx = tmp("graft-pqidx-full")
+    val liveIdx = tmp("graft-pqidx-live")
+    val staging = tmp("graft-pqidx-staging")
+    val ckpt = tmp("graft-pqidx-ckpt")
+
+    PqIndex.writeIndex(spark, Sf, fullIdx)
+    // live index: same metadata (quantizer + codebooks are fixed
+    // between re-trainings), vectors arriving in two streamed waves
+    spark.read.parquet(s"$fullIdx/centroids").write.parquet(s"$liveIdx/centroids")
+    spark.read.parquet(s"$fullIdx/codebooks").write.parquet(s"$liveIdx/codebooks")
+
+    val vecs = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    vecs.filter(col("vec_id") % 2 === 0).write.parquet(s"$staging/wave1")
+    val stream = spark.readStream
+      .schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/wave*")
+    val q = IndexStream.appendToPqIndex(spark, liveIdx, stream, ckpt)
+    try {
+      q.processAllAvailable()
+      vecs.filter(col("vec_id") % 2 === 1).write.parquet(s"$staging/wave2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // streamed rows are byte-identical to batch-built ones: same codes,
+    // same clusters, for every vector
+    val live = spark.read.parquet(s"$liveIdx/vectors")
+    val full = spark.read.parquet(s"$fullIdx/vectors")
+    assert(live.count() === full.count())
+    assert(live.select("vec_id", "cluster_id", "code_0", "code_1", "code_2", "code_3")
+      .exceptAll(full.select("vec_id", "cluster_id", "code_0", "code_1", "code_2", "code_3"))
+      .count() === 0L)
+
+    // and the quantized serving path answers identically over it
+    val query = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val a = PqIndex.searchIndex(spark, liveIdx, query, nprobe = 3).collect()
+    val b = PqIndex.searchIndex(spark, fullIdx, query, nprobe = 3).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+  }
+
   test("re-delivered micro-batch files do not duplicate index rows") {
     val idx = tmp("graft-idx-redeliver")
     val staging = tmp("graft-idx-stage2")
