@@ -81,4 +81,21 @@ object IndexStream {
       .partitionBy("cluster_id")
       .outputMode("append")
       .start()
+
+  /** LSH twin: the hyperplanes are derived deterministically (no
+    * persisted metadata to read), so streamed vectors bucket exactly
+    * like batch-built ones by construction — completing streaming
+    * append across all three persisted index families (IVF, PQ, LSH).
+    */
+  def appendToLshIndex(spark: SparkSession, indexPath: String,
+      newVecs: DataFrame, checkpoint: String): StreamingQuery =
+    newVecs.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", graft.operators.LshAnn.bucketOf(col("embedding")))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$indexPath/vectors")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("bucket")
+      .outputMode("append")
+      .start()
 }

@@ -104,6 +104,38 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
   }
 
+  test("stream-appended LSH index serves identically to the batch-built one") {
+    import graft.operators.LshAnn
+    val fullIdx = tmp("graft-lshidx-full")
+    val liveIdx = tmp("graft-lshidx-live")
+    val staging = tmp("graft-lshidx-staging")
+    val ckpt = tmp("graft-lshidx-ckpt")
+
+    LshAnn.writeIndex(spark, Sf, fullIdx)
+    val vecs = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    vecs.filter(col("vec_id") % 2 === 0).write.parquet(s"$staging/wave1")
+    vecs.filter(col("vec_id") % 2 === 1).write.parquet(s"$staging/wave2")
+    val stream = spark.readStream
+      .schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/wave*")
+    val q = IndexStream.appendToLshIndex(spark, liveIdx, stream, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val live = spark.read.parquet(s"$liveIdx/vectors")
+    val full = spark.read.parquet(s"$fullIdx/vectors")
+    assert(live.count() === full.count())
+    assert(live.select("vec_id", "bucket")
+      .exceptAll(full.select("vec_id", "bucket")).count() === 0L)
+
+    val query = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val a = LshAnn.searchIndex(spark, liveIdx, query, k = 5, probes = 2).collect()
+    val b = LshAnn.searchIndex(spark, fullIdx, query, k = 5, probes = 2).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+  }
+
   test("re-delivered micro-batch files do not duplicate index rows") {
     val idx = tmp("graft-idx-redeliver")
     val staging = tmp("graft-idx-stage2")
