@@ -81,13 +81,18 @@ object AnnExprs {
   /** Argmin_{c} Σ_j (w[off+j] − cb(c)(j))², tiebreak smaller index;
     * codewords are dense (index == code). Returns 0 when the window is
     * invalid (every d² NULL → min struct is (NULL, code 0)).
+    *
+    * Comparison is `java.lang.Double.compare` — Spark's total ordering
+    * (NaN == NaN, NaN after +Inf) — seeded from codeword 0, so a NaN
+    * embedding element reproduces the HOF `array_min` exactly instead
+    * of silently keeping the seed (ADVICE r7).
     */
   private def argminCode(emb: ArrayData, isF: Boolean, off: Int,
       cb: Array[Array[Double]]): Int = {
     val len = cb(0).length
     if (!windowValid(emb, off, len)) return 0
     var best = 0
-    var bestD2 = Double.PositiveInfinity
+    var bestD2 = 0.0
     var c = 0
     while (c < cb.length) {
       val cw = cb(c)
@@ -98,7 +103,7 @@ object AnnExprs {
         d2 += d * d
         j += 1
       }
-      if (d2 < bestD2) { bestD2 = d2; best = c }
+      if (c == 0 || java.lang.Double.compare(d2, bestD2) < 0) { bestD2 = d2; best = c }
       c += 1
     }
     best
@@ -131,8 +136,12 @@ object AnnExprs {
       val emb = v.asInstanceOf[ArrayData]
       if (!windowValid(emb, 0, dim) || emb.numElements() != dim)
         return new GenericInternalRow(Array[Any](null, minId))
-      var bestD2 = Double.PositiveInfinity
-      var bestId = Long.MaxValue
+      // total-ordering argmin (java.lang.Double.compare: NaN == NaN,
+      // NaN after +Inf), seeded from centroid 0 — a NaN element makes
+      // every d² NaN and the result is (NaN, min id), exactly the HOF
+      // array_min under Spark's ordering (ADVICE r7)
+      var bestD2 = 0.0
+      var bestId = 0L
       var k = 0
       while (k < cents.length) {
         val cw = cents(k)
@@ -143,7 +152,8 @@ object AnnExprs {
           d2 += d * d
           j += 1
         }
-        if (d2 < bestD2 || (d2 == bestD2 && ids(k) < bestId)) {
+        val cmp = if (k == 0) -1 else java.lang.Double.compare(d2, bestD2)
+        if (cmp < 0 || (cmp == 0 && ids(k) < bestId)) {
           bestD2 = d2; bestId = ids(k)
         }
         k += 1
@@ -243,8 +253,11 @@ object AnnExprs {
       var clusterId = ids.min
       var cvec = byId(0)._2
       if (valid) {
-        var bestD2 = Double.PositiveInfinity
-        var bestId = Long.MaxValue
+        // same total-ordering argmin as NearestCentroidExpr: a NaN
+        // element assigns the min-id centroid (and its cvec for the
+        // residual fold), matching the HOF twin (ADVICE r7)
+        var bestD2 = 0.0
+        var bestId = 0L
         var bestK = 0
         var k = 0
         while (k < cents.length) {
@@ -256,7 +269,8 @@ object AnnExprs {
             d2 += d * d
             j += 1
           }
-          if (d2 < bestD2 || (d2 == bestD2 && ids(k) < bestId)) {
+          val cmp = if (k == 0) -1 else java.lang.Double.compare(d2, bestD2)
+          if (cmp < 0 || (cmp == 0 && ids(k) < bestId)) {
             bestD2 = d2; bestId = ids(k); bestK = k
           }
           k += 1
@@ -277,7 +291,7 @@ object AnnExprs {
         if (off + subDim <= usable && windowValid(emb, off, subDim)) {
           val sub = rcb(s)
           var best = 0
-          var bestD2 = Double.PositiveInfinity
+          var bestD2 = 0.0
           var c = 0
           while (c < sub.length) {
             val cw = sub(c)
@@ -288,7 +302,7 @@ object AnnExprs {
               d2 += d * d
               j += 1
             }
-            if (d2 < bestD2) { bestD2 = d2; best = c }
+            if (c == 0 || java.lang.Double.compare(d2, bestD2) < 0) { bestD2 = d2; best = c }
             c += 1
           }
           code = best

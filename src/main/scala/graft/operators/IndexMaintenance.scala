@@ -1,48 +1,131 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Small-file compaction for the persisted index layouts — the
-  * operational complement of streaming append (IndexStream): every
+/** Small-file compaction + epoch layout for the persisted indexes —
+  * the operational complement of streaming append (IndexStream): every
   * micro-batch leaves a part-file per touched partition, so a
   * long-running append stream accumulates thousands of tiny files per
   * cluster/bucket directory, and at 100 TB the scan's task-planning and
   * footer-reading overhead grows with file count, not data.
   *
-  * `compactIndex` rewrites the vectors layout with each partition
+  * `compactIndex` rewrites the vector layout — the base `vectors` dir
+  * plus any resume epochs (`vectors_e<k>`) — with each partition
   * value's rows packed into ⌈rows/rowsPerFile⌉ files (repartition by
-  * the partition column + the writer's maxRecordsPerFile roll), and
-  * swaps the new directory in atomically (local-fs rename; on an object store this
-  * step is a manifest/metastore pointer update — same note as
-  * Ingest.compactCorpus). Centroids/codebooks are metadata and are not
-  * touched; serving is identical before and after
-  * (IndexMaintenanceSpec pins results and the surviving
+  * the partition column + the writer's maxRecordsPerFile roll), then
+  * swaps the new directory in: the old dir is renamed ASIDE first
+  * (`vectors_old`), the new one renamed into place, and only then are
+  * the old dir and the folded epoch dirs deleted — a crash at any
+  * point leaves every row recoverable on disk (ADVICE r7; on an
+  * object store the swap is a manifest/metastore pointer update —
+  * same note as Ingest.compactCorpus). Centroids/codebooks are
+  * metadata and are not touched; serving is identical before and
+  * after (IndexMaintenanceSpec pins results and the surviving
   * PartitionFilters pruning).
   *
-  * Streaming-sink interaction: a parquet streaming sink keeps a
-  * `_spark_metadata` log under the vectors dir, and batch readers
-  * honor it (files not in the log are invisible). Compaction rewrites
-  * the directory WITHOUT the log — correct for batch reads — but a
-  * stream resumed into the compacted directory would start a fresh
-  * sink log that shadows the compacted files for batch readers. The
-  * operational contract is therefore: stop the append stream, compact,
-  * resume with a NEW sink directory/log epoch (the standard
-  * log-rotation move for compacted streaming sinks);
-  * IndexMaintenanceSpec pins the stop→compact→serve path.
+  * Streaming-sink interaction (the log-rotation contract): a parquet
+  * streaming sink keeps a `_spark_metadata` log under its sink dir,
+  * and batch readers honor it (files not in the log are invisible).
+  * Compaction rewrites the directory WITHOUT the log — correct for
+  * batch reads — but a stream resumed into the compacted base dir
+  * would start a fresh sink log that shadows every compacted file.
+  * Compaction therefore leaves a `_graft_compacted` marker (holding
+  * the next epoch number) that the IndexStream append helpers check:
+  * a resume into the base dir FAILS FAST, and the caller resumes into
+  * `nextEpochDir(...)` — a fresh sibling dir written log-free via
+  * foreachBatch as `batch=<id>` overwrite subdirs (idempotent under
+  * micro-batch replay; a resumed query's batch ids continue from the
+  * checkpoint, which a fresh sink log could not represent) — keeping
+  * the same source checkpoint, so only unseen input files flow into
+  * the new epoch. Serving reads base + epochs as a union of
+  * single-root scans ([[vectorsDf]]); partition pruning applies to
+  * every branch. The next compaction folds the epochs back into the
+  * base. Epoch numbers are monotone (never reused), so a stale
+  * checkpoint can never resurrect a folded epoch directory.
   */
 object IndexMaintenance {
 
-  /** Compact `indexPath/vectors` (IVF/PQ layouts: `cluster_id`; LSH:
-    * `bucket` — auto-detected). Returns the parquet file count after.
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  private def markerPath(indexPath: String) =
+    new Path(s"$indexPath/vectors/_graft_compacted")
+
+  /** True once the index has been compacted at least once — the point
+    * after which streaming appends must use a fresh epoch dir.
+    */
+  def isCompacted(spark: SparkSession, indexPath: String): Boolean =
+    fsOf(spark, indexPath).exists(markerPath(indexPath))
+
+  /** Epoch number the next resume should use (monotone across
+    * compactions — epoch dirs are never reused, so a stale checkpoint
+    * can never write into a directory whose sink log was deleted).
+    */
+  private def nextEpoch(spark: SparkSession, indexPath: String): Int = {
+    val fs = fsOf(spark, indexPath)
+    val m = markerPath(indexPath)
+    val fromMarker =
+      if (!fs.exists(m)) 1
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+        finally in.close()
+      }
+    math.max(fromMarker, epochDirs(spark, indexPath).map(epochOf).maxOption.getOrElse(0) + 1)
+  }
+
+  /** The sink directory a post-compaction stream resume should write
+    * to: `indexPath/vectors_e<k>` for the smallest never-used k.
+    */
+  def nextEpochDir(spark: SparkSession, indexPath: String): String =
+    s"$indexPath/vectors_e${nextEpoch(spark, indexPath)}"
+
+  private def epochOf(dir: String): Int =
+    dir.substring(dir.lastIndexOf("_e") + 2).toInt
+
+  /** Existing epoch dirs (`vectors_e<k>`) that contain data files. */
+  private def epochDirs(spark: SparkSession, indexPath: String): Seq[String] = {
+    val fs = fsOf(spark, indexPath)
+    val base = new Path(indexPath)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("vectors_e\\d+"))
+      .map(_.getPath.toString)
+      .filter(d => parquetFileCount(spark, d) > 0)
+      .sortBy(epochOf)
+  }
+
+  /** All live vector rows of an index: the base layout plus any resume
+    * epochs, each read as its OWN root so a streaming sink's
+    * `_spark_metadata` log keeps filtering uncommitted files per
+    * epoch, and partition pruning applies to every branch of the
+    * union.
+    */
+  def vectorsDf(spark: SparkSession, indexPath: String): DataFrame = {
+    val base = spark.read.parquet(s"$indexPath/vectors")
+    val cols = base.columns.toIndexedSeq.map(col)
+    // epochs carry an extra batch=<id> partition level (the idempotent
+    // foreachBatch layout) — project it away to the base schema
+    epochDirs(spark, indexPath)
+      .map(d => spark.read.parquet(d).select(cols: _*))
+      .foldLeft(base)(_ unionByName _)
+  }
+
+  /** Compact `indexPath/vectors` (+ any epoch dirs; IVF/PQ layouts:
+    * `cluster_id`; LSH: `bucket` — auto-detected). Returns the parquet
+    * file count after.
     */
   def compactIndex(spark: SparkSession, indexPath: String,
       rowsPerFile: Long = 1L << 20): Long = {
     val vecDir = s"$indexPath/vectors"
-    val df = spark.read.parquet(vecDir)
+    val epochs = epochDirs(spark, indexPath)
+    val df = vectorsDf(spark, indexPath)
     val partCol = df.schema.fieldNames.find(n => n == "cluster_id" || n == "bucket")
       .getOrElse(throw new IllegalArgumentException(
         s"$vecDir is not a recognized index layout (no cluster_id/bucket column)"))
+    val epoch = nextEpoch(spark, indexPath)
     val tmp = vecDir + "_compacting"
     // one shuffle task per partition value (hash-sharing tasks is fine:
     // partitionBy still writes per-value files), with the writer rolling
@@ -52,19 +135,32 @@ object IndexMaintenance {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)
       .partitionBy(partCol).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(vecDir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val fs = fsOf(spark, tmp)
+    val dst = new Path(vecDir)
+    val aside = new Path(vecDir + "_old")
+    // swap with the old data renamed aside FIRST: a crash between any
+    // two steps leaves every row on disk (vectors_old + epochs), never
+    // a half-deleted serving dir (ADVICE r7)
+    fs.delete(aside, true)
+    if (fs.exists(dst) && !fs.rename(dst, aside))
+      throw new java.io.IOException(s"could not move $dst aside")
+    if (!fs.rename(new Path(tmp), dst))
+      throw new java.io.IOException(s"could not move $tmp into place")
+    fs.delete(aside, true)
+    epochs.foreach(e => fs.delete(new Path(e), true))
+    // marker: this index now serves compacted files with no sink log —
+    // streaming appends must rotate to epoch `epoch` or later
+    val out = fs.create(markerPath(indexPath), true)
+    try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
     parquetFileCount(spark, vecDir)
   }
 
   /** Recursive .parquet part-file count under a directory. */
   def parquetFileCount(spark: SparkSession, dir: String): Long = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    val fs = fsOf(spark, dir)
+    val p = new Path(dir)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
     var n = 0L
     while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
     n

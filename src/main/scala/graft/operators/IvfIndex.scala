@@ -311,7 +311,7 @@ object IvfIndex {
       .limit(nprobe)
       .select("cluster_id")
       .collect().map(_.getLong(0)) // index metadata, O(nprobe) — not data
-    spark.read.parquet(s"$indexPath/vectors")
+    IndexMaintenance.vectorsDf(spark, indexPath) // base + any resume epochs
       // partition-column inference reads cluster_id as int; restore the
       // long the in-memory surfaces (search/assign/centroids) use
       .withColumn("cluster_id", col("cluster_id").cast("long"))

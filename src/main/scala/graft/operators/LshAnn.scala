@@ -72,7 +72,7 @@ object LshAnn {
     val qb = qRow.getLong(1)
     val buckets = (qb +: (0 until NumPlanes).map(p => qb ^ (1L << p)))
       .take(math.max(1, probes))
-    spark.read.parquet(s"$indexPath/vectors")
+    IndexMaintenance.vectorsDf(spark, indexPath) // base + any resume epochs
       .withColumn("bucket", col("bucket").cast("long"))
       .filter(col("bucket").isin(buckets: _*))
       .crossJoin(broadcast(q.select("qvec")))

@@ -445,7 +445,7 @@ object PqIndex {
       val bySub = lutRows.filter(_.getInt(0) == s).map(r => r.getLong(1) -> r.getLong(2)).toMap
       array((0 until NumCodes).map(c => lit(bySub(c.toLong))): _*)
     }
-    val vectors = spark.read.parquet(s"$indexPath/vectors")
+    val vectors = IndexMaintenance.vectorsDf(spark, indexPath) // base + epochs
       .withColumn("cluster_id", col("cluster_id").cast("long"))
       .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
     val approxE9 = (0 until NumSub).map(s =>

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.operators.{IvfIndex, PqIndex}
+import graft.operators.{IndexMaintenance, IvfIndex, PqIndex}
 
 /** Streaming maintenance of the persisted IVF index: newly-ingested
   * embeddings are assigned to their cluster map-side (the same
@@ -25,6 +25,61 @@ import graft.operators.{IvfIndex, PqIndex}
   */
 object IndexStream {
 
+  /** Resolve the sink dir for an append stream, enforcing the
+    * log-rotation contract: once `IndexMaintenance.compactIndex` has
+    * rewritten the base `vectors` dir (sink log deleted), resuming a
+    * parquet-sink stream into it would start a FRESH `_spark_metadata`
+    * log that shadows every compacted file for batch readers — the
+    * index would silently lose all pre-compaction rows. Fail fast and
+    * point the caller at `IndexMaintenance.nextEpochDir` (serving
+    * reads base + epochs via `IndexMaintenance.vectorsDf`).
+    */
+  private def resolveSink(spark: SparkSession, indexPath: String,
+      sinkDir: String): String = {
+    val resolved = if (sinkDir == null) s"$indexPath/vectors" else sinkDir
+    if (resolved == s"$indexPath/vectors" &&
+        IndexMaintenance.isCompacted(spark, indexPath))
+      throw new IllegalStateException(
+        s"$resolved was compacted (its streaming sink log is gone); resuming a " +
+          "stream into it would shadow every compacted row for batch readers. " +
+          "Resume into IndexMaintenance.nextEpochDir(spark, indexPath) instead " +
+          "(keep the same source checkpoint).")
+    resolved
+  }
+
+  /** Start the append stream. The base `vectors` dir uses the parquet
+    * streaming sink (its `_spark_metadata` log gives batch readers
+    * exactly-once visibility). A post-compaction EPOCH dir cannot — a
+    * resumed query's batch ids continue from the checkpoint, and a
+    * fresh sink log with a gapped id sequence is unreadable — so
+    * epochs are written via foreachBatch into a `batch=<id>` subdir
+    * with mode=overwrite: a replayed micro-batch rewrites its own
+    * subdir, which makes re-delivery idempotent without any log
+    * (serving reads the epoch as plain partitioned parquet).
+    */
+  private def startAppend(spark: SparkSession, indexPath: String,
+      assigned: DataFrame, checkpoint: String, sinkDir: String,
+      partCol: String): StreamingQuery = {
+    val resolved = resolveSink(spark, indexPath, sinkDir)
+    if (resolved == s"$indexPath/vectors")
+      assigned.writeStream
+        .format("parquet")
+        .option("path", resolved)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(partCol)
+        .outputMode("append")
+        .start()
+    else
+      assigned.writeStream
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.write.mode("overwrite").partitionBy(partCol)
+            .parquet(s"$resolved/batch=$id")
+        }
+        .start()
+  }
+
   /** Attach cluster assignments to a (possibly streaming) embedding
     * DataFrame using the index's persisted centroids. Works identically
     * on batch inputs — one code path for backfill and the live stream.
@@ -43,15 +98,11 @@ object IndexStream {
     * `indexPath/vectors/cluster_id=.../part-*.parquet` per micro-batch.
     */
   def appendToIndex(spark: SparkSession, indexPath: String,
-      newVecs: DataFrame, checkpoint: String): StreamingQuery =
-    assignWithIndexCentroids(spark, indexPath, newVecs)
-      .writeStream
-      .format("parquet")
-      .option("path", s"$indexPath/vectors")
-      .option("checkpointLocation", checkpoint)
-      .partitionBy("cluster_id")
-      .outputMode("append")
-      .start()
+      newVecs: DataFrame, checkpoint: String,
+      sinkDir: String = null): StreamingQuery =
+    startAppend(spark, indexPath,
+      assignWithIndexCentroids(spark, indexPath, newVecs),
+      checkpoint, sinkDir, "cluster_id")
 
   /** PQ twin of [[assignWithIndexCentroids]]: cluster assignment AND
     * byte codes computed from the metadata persisted under the PQ
@@ -72,15 +123,11 @@ object IndexStream {
     * per source file via the checkpoint, like [[appendToIndex]].
     */
   def appendToPqIndex(spark: SparkSession, indexPath: String,
-      newVecs: DataFrame, checkpoint: String): StreamingQuery =
-    assignWithPqIndexMeta(spark, indexPath, newVecs)
-      .writeStream
-      .format("parquet")
-      .option("path", s"$indexPath/vectors")
-      .option("checkpointLocation", checkpoint)
-      .partitionBy("cluster_id")
-      .outputMode("append")
-      .start()
+      newVecs: DataFrame, checkpoint: String,
+      sinkDir: String = null): StreamingQuery =
+    startAppend(spark, indexPath,
+      assignWithPqIndexMeta(spark, indexPath, newVecs),
+      checkpoint, sinkDir, "cluster_id")
 
   /** LSH twin: the hyperplanes are derived deterministically (no
     * persisted metadata to read), so streamed vectors bucket exactly
@@ -88,14 +135,10 @@ object IndexStream {
     * append across all three persisted index families (IVF, PQ, LSH).
     */
   def appendToLshIndex(spark: SparkSession, indexPath: String,
-      newVecs: DataFrame, checkpoint: String): StreamingQuery =
-    newVecs.select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", graft.operators.LshAnn.bucketOf(col("embedding")))
-      .writeStream
-      .format("parquet")
-      .option("path", s"$indexPath/vectors")
-      .option("checkpointLocation", checkpoint)
-      .partitionBy("bucket")
-      .outputMode("append")
-      .start()
+      newVecs: DataFrame, checkpoint: String,
+      sinkDir: String = null): StreamingQuery =
+    startAppend(spark, indexPath,
+      newVecs.select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", graft.operators.LshAnn.bucketOf(col("embedding"))),
+      checkpoint, sinkDir, "bucket")
 }

@@ -66,6 +66,8 @@ object Scratch {
           graft.functions.TextFunctions.tokens(col("text"))).as("e"))
         .agg(sum(col("e"))).collect()),
       "pagerank" -> (() => graft.operators.GraphOps.pagerank(spark, sfDir).count()),
+      "triangles" -> (() => graft.operators.GraphOps.triangles(spark, sfDir).count()),
+      "degree_dist" -> (() => graft.operators.GraphOps.degreeDist(spark, sfDir).count()),
       // persisted-PQ serving vs the fused in-memory path (same query)
       "pq_build" -> (() => graft.operators.PqIndex.writeIndex(spark, sfDir,
         s"/tmp/graft_pq_idx_${sfDir.replaceAll("[^a-z0-9.]", "_")}")),

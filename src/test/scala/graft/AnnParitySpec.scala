@@ -154,6 +154,11 @@ class AnnParitySpec extends AnyFunSuite {
       Row(6L, vec(6, dim)),
       Row(7L, vec(7, dim).updated(63, null)),
       Row(8L, vec(8, dim - 1)), // one short: windows 0-2 valid, 3 not
+      // NaN elements pass the null-window check but poison every d² to
+      // NaN — Spark total ordering (NaN == NaN, after +Inf) must give
+      // (NaN, min id) / code 0, not the seed values (ADVICE r7)
+      Row(9L, vec(9, dim).updated(10, Float.NaN)),
+      Row(10L, (0 until dim).map(_ => Float.NaN)),
     )
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
@@ -180,8 +185,14 @@ class AnnParitySpec extends AnyFunSuite {
     }
     // the malformed rows (1,2,3,4,5,7,8) must resolve to NULL d2 + min id
     val minId = IvfIndex.centroids(spark, Sf).agg(min(col("cluster_id"))).head().getLong(0)
-    got.filter(r => r.getLong(0) != 6L).foreach { r =>
+    got.filter(r => !Set(6L, 9L, 10L).contains(r.getLong(0))).foreach { r =>
       assert(r.isNullAt(1) && r.getLong(2) === minId, s"malformed row: $r")
+    }
+    // NaN rows: d2 is NaN (not NULL) and the tiebreak still lands on
+    // the min cluster_id — Spark total ordering, not seed leakage
+    got.filter(r => Set(9L, 10L).contains(r.getLong(0))).foreach { r =>
+      assert(!r.isNullAt(1) && r.getDouble(1).isNaN && r.getLong(2) === minId,
+        s"NaN row: $r")
     }
   }
 
@@ -250,7 +261,7 @@ class AnnParitySpec extends AnyFunSuite {
       .withColumn("ra", AnnExprs.residualAdc(col("embedding"), ids, cvecs, rcb, lut))
       .select(col("vec_id"), col("ra.cluster_id").as("n_cl"), col("ra.res_e9").as("n_e9"))
     val both = nat.join(hof, "vec_id").collect()
-    assert(both.length === 8)
+    assert(both.length === 10)
     both.foreach { r =>
       assert(r.getLong(1) === r.getLong(3), s"cluster: $r")
       assert(r.getLong(2) === r.getLong(4), s"res_e9: $r")

@@ -89,6 +89,53 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(servedAfter === servedBefore)
   }
 
+  test("post-compaction resume rotates to a fresh epoch; serving stays complete") {
+    val idx = tmp("graft-rotate-pq")
+    val staging = tmp("graft-rotate-staging")
+    val ckpt = tmp("graft-rotate-ckpt")
+    val seed = tmp("graft-rotate-seed")
+    PqIndex.writeIndex(spark, Sf, seed) // full-corpus reference build
+    spark.read.parquet(s"$seed/centroids").write.parquet(s"$idx/centroids")
+    spark.read.parquet(s"$seed/codebooks").write.parquet(s"$idx/codebooks")
+    val vecs = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    (0 until 2).foreach(w =>
+      vecs.filter(pmod(col("vec_id"), lit(3)) === w).write.parquet(s"$staging/wave$w"))
+    def mkStream() = spark.readStream.schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$staging/wave*")
+    val q1 = IndexStream.appendToPqIndex(spark, idx, mkStream(), ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    IndexMaintenance.compactIndex(spark, idx)
+
+    // resuming into the compacted base dir would shadow every compacted
+    // row behind a fresh sink log — it must fail fast, not lose data
+    intercept[IllegalStateException] {
+      IndexStream.appendToPqIndex(spark, idx, mkStream(), ckpt)
+    }
+
+    // log rotation: SAME source checkpoint, fresh epoch sink dir —
+    // only the unseen wave flows into the new epoch
+    vecs.filter(pmod(col("vec_id"), lit(3)) === 2).write.parquet(s"$staging/wave2")
+    val epochDir = IndexMaintenance.nextEpochDir(spark, idx)
+    val q2 = IndexStream.appendToPqIndex(spark, idx, mkStream(), ckpt, sinkDir = epochDir)
+    try q2.processAllAvailable() finally q2.stop()
+    val wave2n = vecs.filter(pmod(col("vec_id"), lit(3)) === 2).count()
+    assert(spark.read.parquet(epochDir).count() === wave2n,
+      "epoch must hold exactly the post-compaction wave (no replay, no loss)")
+
+    // serving reads base + epoch and equals the batch-built full index
+    val servedFull = PqIndex.searchIndex(spark, seed, query, nprobe = 3)
+      .collect().map(_.toString).toSeq
+    val servedLive = PqIndex.searchIndex(spark, idx, query, nprobe = 3)
+      .collect().map(_.toString).toSeq
+    assert(servedLive === servedFull)
+
+    // the next compaction folds the epoch back into the base layout
+    IndexMaintenance.compactIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/vectors").count() === vecs.count())
+    assert(PqIndex.searchIndex(spark, idx, query, nprobe = 3)
+      .collect().map(_.toString).toSeq === servedFull)
+  }
+
   test("a non-index directory is rejected, not silently rewritten") {
     val idx = tmp("graft-compact-bogus")
     Tables.documents(spark, Sf).limit(5).write.parquet(s"$idx/vectors")

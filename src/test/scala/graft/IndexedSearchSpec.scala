@@ -41,15 +41,19 @@ class IndexedSearchSpec extends AnyFunSuite {
   }
 
   test("small nprobe returns a subset of the brute-force pool, ranked consistently") {
+    // brute covers the WHOLE corpus so every returned id MUST be present
+    // — Option.forall on a missing id would pass vacuously (ADVICE r7)
+    val n = Tables.embeddings(spark, Sf).count().toInt
     val brute = SearchApi.search(spark, Sf, "vector search data pipelines",
-      retrieveK = 50).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      retrieveK = n).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val narrow = SearchApi.searchIndexed(spark, Sf, indexPath,
       "vector search data pipelines", nprobe = 2).collect()
     assert(narrow.nonEmpty)
     narrow.foreach { r =>
       val (id, score) = (r.getLong(0), r.getDouble(1))
       // every ANN hit is a real doc with the exact brute-force score
-      assert(brute.get(id).forall(_ == score))
+      assert(brute.contains(id), s"ANN returned unknown doc $id")
+      assert(brute(id) === score, s"doc $id: ANN score $score != brute ${brute(id)}")
     }
     // rerank order is internally consistent (logit desc)
     val byRank = narrow.sortBy(_.getLong(5))
