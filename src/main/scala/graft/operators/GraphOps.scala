@@ -11,31 +11,40 @@ import graft.functions.VectorFunctions.{cents, r6}
   * connected-components operator in [[Dedup.components]].
   *
   * Scale shape: the classic Pregel-as-joins loop — each iteration is
-  * one equi-join of the edge table with the rank table (shuffle on
-  * src) plus one partial-agg shuffle on dst. Edges are materialized
-  * once; rank tables are O(nodes). Per-edge contributions are
-  * integerized (floor(d·r/outdeg·+0.5) as long) so the distributed
-  * sums are order-independent and every iteration is bitwise
-  * reproducible — the oracle unrolls the same two iterations.
+  * one broadcast equi-join of the edge table with the rank table plus
+  * one partial-agg shuffle on dst. Edges are materialized once; rank
+  * tables are O(nodes). Per-edge contributions are integerized
+  * (floor(d·r/outdeg·+0.5) as long) so the distributed sums are
+  * order-independent and every iteration is bitwise reproducible —
+  * the oracle unrolls the same two iterations.
+  *
+  * Node ids are NUMERIC through the whole loop (custkey·2 /
+  * suppkey·2+1 — the two key spaces never collide) and only rendered
+  * as the reference "c<k>"/"s<k>" strings for the final top-k: long
+  * join/agg keys keep the per-iteration shuffles at 16 bytes/row and
+  * hash instead of string-compare (r8 — measured 14.6 → ~7 s at sf1).
   */
 object GraphOps {
 
   /** Directed edge list, both directions (random walk on the
-    * undirected bipartite graph). Node ids are namespaced
-    * ("c<custkey>" / "s<suppkey>") so the two key spaces never collide.
+    * undirected bipartite graph), as numeric node ids.
     */
   def edges(spark: SparkSession, dir: String): DataFrame = {
-    // distinct on the (long, long) key pair, then namespace — the
-    // dedup shuffle moves 16-byte rows instead of two strings
+    // distinct on the encoded (long, long) pair — the dedup shuffle
+    // moves 16-byte rows, and every later join/agg hashes longs
     val e0 = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey"), col("l_suppkey"))
+      .select((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
       .distinct()
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
+
+  /** Render a numeric node id back to the reference naming. */
+  private def nodeName(n: org.apache.spark.sql.Column) =
+    when(n % 2 === 0, concat(lit("c"), shiftright(n, 1)))
+      .otherwise(concat(lit("s"), shiftright(n, 1)))
 
   /** PageRank with damping 0.85, `iters` synchronous iterations from a
     * uniform start, reported as the top-`topK` nodes. No dangling-node
@@ -43,12 +52,6 @@ object GraphOps {
     */
   def pagerank(spark: SparkSession, dir: String, iters: Int = 2,
       topK: Int = 20): DataFrame = {
-    // r4 VERDICT flagged a 3.08 s → 3.94 s (1.28×) bench regression
-    // here; git shows GraphOps unchanged since r3 (only a comment
-    // commit), so the delta is harness-neighbor pressure from the 29
-    // queries added that round (cache/GC residue under min-of-2 with
-    // per-query cache drops), not a plan change. The r5 bench re-
-    // measures it after this round's dedup-chain cache-load reductions.
     // do NOT persist ed (or the deduped pair table inside edges()):
     // the subtree is plan-identical everywhere it appears, so Spark's
     // ReusedExchange already computes the orders⋈lineitem+distinct
@@ -58,28 +61,39 @@ object GraphOps {
     // materialization barrier + InMemoryRelation scans cost more than
     // re-reading the reused shuffle files)
     val ed = edges(spark, dir)
-    val nodes = ed.select(col("src").as("node")).distinct()
-    val nt = nodes.agg(count(lit(1)).as("n"))
+    // every node has outdeg ≥ 1, so the outdegree table IS the node
+    // set — one groupBy covers nodes + outdeg + (via its count) n,
+    // where the old shape paid a separate distinct exchange for nodes
     val od = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    var r = nodes.crossJoin(broadcast(nt))
-      .select(col("node"), cents(lit(1.0) / col("n"), 1e9).as("r_e9"))
+    val nt = od.agg(count(lit(1)).as("n"))
+    // static per-node table carried through the loop: outdeg rides in
+    // the rank rows (the old shape re-joined rank⋈outdeg every
+    // iteration) and the teleport term is precomputed once
+    val r0 = od.crossJoin(broadcast(nt))
+      .select(col("src").as("node"), col("outdeg"),
+        cents(lit(0.15) / col("n"), 1e9).as("base_e9"),
+        cents(lit(1.0) / col("n"), 1e9).as("r_e9"))
+    var r = r0
     for (_ <- 0 until iters) {
-      // rank ⋈ outdeg is O(nodes) — broadcast it so the per-edge
-      // contribution is map-side over the edge scan; only the
-      // partial-aggregated (dst, sum) rows shuffle. (At node counts
-      // beyond broadcast reach this becomes a shuffle join co-
-      // partitioned with the groupBy — same plan shape, one exchange.)
-      val rod = r.join(od, r("node") === od("src"))
-        .select(col("node"), col("r_e9"), col("outdeg"))
-      val contrib = ed.join(broadcast(rod), ed("src") === rod("node"))
-        .select(col("dst"), cents(lit(0.85) * col("r_e9") / col("outdeg"), 1.0).as("c_e9"))
+      // the per-edge contribution is constant per source node, so it
+      // is computed ONCE per node on the O(nodes) broadcast side —
+      // the edge scan only propagates and partial-aggregates longs;
+      // only the partially-aggregated (dst, sum) rows shuffle. (At
+      // node counts beyond broadcast reach this becomes a shuffle
+      // join co-partitioned with the groupBy — same plan shape, one
+      // exchange.)
+      val cr = r.select(col("node"),
+        cents(lit(0.85) * col("r_e9") / col("outdeg"), 1.0).as("c_e9"))
+      val contrib = ed.join(broadcast(cr), ed("src") === cr("node"))
         .groupBy(col("dst")).agg(sum(col("c_e9")).as("in_e9"))
-      r = nodes.crossJoin(broadcast(nt))
-        .join(contrib, col("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (cents(lit(0.15) / col("n"), 1e9) + coalesce(col("in_e9"), lit(0L))).as("r_e9"))
+      r = r0.join(broadcast(contrib), r0("node") === contrib("dst"), "left")
+        .select(r0("node"), r0("outdeg"), r0("base_e9"),
+          (r0("base_e9") + coalesce(col("in_e9"), lit(0L))).as("r_e9"))
     }
-    r.orderBy(col("r_e9").desc, col("node").asc)
+    // stringify BEFORE the final sort: the reference tiebreak is on
+    // the rendered name ("c100" < "c2"), not the numeric id
+    r.select(nodeName(col("node")).as("node"), col("r_e9"))
+      .orderBy(col("r_e9").desc, col("node").asc)
       .limit(topK)
       .select(col("node"), r6(col("r_e9") / lit(1e9)).as("pagerank"))
   }
@@ -105,7 +119,10 @@ object GraphOps {
   private[graft] def frequentPairs(spark: SparkSession, dir: String,
       minSupport: Long): DataFrame =
     Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // collect_set dedups per order, so no distinct pre-pass: the old
+      // (l_orderkey, l_partkey) distinct paid a full extra shuffle of
+      // the lineitem projection before the basket groupBy (r8)
+      .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
       .filter(size(col("parts")) >= 2)
@@ -135,7 +152,14 @@ object GraphOps {
     val ab = pairs.select(col("pa").as("a"), col("pb").as("b"), col("sup").as("s_ab"))
     val bc = pairs.select(col("pa").as("b"), col("pb").as("c"), col("sup").as("s_bc"))
     val ac = pairs.select(col("pa").as("a"), col("pb").as("c"), col("sup").as("s_ac"))
-    ab.join(bc, "b").join(ac, Seq("a", "c"))
+    // the support-pruned pair table is small by construction (35k rows
+    // at sf1 for ~9M candidate pairs), so both closure joins broadcast:
+    // zero post-pairs shuffles, and the heavy (pa,pb) count exchange is
+    // computed once and reused across all three projections. If a
+    // lower minSupport ever pushed pairs past broadcast reach, drop
+    // the hints — same plan shape, one exchange per join (r8; was two
+    // shuffle joins re-shuffling the pair table three times).
+    ab.join(broadcast(bc), "b").join(broadcast(ac), Seq("a", "c"))
       .select(col("a"), col("b"), col("c"),
         least(col("s_ab"), col("s_bc"), col("s_ac")).as("min_sup"))
   }

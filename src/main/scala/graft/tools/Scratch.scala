@@ -68,6 +68,21 @@ object Scratch {
       "pagerank" -> (() => graft.operators.GraphOps.pagerank(spark, sfDir).count()),
       "triangles" -> (() => graft.operators.GraphOps.triangles(spark, sfDir).count()),
       "degree_dist" -> (() => graft.operators.GraphOps.degreeDist(spark, sfDir).count()),
+      "tri_diag" -> { () =>
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.GraphOps.frequentPairs(spark, sfDir, 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val np = pairs.count()
+        val t1 = System.nanoTime()
+        val ab = pairs.select(col("pa").as("a"), col("pb").as("b"), col("sup").as("s_ab"))
+        val bc = pairs.select(col("pa").as("b"), col("pb").as("c"), col("sup").as("s_bc"))
+        val nw = ab.join(bc, "b").count()
+        val t2 = System.nanoTime()
+        val nt = graft.operators.GraphOps.triangles(spark, sfDir).count()
+        val t3 = System.nanoTime()
+        pairs.unpersist()
+        println(f"  pairs=$np (${(t1 - t0) / 1e9}%.2f s) wedges=$nw (${(t2 - t1) / 1e9}%.2f s) tri=$nt full=${(t3 - t2) / 1e9}%.2f")
+      },
       // persisted-PQ serving vs the fused in-memory path (same query)
       "pq_build" -> (() => graft.operators.PqIndex.writeIndex(spark, sfDir,
         s"/tmp/graft_pq_idx_${sfDir.replaceAll("[^a-z0-9.]", "_")}")),
