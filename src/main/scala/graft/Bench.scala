@@ -39,13 +39,28 @@ object Bench {
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
+    // measurement action: a checksum aggregate over EVERY output
+    // column, not count(). count() lets Catalyst prune columns the
+    // count doesn't need, so projection-shaped queries (vs_pq was the
+    // disclosed case — its ADC fold vanished from the bench) measured
+    // scan + metadata instead of their advertised compute. xxhash64
+    // over all columns forces every value to be produced while adding
+    // only a codegen'd hash + one long of agg state per partition.
+    // (A trailing presentation-only orderBy with no limit may still be
+    // elided under the agg; ordering that feeds a limit is kept.)
+    import org.apache.spark.sql.functions.{col, bit_xor, xxhash64}
+    def checksum(df: org.apache.spark.sql.DataFrame): Unit = {
+      // bit_xor: order-independent, overflow-free under ANSI mode
+      df.agg(bit_xor(xxhash64(df.columns.map(col).toIndexedSeq: _*))).head()
+      ()
+    }
     // untimed warmup: touch every table and the main codegen paths so
     // session-wide cold costs (JIT, codegen infra, parquet footers) are
     // not billed to whichever query happens to run first — a long-lived
     // cluster amortizes these once, not per query
     Seq("q1_agg", "q3_join", "doc_stats", "vs_norm", "q_events_sessionize",
         "text_fingerprint")
-      .foreach(n => try SparkEntry.queries(n)(spark, sfDir).count()
+      .foreach(n => try checksum(SparkEntry.queries(n)(spark, sfDir))
         catch { case _: Throwable => () })
     // release blocks a query persisted so queries are measured in
     // isolation: leaked cache blocks from earlier (dedup) queries eat
@@ -72,7 +87,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq
       .filter(q => only.forall(_.contains(q._1))).sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to nRuns).map { _ =>
-        val t = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+        val t = try time(checksum(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
         dropCaches()
         t
       }

@@ -942,6 +942,63 @@ object OracleSql {
        |SELECT cluster_id, vec_id, ${r6("e9 / 1000000000.0")} AS approx_score, ${r6("es")} AS score
        |FROM re ORDER BY es DESC, vec_id LIMIT 10""".stripMargin
 
+  /** PQ candidate-generation recall tuning table — mirrors
+    * PqIndex.pqRecallReport: recall@10 of the (nprobe, candidates)-
+    * pruned quantized search against brute force, per configuration.
+    */
+  val vsPqRecall: String =
+    s"""WITH $ivfCtes,
+       |subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+       |cb AS (SELECT s, CAST(vec_id // 17 AS BIGINT) AS code,
+       |  list_slice(embedding, s * 16 + 1, s * 16 + 16) AS cvec2
+       |  FROM embeddings, subs WHERE vec_id % 17 = 0 AND vec_id < 272),
+       |sv AS (SELECT vec_id, s, list_slice(embedding, s * 16 + 1, s * 16 + 16) AS subvec
+       |  FROM embeddings, subs),
+       |dists AS (SELECT sv.vec_id, sv.s, cb.code, ${dist2("sv.subvec", "cb.cvec2")} AS d2q
+       |  FROM sv JOIN cb ON cb.s = sv.s),
+       |asgn AS (SELECT vec_id, s, code FROM (
+       |  SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, code) AS rn
+       |  FROM dists) WHERE rn = 1),
+       |cfg AS (SELECT * FROM (VALUES (1, 50), (2, 50), (3, 50), (3, 20)) t(nprobe, candidates)),
+       |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |crank AS (SELECT query_id, cluster_id, crn FROM (
+       |  SELECT q.query_id, c.cluster_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${dist2("c.cvec", "q.qv")}, c.cluster_id) AS crn
+       |  FROM bq q CROSS JOIN cent c) WHERE crn <= 3),
+       |lut AS (SELECT q.query_id, cb.s, cb.code,
+       |  ${cents(dot("list_slice(q.qv, cb.s * 16 + 1, cb.s * 16 + 16)", "cb.cvec2"), "1000000000.0")} AS part_e9
+       |  FROM cb, bq q),
+       |approx AS (SELECT l.query_id, g.vec_id, k.crn, CAST(sum(part_e9) AS BIGINT) AS approx_e9
+       |  FROM asgn g JOIN asg a ON a.vec_id = g.vec_id
+       |  JOIN crank k ON k.cluster_id = a.cluster_id
+       |  JOIN lut l ON l.s = g.s AND l.code = g.code AND l.query_id = k.query_id
+       |  GROUP BY 1, 2, 3),
+       |topq AS (SELECT query_id, nprobe, candidates, vec_id FROM (
+       |  SELECT ap.query_id, c.nprobe, c.candidates, ap.vec_id,
+       |    row_number() OVER (PARTITION BY ap.query_id, c.nprobe, c.candidates
+       |      ORDER BY ap.approx_e9 DESC, ap.vec_id) AS arn
+       |  FROM approx ap JOIN cfg c ON ap.crn <= c.nprobe) WHERE arn <= candidates),
+       |rer AS (SELECT query_id, nprobe, candidates, vec_id FROM (
+       |  SELECT t.query_id, t.nprobe, t.candidates, t.vec_id,
+       |    row_number() OVER (PARTITION BY t.query_id, t.nprobe, t.candidates
+       |      ORDER BY ${dot("e.embedding", "q.qv")} DESC, t.vec_id) AS ern
+       |  FROM topq t JOIN embeddings e ON e.vec_id = t.vec_id
+       |  JOIN bq q ON q.query_id = t.query_id) WHERE ern <= 10),
+       |bf AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.query_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${dot("e.embedding", "q.qv")} DESC, e.vec_id) AS brn
+       |  FROM embeddings e CROSS JOIN bq q) WHERE brn <= 10)
+       |SELECT c.nprobe, c.candidates,
+       |  CAST(count(DISTINCT bf.query_id) AS BIGINT) AS n_queries,
+       |  CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  ${r6("sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) / (count(DISTINCT bf.query_id) * 10.0)")} AS recall
+       |FROM bf CROSS JOIN cfg c
+       |LEFT JOIN rer r ON r.query_id = bf.query_id AND r.nprobe = c.nprobe
+       |  AND r.candidates = c.candidates AND r.vec_id = bf.vec_id
+       |GROUP BY 1, 2""".stripMargin
+
   /** Two unrolled PageRank iterations — the relational mirror of
     * GraphOps.pagerank (damping 0.85, uniform start, integerized
     * per-edge contributions).
@@ -2500,6 +2557,7 @@ object OracleSql {
     "vs_ivf_batch" -> vsIvfBatch,
     "q_grouping_sets" -> qGroupingSets,
     "vs_ivf_recall" -> vsIvfRecall,
+    "vs_pq_recall" -> vsPqRecall,
     "dedup_report" -> dedupReport,
     "vs_quantized_search" -> vsQuantizedSearch,
     "vs_binary_search" -> vsBinarySearch,

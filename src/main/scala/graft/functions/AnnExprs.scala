@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -26,12 +28,23 @@ import org.apache.spark.sql.types._
   * construction; elementwise float→double is exact, so the math is
   * bitwise the HOF formulation's (which casts per element).
   *
+  * Codegen (r8): each expression implements `doGenCode` as a single
+  * static call with the metadata in the references array
+  * (`ctx.addReferenceObj`), so an ANN scan stays inside whole-stage
+  * codegen instead of crossing the interpreted-eval boundary per row
+  * (the prior CodegenFallback shape). The static helpers are the SAME
+  * code interpreted eval uses — one implementation, two entry points —
+  * so the bitwise parity specs gate both paths.
+  *
   * Semantics twins (what the DuckDB oracle mirrors, and what the parity
   * specs pin bitwise — including the degenerate inputs):
   *  - [[NearestCentroidExpr]] ≡ IvfIndex.nearestHof: `array_min` over
   *    struct(dist2(emb, cvec), cluster_id). A malformed embedding
   *    (NULL, wrong length, or a null element) makes every d² NULL, and
   *    struct ordering sorts NULL d² first → (NULL, min cluster_id).
+  *    All comparisons use `java.lang.Double.compare` seeded from the
+  *    first centroid — Spark's total ordering (NaN == NaN, NaN after
+  *    +Inf) — so a NaN element yields (NaN, min id), not seed leakage.
   *  - [[PqAdcExpr]] ≡ PqIndex fused encode+ADC: per subspace s, argmin
   *    over codewords of dist2(slice(emb, s·SubDim+1, SubDim), cvec)
   *    (tiebreak smaller code), accumulating lut[s][code]. A window that
@@ -59,9 +72,7 @@ object AnnExprs {
     case t => throw new IllegalArgumentException(s"expected float/double array, got $t")
   }
 
-  /** emb[i] as double, or NaN-free null signal via hasNull check done
-    * by the caller (callers verify `!emb.isNullAt(i)` first).
-    */
+  /** emb[i] as double; callers verify `!emb.isNullAt(i)` first. */
   @inline private def elem(emb: ArrayData, i: Int, isF: Boolean): Double =
     if (isF) emb.getFloat(i).toDouble else emb.getDouble(i)
 
@@ -109,39 +120,94 @@ object AnnExprs {
     best
   }
 
-  /** struct(d2, cluster_id): nearest centroid by squared euclidean
-    * distance, tiebreak smaller cluster_id. `ids`/`cents` are parallel
-    * arrays in the same order the HOF literal array was built in
-    * (ordering does not affect the result — the tiebreak is total).
+  // ---- static entry points shared by eval() and generated code ----
+  // (an `object`'s public methods get Java static forwarders, so the
+  // generated Java calls graft.functions.AnnExprs.<name> directly)
+
+  /** [[NearestCentroidExpr]] per-row work. `emb` may be null. */
+  def nearestRow(emb: ArrayData, ids: Array[Long],
+      cents: Array[Array[Double]], isF: Boolean): InternalRow = {
+    val dim = cents(0).length
+    if (emb == null || emb.numElements() != dim || !windowValid(emb, 0, dim)) {
+      var minId = ids(0)
+      var i = 1
+      while (i < ids.length) { if (ids(i) < minId) minId = ids(i); i += 1 }
+      return new GenericInternalRow(Array[Any](null, minId))
+    }
+    // total-ordering argmin seeded from centroid 0 (ADVICE r7): a NaN
+    // element makes every d² NaN and the result is (NaN, min id),
+    // exactly the HOF array_min under Spark's ordering
+    var bestD2 = 0.0
+    var bestId = 0L
+    var k = 0
+    while (k < cents.length) {
+      val cw = cents(k)
+      var d2 = 0.0
+      var j = 0
+      while (j < dim) {
+        val d = elem(emb, j, isF) - cw(j)
+        d2 += d * d
+        j += 1
+      }
+      val cmp = if (k == 0) -1 else java.lang.Double.compare(d2, bestD2)
+      if (cmp < 0 || (cmp == 0 && ids(k) < bestId)) {
+        bestD2 = d2; bestId = ids(k)
+      }
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](bestD2, bestId))
+  }
+
+  /** [[PqCodesExpr]] per-row work. `emb` may be null. */
+  def pqCodesArr(emb: ArrayData, cb: Array[Array[Array[Double]]],
+      isF: Boolean): ArrayData = {
+    val subDim = cb(0)(0).length
+    val out = new Array[Any](cb.length)
+    var s = 0
+    while (s < cb.length) {
+      out(s) =
+        if (emb == null) 0L
+        else argminCode(emb, isF, s * subDim, cb(s)).toLong
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[PqAdcExpr]] per-row work. `emb` may be null. */
+  def pqAdcLong(emb: ArrayData, cb: Array[Array[Array[Double]]],
+      lut: Array[Array[Long]], isF: Boolean): Long = {
+    val subDim = cb(0)(0).length
+    var acc = 0L
+    var s = 0
+    while (s < cb.length) {
+      val code =
+        if (emb == null) 0
+        else argminCode(emb, isF, s * subDim, cb(s))
+      acc += lut(s)(code)
+      s += 1
+    }
+    acc
+  }
+
+  /** [[ResidualAdcExpr]] per-row work. `emb` may be null; `minIdx` is
+    * the index of the min-id centroid (the assignment for malformed
+    * and NaN-free-invalid rows).
     */
-  case class NearestCentroidExpr(child: Expression, ids: Array[Long],
-      cents: Array[Array[Double]]) extends UnaryExpression with CodegenFallback {
-    require(ids.length == cents.length && ids.nonEmpty, "empty centroid table")
-    require(cents.forall(_.length == cents(0).length), "ragged centroid dims")
-
-    override def dataType: DataType = nearestType
-    // a malformed embedding still yields (NULL d2, min id) — the struct
-    // itself is null only for an empty centroid table, excluded above
-    override def nullable: Boolean = false
-
-    @transient private lazy val isF = isFloatArr(child)
-    @transient private lazy val minId = ids.min
-    @transient private lazy val dim = cents(0).length
-
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-      val v = child.eval(input)
-      // NULL embedding: every dist2 is NULL (the centroid array is a
-      // literal, not derived from the row) → (NULL, min id), not NULL
-      if (v == null) return new GenericInternalRow(Array[Any](null, minId))
-      val emb = v.asInstanceOf[ArrayData]
-      if (!windowValid(emb, 0, dim) || emb.numElements() != dim)
-        return new GenericInternalRow(Array[Any](null, minId))
-      // total-ordering argmin (java.lang.Double.compare: NaN == NaN,
-      // NaN after +Inf), seeded from centroid 0 — a NaN element makes
-      // every d² NaN and the result is (NaN, min id), exactly the HOF
-      // array_min under Spark's ordering (ADVICE r7)
+  def residualRow(emb: ArrayData, ids: Array[Long],
+      cents: Array[Array[Double]], rcb: Array[Array[Array[Double]]],
+      lut: Array[Array[Long]], minIdx: Int, isF: Boolean): InternalRow = {
+    val dim = cents(0).length
+    val subDim = rcb(0)(0).length
+    // cluster assignment — same total-ordering rule as nearestRow: a
+    // NaN element assigns the min-id centroid (and its cvec for the
+    // residual fold), matching the HOF twin (ADVICE r7)
+    val valid = emb != null && emb.numElements() == dim && windowValid(emb, 0, dim)
+    var clusterId = ids(minIdx)
+    var cvec = cents(minIdx)
+    if (valid) {
       var bestD2 = 0.0
       var bestId = 0L
+      var bestK = 0
       var k = 0
       while (k < cents.length) {
         val cw = cents(k)
@@ -154,11 +220,89 @@ object AnnExprs {
         }
         val cmp = if (k == 0) -1 else java.lang.Double.compare(d2, bestD2)
         if (cmp < 0 || (cmp == 0 && ids(k) < bestId)) {
-          bestD2 = d2; bestId = ids(k)
+          bestD2 = d2; bestId = ids(k); bestK = k
         }
         k += 1
       }
-      new GenericInternalRow(Array[Any](bestD2, bestId))
+      clusterId = bestId
+      cvec = cents(bestK)
+    }
+    // residual fold: window s is valid iff it lies inside BOTH the
+    // embedding and the centroid dim (zip_with pads the shorter side
+    // with NULL) and covers no null embedding element
+    val embLen = if (emb == null) 0 else emb.numElements()
+    val usable = math.min(embLen, dim)
+    var acc = 0L
+    var s = 0
+    while (s < rcb.length) {
+      val off = s * subDim
+      var code = 0
+      if (off + subDim <= usable && windowValid(emb, off, subDim)) {
+        val sub = rcb(s)
+        var best = 0
+        var bestD2 = 0.0
+        var c = 0
+        while (c < sub.length) {
+          val cw = sub(c)
+          var d2 = 0.0
+          var j = 0
+          while (j < subDim) {
+            val d = (elem(emb, off + j, isF) - cvec(off + j)) - cw(j)
+            d2 += d * d
+            j += 1
+          }
+          if (c == 0 || java.lang.Double.compare(d2, bestD2) < 0) { bestD2 = d2; best = c }
+          c += 1
+        }
+        code = best
+      }
+      acc += lut(s)(code)
+      s += 1
+    }
+    new GenericInternalRow(Array[Any](clusterId, acc))
+  }
+
+  /** Shared doGenCode shape: the child is evaluated by the surrounding
+    * generated code, then ONE static call produces the (never-null)
+    * result with the metadata read from the references array — the
+    * whole scan stays inside whole-stage codegen.
+    */
+  private def staticCallGen(ctx: CodegenContext, ev: ExprCode,
+      child: Expression, javaType: String, call: String => String): ExprCode = {
+    val c = child.genCode(ctx)
+    val arg = s"(${c.isNull} ? null : (org.apache.spark.sql.catalyst.util.ArrayData) ${c.value})"
+    ev.copy(
+      code = c.code + code"\n$javaType ${ev.value} = ${call(arg)};",
+      isNull = FalseLiteral)
+  }
+
+  /** struct(d2, cluster_id): nearest centroid by squared euclidean
+    * distance, tiebreak smaller cluster_id. `ids`/`cents` are parallel
+    * arrays in the same order the HOF literal array was built in
+    * (ordering does not affect the result — the tiebreak is total).
+    */
+  case class NearestCentroidExpr(child: Expression, ids: Array[Long],
+      cents: Array[Array[Double]]) extends UnaryExpression {
+    require(ids.length == cents.length && ids.nonEmpty, "empty centroid table")
+    require(cents.forall(_.length == cents(0).length), "ragged centroid dims")
+
+    override def dataType: DataType = nearestType
+    // a malformed embedding still yields (NULL d2, min id) — the struct
+    // itself is null only for an empty centroid table, excluded above
+    override def nullable: Boolean = false
+
+    @transient private lazy val isF = isFloatArr(child)
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      nearestRow(if (v == null) null else v.asInstanceOf[ArrayData], ids, cents, isF)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      staticCallGen(ctx, ev, child, "org.apache.spark.sql.catalyst.InternalRow",
+        arg => s"graft.functions.AnnExprs.nearestRow($arg, $idsRef, $centsRef, $isF)")
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -168,26 +312,23 @@ object AnnExprs {
     * codes(s) = argmin codeword of subspace s (0 on an invalid window).
     */
   case class PqCodesExpr(child: Expression, cb: Array[Array[Array[Double]]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(cb.nonEmpty && cb.forall(_.nonEmpty))
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
 
     @transient private lazy val isF = isFloatArr(child)
-    @transient private lazy val subDim = cb(0)(0).length
 
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    override def eval(input: InternalRow): Any = {
       val v = child.eval(input)
-      val out = new Array[Any](cb.length)
-      var s = 0
-      while (s < cb.length) {
-        out(s) =
-          if (v == null) 0L
-          else argminCode(v.asInstanceOf[ArrayData], isF, s * subDim, cb(s)).toLong
-        s += 1
-      }
-      new GenericArrayData(out)
+      pqCodesArr(if (v == null) null else v.asInstanceOf[ArrayData], cb, isF)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("cb", cb, "double[][][]")
+      staticCallGen(ctx, ev, child, "org.apache.spark.sql.catalyst.util.ArrayData",
+        arg => s"graft.functions.AnnExprs.pqCodesArr($arg, $cbRef, $isF)")
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -198,7 +339,7 @@ object AnnExprs {
     * the per-query LUT in registers.
     */
   case class PqAdcExpr(child: Expression, cb: Array[Array[Array[Double]]],
-      lut: Array[Array[Long]]) extends UnaryExpression with CodegenFallback {
+      lut: Array[Array[Long]]) extends UnaryExpression {
     require(cb.length == lut.length && cb.nonEmpty)
     require(cb.indices.forall(s => cb(s).length == lut(s).length))
 
@@ -206,20 +347,18 @@ object AnnExprs {
     override def nullable: Boolean = false
 
     @transient private lazy val isF = isFloatArr(child)
-    @transient private lazy val subDim = cb(0)(0).length
 
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    override def eval(input: InternalRow): Any = {
       val v = child.eval(input)
-      var acc = 0L
-      var s = 0
-      while (s < cb.length) {
-        val code =
-          if (v == null) 0
-          else argminCode(v.asInstanceOf[ArrayData], isF, s * subDim, cb(s))
-        acc += lut(s)(code)
-        s += 1
-      }
-      java.lang.Long.valueOf(acc)
+      java.lang.Long.valueOf(
+        pqAdcLong(if (v == null) null else v.asInstanceOf[ArrayData], cb, lut, isF))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("cb", cb, "double[][][]")
+      val lutRef = ctx.addReferenceObj("lut", lut, "long[][]")
+      staticCallGen(ctx, ev, child, "long",
+        arg => s"graft.functions.AnnExprs.pqAdcLong($arg, $cbRef, $lutRef, $isF)")
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -233,7 +372,7 @@ object AnnExprs {
     */
   case class ResidualAdcExpr(child: Expression, ids: Array[Long],
       cents: Array[Array[Double]], rcb: Array[Array[Array[Double]]],
-      lut: Array[Array[Long]]) extends UnaryExpression with CodegenFallback {
+      lut: Array[Array[Long]]) extends UnaryExpression {
     require(ids.length == cents.length && ids.nonEmpty)
     require(rcb.length == lut.length && rcb.nonEmpty)
 
@@ -241,76 +380,22 @@ object AnnExprs {
     override def nullable: Boolean = false
 
     @transient private lazy val isF = isFloatArr(child)
-    @transient private lazy val dim = cents(0).length
-    @transient private lazy val subDim = rcb(0)(0).length
-    @transient private lazy val byId = ids.zip(cents).sortBy(_._1)
+    @transient private lazy val minIdx = ids.indexOf(ids.min)
 
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    override def eval(input: InternalRow): Any = {
       val v = child.eval(input)
-      val emb: ArrayData = if (v == null) null else v.asInstanceOf[ArrayData]
-      // cluster assignment — same rule as NearestCentroidExpr
-      val valid = emb != null && emb.numElements() == dim && windowValid(emb, 0, dim)
-      var clusterId = ids.min
-      var cvec = byId(0)._2
-      if (valid) {
-        // same total-ordering argmin as NearestCentroidExpr: a NaN
-        // element assigns the min-id centroid (and its cvec for the
-        // residual fold), matching the HOF twin (ADVICE r7)
-        var bestD2 = 0.0
-        var bestId = 0L
-        var bestK = 0
-        var k = 0
-        while (k < cents.length) {
-          val cw = cents(k)
-          var d2 = 0.0
-          var j = 0
-          while (j < dim) {
-            val d = elem(emb, j, isF) - cw(j)
-            d2 += d * d
-            j += 1
-          }
-          val cmp = if (k == 0) -1 else java.lang.Double.compare(d2, bestD2)
-          if (cmp < 0 || (cmp == 0 && ids(k) < bestId)) {
-            bestD2 = d2; bestId = ids(k); bestK = k
-          }
-          k += 1
-        }
-        clusterId = bestId
-        cvec = cents(bestK)
-      }
-      // residual fold: window s is valid iff it lies inside BOTH the
-      // embedding and the centroid dim (zip_with pads the shorter side
-      // with NULL) and covers no null embedding element
-      val embLen = if (emb == null) 0 else emb.numElements()
-      val usable = math.min(embLen, dim)
-      var acc = 0L
-      var s = 0
-      while (s < rcb.length) {
-        val off = s * subDim
-        var code = 0
-        if (off + subDim <= usable && windowValid(emb, off, subDim)) {
-          val sub = rcb(s)
-          var best = 0
-          var bestD2 = 0.0
-          var c = 0
-          while (c < sub.length) {
-            val cw = sub(c)
-            var d2 = 0.0
-            var j = 0
-            while (j < subDim) {
-              val d = (elem(emb, off + j, isF) - cvec(off + j)) - cw(j)
-              d2 += d * d
-              j += 1
-            }
-            if (c == 0 || java.lang.Double.compare(d2, bestD2) < 0) { bestD2 = d2; best = c }
-            c += 1
-          }
-          code = best
-        }
-        acc += lut(s)(code)
-        s += 1
-      }
-      new GenericInternalRow(Array[Any](clusterId, acc))
+      residualRow(if (v == null) null else v.asInstanceOf[ArrayData],
+        ids, cents, rcb, lut, minIdx, isF)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      val rcbRef = ctx.addReferenceObj("rcb", rcb, "double[][][]")
+      val lutRef = ctx.addReferenceObj("lut", lut, "long[][]")
+      staticCallGen(ctx, ev, child, "org.apache.spark.sql.catalyst.InternalRow",
+        arg => s"graft.functions.AnnExprs.residualRow($arg, $idsRef, $centsRef, " +
+          s"$rcbRef, $lutRef, $minIdx, $isF)")
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

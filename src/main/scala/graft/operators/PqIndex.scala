@@ -486,4 +486,76 @@ object PqIndex {
         r6(col("exact_score")).as("exact_score"),
         r6(abs(col("approx_score") - col("exact_score"))).as("abs_err"))
   }
+
+  /** The candidate-generation tuning table for the quantized serving
+    * path (PqIndex.searchIndex / SearchApi.searchQuantized): recall@k
+    * of the (nprobe, candidates)-pruned PQ search against the exact
+    * brute-force top-k, averaged over a query sample, one row per
+    * configuration — the number an operator reads before picking how
+    * hard to prune a 100 TB index (the PQ sibling of
+    * [[IvfIndex.recallReport]] / LshAnn.recallReport; reference
+    * semantics: store_assets.py:40-77 quantization + rescore).
+    *
+    * Scale shape: the probe ranks and the per-query ADC LUT are index
+    * metadata (queries × NumSub × NumCodes rows, broadcast); the
+    * corpus is touched by one codes projection restricted to the
+    * probed clusters, and every window partitions by (query, config) —
+    * bounded keys, never a corpus-wide sort.
+    */
+  def pqRecallReport(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val configs = broadcast(Seq((1, 50), (2, 50), (3, 50), (3, 20))
+      .toDF("nprobe", "candidates"))
+    val maxNprobe = 3
+    val qs = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // per-query centroid ranks (index metadata)
+    val crank = qs.crossJoin(broadcast(IvfIndex.centroids(spark, dir)))
+      .withColumn("crn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(dist2(col("cvec"), col("qvec")).asc, col("cluster_id").asc)))
+      .filter(col("crn") <= maxNprobe)
+      .select(col("query_id"), col("cluster_id"), col("crn"))
+    // per-query ADC lookup table (integerized like the serving path)
+    val lut = codebooks(spark, dir).crossJoin(qs)
+      .select(col("query_id"), col("s"), col("code").cast("long").as("code"),
+        cents(dot(expr(s"slice(qvec, s * $SubDim + 1, $SubDim)"), col("cvec")), 1e9)
+          .as("part_e9"))
+    // approximate scores over probed vectors only
+    val approx = IvfIndex.assignedEmbeddings(spark, dir).select("vec_id", "cluster_id")
+      .join(broadcast(crank), "cluster_id")
+      .join(encode(spark, dir), "vec_id")
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("vec_id"), col("crn"))
+      .agg(sum(col("part_e9")).as("approx_e9"))
+    // per-config candidate cut, then exact rerank of candidates only
+    val topPq = approx.crossJoin(configs).filter(col("crn") <= col("nprobe"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("query_id"), col("nprobe"), col("candidates"))
+          .orderBy(col("approx_e9").desc, col("vec_id").asc)))
+      .filter(col("arn") <= col("candidates"))
+      .join(Tables.embeddings(spark, dir).select("vec_id", "embedding"), "vec_id")
+      .join(broadcast(qs), "query_id")
+      .withColumn("exact", dot(col("embedding"), col("qvec")))
+      .withColumn("ern", row_number().over(
+        Window.partitionBy(col("query_id"), col("nprobe"), col("candidates"))
+          .orderBy(col("exact").desc, col("vec_id").asc)))
+      .filter(col("ern") <= k)
+      .select(col("query_id"), col("nprobe"), col("candidates"), col("vec_id"),
+        lit(1L).as("hit"))
+    // exact brute-force truth, same tiebreaks
+    val brute = KnnSearch.scored(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"), qs)
+      .withColumn("brn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("brn") <= k)
+      .select("query_id", "vec_id")
+    brute.crossJoin(configs)
+      .join(topPq, Seq("query_id", "nprobe", "candidates", "vec_id"), "left")
+      .groupBy(col("nprobe"), col("candidates"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("nprobe"), col("candidates"), col("n_queries"), col("n_hit"),
+        r6(col("n_hit") / (col("n_queries") * lit(k.toDouble))).as("recall"))
+  }
 }

@@ -68,6 +68,17 @@ object Scratch {
       "pagerank" -> (() => graft.operators.GraphOps.pagerank(spark, sfDir).count()),
       "triangles" -> (() => graft.operators.GraphOps.triangles(spark, sfDir).count()),
       "degree_dist" -> (() => graft.operators.GraphOps.degreeDist(spark, sfDir).count()),
+      "codegen_dump" -> { () =>
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val df = graft.operators.PqIndex.searchIvfPq(spark, sfDir)
+        df.collect()
+        val s = org.apache.spark.sql.execution.debug.codegenString(
+          df.queryExecution.executedPlan)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        println(if (s.contains("graft.functions.AnnExprs"))
+          "CODEGEN_CONTAINS_ANNEXPRS_STATIC_CALL"
+        else "NO_ANNEXPRS_IN_CODEGEN\n" + s.take(2000))
+      },
       "tri_diag" -> { () =>
         val t0 = System.nanoTime()
         val pairs = graft.operators.GraphOps.frequentPairs(spark, sfDir, 2)
