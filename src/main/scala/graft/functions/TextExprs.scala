@@ -141,6 +141,69 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** [[DupStatsExpr]] fused with k-gram construction: the duplicate
+    * statistics of `gramsAll(tokens, k)` computed in ONE native pass —
+    * hash-counting (gram string → count) instead of materializing the
+    * gram array and sorting it. The r8 real-document A/B showed the
+    * repetition hot path was never the fold: building ~3k gram strings
+    * per document through an interpreted `transform`+`concat_ws`
+    * lambda cost ~95 s on the 10k-doc archive corpus for native and
+    * HOF folds alike — the gram CONSTRUCTION is the scan cost at
+    * 100 TB. Gram strings are still built (space-joined, exactly
+    * concat_ws(" ") for non-null tokens — a null token is treated as
+    * the empty token, GramCountsExpr precedent), so counts and char
+    * masses are identical to the unfused chain; the parity spec pins
+    * the struct bitwise. A NULL token array yields all-zero stats —
+    * same as the unfused chain, whose size()-guard resolves NULL to an
+    * empty gram array.
+    */
+  case class DupGramStatsExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1)
+    override def dataType: DataType = StructType(Seq(
+      StructField("dup_cnt", LongType, nullable = false),
+      StructField("tot_cnt", LongType, nullable = false),
+      StructField("dup_mass", LongType, nullable = false),
+      StructField("tot_mass", LongType, nullable = false)))
+    override def nullable: Boolean = false
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null)
+        return org.apache.spark.sql.catalyst.InternalRow(0L, 0L, 0L, 0L)
+      val toks = v.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      def tok(i: Int): UTF8String = {
+        val t = toks.getUTF8String(i)
+        if (t eq null) UTF8String.EMPTY_UTF8 else t
+      }
+      val sp = UTF8String.fromString(" ")
+      // gram string -> (count, numChars); one pass, no gram array
+      val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+      var i = 0
+      while (i + k <= n) {
+        var g = tok(i)
+        var j = 1
+        while (j < k) { g = UTF8String.concat(g, sp, tok(i + j)); j += 1 }
+        val e = counts.get(g)
+        if (e == null) counts.put(g, Array(1L, g.numChars().toLong))
+        else e(0) += 1
+        i += 1
+      }
+      var dupCnt = 0L; var totCnt = 0L; var dupMass = 0L; var totMass = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e(0); val m = c * e(1)
+        totCnt += c; totMass += m
+        if (c >= 2) { dupCnt += c; dupMass += m }
+      }
+      org.apache.spark.sql.catalyst.InternalRow(dupCnt, totCnt, dupMass, totMass)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Raw Gopher repetition statistics of a token array in ONE pass:
     * struct(n_toks, n_uniq, top2_cnt, n_g2, dup3_cnt, n_g3, tok_mass),
     * all longs. Replaces five interpreted HOF traversals per row
@@ -296,6 +359,9 @@ object TextExprs {
 
   def dupStats(xs: Column): Column =
     ColumnBridge.column(DupStatsExpr(ColumnBridge.expression(xs)))
+
+  def dupGramStats(tokens: Column, k: Int): Column =
+    ColumnBridge.column(DupGramStatsExpr(ColumnBridge.expression(tokens), k))
 
   def gramCounts(tokens: Column, k: Int): Column =
     ColumnBridge.column(GramCountsExpr(ColumnBridge.expression(tokens), k))

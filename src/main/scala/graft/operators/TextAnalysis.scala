@@ -531,6 +531,22 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** [[dupCharFrac]] with the k-gram construction fused into the native
+    * pass (TextExprs.DupGramStatsExpr): the r8 real-document A/B showed
+    * building the gram array through interpreted `transform` lambdas
+    * WAS the repetition cost (~95 s on the archive corpus either way
+    * the fold ran); the fused expression hash-counts grams in the same
+    * JVM loop. Values are bit-identical to
+    * `dupCharFrac(gramsAll(toks, k))` (DupStatsParitySpec).
+    */
+  private[graft] def dupCharFracGrams(toks: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column = {
+    val st = graft.functions.TextExprs.dupGramStats(toks, k)
+    when(st.getField("tot_mass") > 0,
+      r6(st.getField("dup_mass") / (lit(1.0) * st.getField("tot_mass"))))
+      .otherwise(lit(0.0))
+  }
+
   private[graft] def dupCharFracHof(grams: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val runLen = (run: org.apache.spark.sql.Column, prev: org.apache.spark.sql.Column) =>
       run * length(prev).cast("long")
@@ -568,9 +584,9 @@ object TextAnalysis {
     val toks = tokens(col("text"))
     Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"),
-        dupCharFrac(gramsAll(toks, 2)).as("dup2_char_frac"),
-        dupCharFrac(gramsAll(toks, 3)).as("dup3_char_frac"),
-        dupCharFrac(gramsAll(toks, 4)).as("dup4_char_frac"))
+        dupCharFracGrams(toks, 2).as("dup2_char_frac"),
+        dupCharFracGrams(toks, 3).as("dup3_char_frac"),
+        dupCharFracGrams(toks, 4).as("dup4_char_frac"))
       .withColumn("keep",
         (col("dup2_char_frac") <= 0.10 && col("dup3_char_frac") <= 0.08
           && col("dup4_char_frac") <= 0.06).cast("long"))

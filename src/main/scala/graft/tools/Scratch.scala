@@ -65,6 +65,40 @@ object Scratch {
         graft.operators.TextAnalysis.entropyE6Hof(
           graft.functions.TextFunctions.tokens(col("text"))).as("e"))
         .agg(sum(col("e"))).collect()),
+      // repetition / dup-lines native-vs-HOF over REAL-length prose
+      // (same archive corpus as the gopher/entropy A/Bs)
+      "rep_nat" -> (() => archiveDocs(spark).select(
+        graft.operators.TextAnalysis.dupCharFrac(
+          graft.functions.TextFunctions.gramsAll(
+            graft.functions.TextFunctions.tokens(col("text")), 3)).as("f"))
+        .agg(sum(col("f"))).collect()),
+      "rep_fused" -> (() => archiveDocs(spark).select(
+        graft.operators.TextAnalysis.dupCharFracGrams(
+          graft.functions.TextFunctions.tokens(col("text")), 3).as("f"))
+        .agg(sum(col("f"))).collect()),
+      "rep_hof" -> (() => archiveDocs(spark).select(
+        graft.operators.TextAnalysis.dupCharFracHof(
+          graft.functions.TextFunctions.gramsAll(
+            graft.functions.TextFunctions.tokens(col("text")), 3)).as("f"))
+        .agg(sum(col("f"))).collect()),
+      "dupl_nat" -> { () =>
+        val lines = filter(transform(split(col("text"), "\n"), l => trim(l)),
+          l => length(l) > 0)
+        archiveDocs(spark).select(
+          graft.operators.TextAnalysis.dupCountFrac(lines).as("lf"),
+          graft.operators.TextAnalysis.dupCharFrac(lines).as("cf"))
+          .agg(sum(col("lf")), sum(col("cf"))).collect()
+        ()
+      },
+      "dupl_hof" -> { () =>
+        val lines = filter(transform(split(col("text"), "\n"), l => trim(l)),
+          l => length(l) > 0)
+        archiveDocs(spark).select(
+          graft.operators.TextAnalysis.dupCountFracHof(lines).as("lf"),
+          graft.operators.TextAnalysis.dupCharFracHof(lines).as("cf"))
+          .agg(sum(col("lf")), sum(col("cf"))).collect()
+        ()
+      },
       "pagerank" -> (() => graft.operators.GraphOps.pagerank(spark, sfDir).count()),
       "triangles" -> (() => graft.operators.GraphOps.triangles(spark, sfDir).count()),
       "degree_dist" -> (() => graft.operators.GraphOps.degreeDist(spark, sfDir).count()),

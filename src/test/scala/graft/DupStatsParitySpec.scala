@@ -53,6 +53,35 @@ class DupStatsParitySpec extends AnyFunSuite {
     assert(got.getLong(3) === 4L) // a+a+bb
   }
 
+  test("fused gram construction == unfused chain, struct-bitwise (r8)") {
+    // DupGramStatsExpr(toks, k) must equal dupStats(gramsAll(toks, k))
+    // field for field — the fused path hash-counts grams instead of
+    // materializing + sorting, but the statistics are sums over the
+    // same (gram, count, chars) multiset
+    val toks = tokens(col("text"))
+    (2 to 4).foreach { k =>
+      val bad = Tables.documents(spark, Sf)
+        .select(graft.functions.TextExprs.dupGramStats(toks, k).as("f"),
+          graft.functions.TextExprs.dupStats(gramsAll(toks, k)).as("u"))
+        .filter(col("f.dup_cnt") =!= col("u.dup_cnt") ||
+          col("f.tot_cnt") =!= col("u.tot_cnt") ||
+          col("f.dup_mass") =!= col("u.dup_mass") ||
+          col("f.tot_mass") =!= col("u.tot_mass"))
+        .count()
+      assert(bad === 0L, s"fused gram stats diverged at k=$k on $bad docs")
+    }
+    // short-doc guard + NULL token array resolve to all-zero stats,
+    // exactly like the unfused size()-guarded chain
+    val edge = Seq(Some(Seq("one", "two")), Some(Seq.empty[String]), None)
+      .toDF("toks")
+      .select(graft.functions.TextExprs.dupGramStats(col("toks"), 3).as("f"),
+        graft.functions.TextExprs.dupStats(gramsAll(col("toks"), 3)).as("u"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.getStruct(0).toSeq === r.getStruct(1).toSeq, s"edge: $r")
+    }
+  }
+
   test("native == HOF over the whole corpus at every graded gram size") {
     val toks = tokens(col("text"))
     val lines = filter(transform(split(col("text"), "\n"), l => trim(l)),
