@@ -614,14 +614,16 @@ object OracleSql {
        |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS comp_size
        |FROM comp""".stripMargin
 
-  /** Banded candidate generation (Manku-style): the 32-bit signature is
-    * split into 4 byte blocks; candidates are same-lang pairs sharing at
-    * least one block (an equi-join, mirroring Dedup.simhashBlocks), then
-    * verified at hamming ≤ 8.
+  /** Banded candidate generation (Manku-style): the 64-bit signature is
+    * split into 4 16-bit blocks; candidates are same-lang pairs sharing
+    * at least one block (an equi-join, mirroring Dedup.simhashBlocks),
+    * then verified at hamming ≤ 8. Bit 63 is BIGINT's sign bit —
+    * DuckDB's `1::BIGINT << 63` raises, so it is special-cased to the
+    * Long.MinValue literal (the value Spark's shiftleft produces).
     */
   val dedupSimhash: String =
     s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
-       |bb AS (SELECT unnest(generate_series(0, 31)) AS b),
+       |bb AS (SELECT unnest(generate_series(0, 63)) AS b),
        |v AS (SELECT doc_id, b,
        |  CASE WHEN CAST(floor((strpos('0123456789abcdef', substr(md5(w), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
        |      / (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS INT) % 2 = 1
@@ -629,10 +631,12 @@ object OracleSql {
        |  FROM tok CROSS JOIN bb),
        |sb AS (SELECT doc_id, b, sum(vt) AS s FROM v GROUP BY 1, 2),
        |sg AS (SELECT doc_id,
-       |  CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+       |  CAST(sum(CASE WHEN s > 0 THEN
+       |    (CASE WHEN b = 63 THEN (-9223372036854775807 - 1)::BIGINT
+       |     ELSE (1::BIGINT << CAST(b AS INT)) END) ELSE 0 END) AS BIGINT) AS sig
        |  FROM sb GROUP BY 1),
        |m AS (SELECT doc_id, lang, sig FROM sg JOIN documents USING(doc_id)),
-       |blk AS (SELECT doc_id, lang, sig, blkb AS blk, (sig >> (8 * blkb)) & 255 AS bval
+       |blk AS (SELECT doc_id, lang, sig, blkb AS blk, (sig >> (16 * blkb)) & 65535 AS bval
        |  FROM m CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS blkb) blks),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |    x.lang AS lang, x.sig AS sig_a, y.sig AS sig_b
@@ -1955,12 +1959,12 @@ object OracleSql {
   /** Perceptual-hash payload dedup — mirrors Multimodal.phashDedup
     * (the payload is the UTF-8 text, so the stub decode is invertible
     * and the 4-byte-block SimHash is fully relational; same md5-nibble
-    * vote formulation as dedupSimhash).
+    * vote formulation as dedupSimhash, 64-bit with 16-bit banding).
     */
   val mmPhash: String =
     s"""WITH tok AS (SELECT doc_id, unnest(list_transform(generate_series(1, (length(text) + 3) // 4),
        |    i -> substr(text, (i - 1) * 4 + 1, 4))) AS w FROM documents),
-       |bb AS (SELECT unnest(generate_series(0, 31)) AS b),
+       |bb AS (SELECT unnest(generate_series(0, 63)) AS b),
        |v AS (SELECT doc_id, b,
        |  CASE WHEN CAST(floor((strpos('0123456789abcdef', substr(md5(w), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
        |      / (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS INT) % 2 = 1
@@ -1968,9 +1972,11 @@ object OracleSql {
        |  FROM tok CROSS JOIN bb),
        |sb AS (SELECT doc_id, b, sum(vt) AS s FROM v GROUP BY 1, 2),
        |sg AS (SELECT doc_id,
-       |  CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+       |  CAST(sum(CASE WHEN s > 0 THEN
+       |    (CASE WHEN b = 63 THEN (-9223372036854775807 - 1)::BIGINT
+       |     ELSE (1::BIGINT << CAST(b AS INT)) END) ELSE 0 END) AS BIGINT) AS sig
        |  FROM sb GROUP BY 1),
-       |blk AS (SELECT doc_id, sig, blkb AS blk, (sig >> (8 * blkb)) & 255 AS bval
+       |blk AS (SELECT doc_id, sig, blkb AS blk, (sig >> (16 * blkb)) & 65535 AS bval
        |  FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS blkb) blks),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sig_a, y.sig AS sig_b
        |  FROM blk x JOIN blk y ON x.blk = y.blk AND x.bval = y.bval AND x.doc_id < y.doc_id)

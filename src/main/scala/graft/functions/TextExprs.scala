@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -11,78 +13,269 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native text expressions for the dedup hot path. Each has an HOF /
   * relational twin that defines the semantics (and that the DuckDB
   * oracle mirrors); specs assert exact equality.
+  *
+  * Codegen (r8, the AnnExprs pattern): every expression implements
+  * `doGenCode` as ONE static call (`graft.functions.TextExprs.<helper>`
+  * — an `object`'s methods get Java static forwarders), so text scans
+  * stay inside whole-stage codegen instead of crossing the
+  * interpreted-eval boundary per row. eval() and the generated code
+  * share the same static helpers — one implementation, two entry
+  * points — so the parity specs gate both paths.
   */
 object TextExprs {
+
+  private def tokOrEmpty(toks: ArrayData, i: Int): UTF8String = {
+    val t = toks.getUTF8String(i)
+    if (t eq null) UTF8String.EMPTY_UTF8 else t
+  }
+
+  private val sp = UTF8String.fromString(" ")
+
+  // ---- static entry points shared by eval() and generated code ----
+
+  /** [[ShinglesExpr]] per-row work. */
+  def shinglesArr(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + k <= n) {
+      var s = toks.getUTF8String(i)
+      var j = 1
+      while (j < k) {
+        s = UTF8String.concat(s, sp, toks.getUTF8String(i + j))
+        j += 1
+      }
+      out.add(s)
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  private val simhashDigest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Per-thread memo of token → 32-bit md5 vote word. Natural text is
+    * Zipf-distributed — the same tokens ("the", "of", …) hash over and
+    * over, and md5 dominated the simhash scan (r8: dedup_simhash was a
+    * 10× member of the sf3 tail). md5 is pure, so caching is
+    * semantics-free; keys are defensive copies (the incoming
+    * UTF8String may point into a reused row buffer), and the map is
+    * cleared at a size cap so a pathological vocabulary cannot grow it
+    * unboundedly.
+    */
+  private val simhashMemo = new ThreadLocal[java.util.HashMap[UTF8String, java.lang.Long]] {
+    override def initialValue() = new java.util.HashMap[UTF8String, java.lang.Long]()
+  }
+  private val SimhashMemoCap = 1 << 16
+
+  /** [[SimHashExpr]] per-row work — 64-bit (r8; was 32). */
+  def simhashLong(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    val md = simhashDigest.get()
+    val memo = simhashMemo.get()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      var hBox = memo.get(t)
+      if (hBox == null) {
+        md.reset()
+        val d = md.digest(t.getBytes)
+        var h = 0L
+        var by = 0
+        while (by < 8) { h = (h << 8) | (d(by) & 0xffL); by += 1 }
+        if (memo.size() >= SimhashMemoCap) memo.clear()
+        hBox = java.lang.Long.valueOf(h)
+        memo.put(t.copy(), hBox)
+      }
+      val h = hBox.longValue()
+      var b = 0
+      while (b < 64) {
+        votes(b) += ((((h >>> (63 - b)) & 1L) * 2 - 1)).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** [[DupStatsExpr]] per-row work. */
+  def dupStatsRow(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val xs = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { xs(i) = arr.getUTF8String(i); i += 1 }
+    // any total order groups equal elements — binary UTF8 order here,
+    // with null elements grouped first (current call sites never
+    // produce element nulls, but a future caller gets defined
+    // behavior — all nulls mutually equal, mass 0 — instead of an NPE
+    // from compareTo/numChars)
+    java.util.Arrays.sort(xs, (a: UTF8String, b: UTF8String) =>
+      if (a eq null) { if (b eq null) 0 else -1 }
+      else if (b eq null) 1
+      else a.compareTo(b))
+    var dupCnt = 0L; var dupMass = 0L; var totMass = 0L
+    var run = 0L; var runMass = 0L
+    i = 0
+    while (i < n) {
+      val len = if (xs(i) eq null) 0L else xs(i).numChars().toLong
+      totMass += len
+      if (i > 0 && xs(i) == xs(i - 1)) { run += 1; runMass += len }
+      else {
+        if (run >= 2) { dupCnt += run; dupMass += runMass }
+        run = 1; runMass = len
+      }
+      i += 1
+    }
+    if (run >= 2) { dupCnt += run; dupMass += runMass }
+    InternalRow(dupCnt, n.toLong, dupMass, totMass)
+  }
+
+  /** [[DupGramStatsExpr]] per-row work. `toks` may be null (→ zeros,
+    * like the unfused chain's size()-guard).
+    */
+  def dupGramStatsRow(toks: ArrayData, k: Int): InternalRow = {
+    if (toks == null) return InternalRow(0L, 0L, 0L, 0L)
+    val n = toks.numElements()
+    // gram string -> (count, numChars); one pass, no gram array
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i + k <= n) {
+      var g = tokOrEmpty(toks, i)
+      var j = 1
+      while (j < k) { g = UTF8String.concat(g, sp, tokOrEmpty(toks, i + j)); j += 1 }
+      val e = counts.get(g)
+      if (e == null) counts.put(g, Array(1L, g.numChars().toLong))
+      else e(0) += 1
+      i += 1
+    }
+    var dupCnt = 0L; var totCnt = 0L; var dupMass = 0L; var totMass = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e(0); val m = c * e(1)
+      totCnt += c; totMass += m
+      if (c >= 2) { dupCnt += c; dupMass += m }
+    }
+    InternalRow(dupCnt, totCnt, dupMass, totMass)
+  }
+
+  /** [[GopherRawExpr]] per-row work. */
+  def gopherRawRow(toks: ArrayData): InternalRow = {
+    val n = toks.numElements()
+    val uniq = new java.util.HashSet[UTF8String]()
+    val big = new java.util.HashMap[UTF8String, Long]()
+    val tri = new java.util.HashSet[UTF8String]()
+    var mass = 0L
+    var i = 0
+    while (i < n) {
+      val t = tokOrEmpty(toks, i)
+      mass += t.numChars().toLong
+      uniq.add(t)
+      if (i + 1 < n) {
+        val b = UTF8String.concat(t, sp, tokOrEmpty(toks, i + 1))
+        big.merge(b, 1L, (a, x) => a + x)
+        if (i + 2 < n) tri.add(UTF8String.concat(b, sp, tokOrEmpty(toks, i + 2)))
+      }
+      i += 1
+    }
+    var top2 = 0L
+    val it = big.values().iterator()
+    while (it.hasNext) { val v = it.next(); if (v > top2) top2 = v }
+    val nG2 = if (n >= 2) (n - 1).toLong else 0L
+    val nG3 = if (n >= 3) (n - 2).toLong else 0L
+    InternalRow(n.toLong, uniq.size.toLong, top2, nG2, nG3 - tri.size, nG3, mass)
+  }
+
+  /** [[EntropyRawExpr]] per-row work. */
+  def entropyRawRow(toks: ArrayData): InternalRow = {
+    val n = toks.numElements()
+    val counts = new java.util.HashMap[UTF8String, Long]()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      counts.merge(if (t eq null) UTF8String.EMPTY_UTF8 else t, 1L, (a, x) => a + x)
+      i += 1
+    }
+    var ent = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      // exactly cents(-p * log(p), 1e6) on the same IEEE doubles
+      val p = it.next().toDouble / (1.0 * n)
+      ent += math.floor((-p) * math.log(p) * 1e6 + 0.5).toLong
+    }
+    InternalRow(counts.size.toLong, ent)
+  }
+
+  /** [[GramCountsExpr]] per-row work. */
+  def gramCountsArr(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Long]()
+    var i = 0
+    while (i + k <= n) {
+      var g = tokOrEmpty(toks, i)
+      var j = 1
+      while (j < k) { g = UTF8String.concat(g, sp, tokOrEmpty(toks, i + j)); j += 1 }
+      counts.merge(g, 1L, (a, x) => a + x)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = InternalRow(e.getKey, e.getValue)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** Distinct k-word shingles of a token array in one pass
     * (first-occurrence order — the same order
     * `array_distinct(transform(sequence...))` produces).
     */
-  case class ShinglesExpr(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-    override def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[ArrayData]
-      val n = toks.numElements()
-      val out = new java.util.LinkedHashSet[UTF8String]()
-      var i = 0
-      while (i + k <= n) {
-        var s = toks.getUTF8String(i)
-        var j = 1
-        while (j < k) {
-          s = UTF8String.concat(s, UTF8String.fromString(" "), toks.getUTF8String(i + j))
-          j += 1
-        }
-        out.add(s)
-        i += 1
-      }
-      new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
-    }
+    override def nullSafeEval(input: Any): Any =
+      shinglesArr(input.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.shinglesArr($c, $k);")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** 32-bit SimHash of a token multiset in one pass. Bit b of the
+  /** 64-bit SimHash of a token multiset in one pass (r8; the prior
+    * 32-bit signature saturated — at 150k synthetic docs the banded
+    * candidate join produced 78M candidates and 28M "pairs" at
+    * hamming ≤ 8/32, quadratic in corpus size; production simhash is
+    * 64-bit for exactly this reason, Manku et al. 2007). Bit b of the
     * signature is the sign of Σ_tokens (±1), where the vote is bit
-    * (31-b) of the first 4 md5 bytes (big-endian) — exactly the
+    * (63-b) of the first 8 md5 bytes (big-endian) — exactly the
     * md5-nibble formulation of the relational twin
-    * (Dedup.simhashSignaturesRelational / the DuckDB oracle).
+    * (Dedup.simhashSignaturesRelational / the DuckDB oracle). Token
+    * digests are memoized per thread ([[simhashMemo]]): Zipf reuse
+    * makes the md5 amortize across real corpora.
     */
-  case class SimHashExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHashExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
 
-    @transient private lazy val digest = new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simhashLong(input.asInstanceOf[ArrayData]))
 
-    override def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[ArrayData]
-      val n = toks.numElements()
-      val votes = new Array[Int](32)
-      val md = digest.get()
-      var i = 0
-      while (i < n) {
-        md.reset()
-        val d = md.digest(toks.getUTF8String(i).getBytes)
-        val h = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) | ((d(2) & 0xff) << 8) | (d(3) & 0xff)
-        var b = 0
-        while (b < 32) {
-          votes(b) += (((h >>> (31 - b)) & 1) * 2 - 1)
-          b += 1
-        }
-        i += 1
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 32) {
-        if (votes(b) > 0) sig |= (1L << b)
-        b += 1
-      }
-      java.lang.Long.valueOf(sig)
-    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.simhashLong($c);")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -98,45 +291,19 @@ object TextExprs {
     * the hot path of a 100 TB curation pass, and `aggregate` lambdas
     * evaluate interpreted per element.
     */
-  case class DupStatsExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class DupStatsExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StructType(Seq(
       StructField("dup_cnt", LongType, nullable = false),
       StructField("tot_cnt", LongType, nullable = false),
       StructField("dup_mass", LongType, nullable = false),
       StructField("tot_mass", LongType, nullable = false)))
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val xs = new Array[UTF8String](n)
-      var i = 0
-      while (i < n) { xs(i) = arr.getUTF8String(i); i += 1 }
-      // any total order groups equal elements — binary UTF8 order here,
-      // with null elements grouped first (current call sites never
-      // produce element nulls, but a future caller gets defined
-      // behavior — all nulls mutually equal, mass 0 — instead of an NPE
-      // from compareTo/numChars)
-      java.util.Arrays.sort(xs, (a: UTF8String, b: UTF8String) =>
-        if (a eq null) { if (b eq null) 0 else -1 }
-        else if (b eq null) 1
-        else a.compareTo(b))
-      var dupCnt = 0L; var dupMass = 0L; var totMass = 0L
-      var run = 0L; var runMass = 0L
-      i = 0
-      while (i < n) {
-        val len = if (xs(i) eq null) 0L else xs(i).numChars().toLong
-        totMass += len
-        if (i > 0 && xs(i) == xs(i - 1)) { run += 1; runMass += len }
-        else {
-          if (run >= 2) { dupCnt += run; dupMass += runMass }
-          run = 1; runMass = len
-        }
-        i += 1
-      }
-      if (run >= 2) { dupCnt += run; dupMass += runMass }
-      org.apache.spark.sql.catalyst.InternalRow(dupCnt, n.toLong, dupMass, totMass)
-    }
+    override def nullSafeEval(input: Any): Any =
+      dupStatsRow(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.dupStatsRow($c);")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -157,8 +324,7 @@ object TextExprs {
     * same as the unfused chain, whose size()-guard resolves NULL to an
     * empty gram array.
     */
-  case class DupGramStatsExpr(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class DupGramStatsExpr(child: Expression, k: Int) extends UnaryExpression {
     require(k >= 1)
     override def dataType: DataType = StructType(Seq(
       StructField("dup_cnt", LongType, nullable = false),
@@ -167,38 +333,19 @@ object TextExprs {
       StructField("tot_mass", LongType, nullable = false)))
     override def nullable: Boolean = false
 
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    override def eval(input: InternalRow): Any = {
       val v = child.eval(input)
-      if (v == null)
-        return org.apache.spark.sql.catalyst.InternalRow(0L, 0L, 0L, 0L)
-      val toks = v.asInstanceOf[ArrayData]
-      val n = toks.numElements()
-      def tok(i: Int): UTF8String = {
-        val t = toks.getUTF8String(i)
-        if (t eq null) UTF8String.EMPTY_UTF8 else t
-      }
-      val sp = UTF8String.fromString(" ")
-      // gram string -> (count, numChars); one pass, no gram array
-      val counts = new java.util.HashMap[UTF8String, Array[Long]]()
-      var i = 0
-      while (i + k <= n) {
-        var g = tok(i)
-        var j = 1
-        while (j < k) { g = UTF8String.concat(g, sp, tok(i + j)); j += 1 }
-        val e = counts.get(g)
-        if (e == null) counts.put(g, Array(1L, g.numChars().toLong))
-        else e(0) += 1
-        i += 1
-      }
-      var dupCnt = 0L; var totCnt = 0L; var dupMass = 0L; var totMass = 0L
-      val it = counts.values().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val c = e(0); val m = c * e(1)
-        totCnt += c; totMass += m
-        if (c >= 2) { dupCnt += c; dupMass += m }
-      }
-      org.apache.spark.sql.catalyst.InternalRow(dupCnt, totCnt, dupMass, totMass)
+      dupGramStatsRow(if (v == null) null else v.asInstanceOf[ArrayData], k)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      val arg = s"(${c.isNull} ? null : (org.apache.spark.sql.catalyst.util.ArrayData) ${c.value})"
+      ev.copy(
+        code = c.code + code"""
+          |org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          |  graft.functions.TextExprs.dupGramStatsRow($arg, $k);""".stripMargin,
+        isNull = FalseLiteral)
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -215,8 +362,7 @@ object TextExprs {
     * the consumer's values are bit-identical to the HOF twin
     * (TextAnalysis.gopherStatsHof, which the DuckDB oracle mirrors).
     */
-  case class GopherRawExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class GopherRawExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StructType(Seq(
       StructField("n_toks", LongType, nullable = false),
       StructField("n_uniq", LongType, nullable = false),
@@ -226,40 +372,12 @@ object TextExprs {
       StructField("n_g3", LongType, nullable = false),
       StructField("tok_mass", LongType, nullable = false)))
 
-    override def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[ArrayData]
-      val n = toks.numElements()
-      // null elements never occur at the call sites (split() output);
-      // treat one as the empty token for defined behavior
-      def tok(i: Int): UTF8String = {
-        val t = toks.getUTF8String(i)
-        if (t eq null) UTF8String.EMPTY_UTF8 else t
-      }
-      val sp = UTF8String.fromString(" ")
-      val uniq = new java.util.HashSet[UTF8String]()
-      val big = new java.util.HashMap[UTF8String, Long]()
-      val tri = new java.util.HashSet[UTF8String]()
-      var mass = 0L
-      var i = 0
-      while (i < n) {
-        val t = tok(i)
-        mass += t.numChars().toLong
-        uniq.add(t)
-        if (i + 1 < n) {
-          val b = UTF8String.concat(t, sp, tok(i + 1))
-          big.merge(b, 1L, (a, x) => a + x)
-          if (i + 2 < n) tri.add(UTF8String.concat(b, sp, tok(i + 2)))
-        }
-        i += 1
-      }
-      var top2 = 0L
-      val it = big.values().iterator()
-      while (it.hasNext) { val v = it.next(); if (v > top2) top2 = v }
-      val nG2 = if (n >= 2) (n - 1).toLong else 0L
-      val nG3 = if (n >= 3) (n - 2).toLong else 0L
-      org.apache.spark.sql.catalyst.InternalRow(
-        n.toLong, uniq.size.toLong, top2, nG2, nG3 - tri.size, nG3, mass)
-    }
+    override def nullSafeEval(input: Any): Any =
+      gopherRawRow(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.gopherRawRow($c);")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -272,31 +390,17 @@ object TextExprs {
     * iteration order. Replaces an array_sort + interpreted run-length
     * `aggregate` fold per row with one hash count.
     */
-  case class EntropyRawExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class EntropyRawExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StructType(Seq(
       StructField("n_uniq", LongType, nullable = false),
       StructField("ent_e6", LongType, nullable = false)))
 
-    override def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[ArrayData]
-      val n = toks.numElements()
-      val counts = new java.util.HashMap[UTF8String, Long]()
-      var i = 0
-      while (i < n) {
-        val t = toks.getUTF8String(i)
-        counts.merge(if (t eq null) UTF8String.EMPTY_UTF8 else t, 1L, (a, x) => a + x)
-        i += 1
-      }
-      var ent = 0L
-      val it = counts.values().iterator()
-      while (it.hasNext) {
-        // exactly cents(-p * log(p), 1e6) on the same IEEE doubles
-        val p = it.next().toDouble / (1.0 * n)
-        ent += math.floor((-p) * math.log(p) * 1e6 + 0.5).toLong
-      }
-      org.apache.spark.sql.catalyst.InternalRow(counts.size.toLong, ent)
-    }
+    override def nullSafeEval(input: Any): Any =
+      entropyRawRow(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.entropyRawRow($c);")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -312,41 +416,17 @@ object TextExprs {
     * twin: `gramCountsHof` (array_distinct + per-gram filter count);
     * GramCountsParity in PropertyParitySpec asserts exact equality.
     */
-  case class GramCountsExpr(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class GramCountsExpr(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("g", StringType, nullable = false),
       StructField("c", LongType, nullable = false))), containsNull = false)
 
-    override def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[ArrayData]
-      val n = toks.numElements()
-      // null elements never occur at the call sites (split() output);
-      // treat one as the empty token for defined behavior
-      def tok(i: Int): UTF8String = {
-        val t = toks.getUTF8String(i)
-        if (t eq null) UTF8String.EMPTY_UTF8 else t
-      }
-      val sp = UTF8String.fromString(" ")
-      val counts = new java.util.LinkedHashMap[UTF8String, Long]()
-      var i = 0
-      while (i + k <= n) {
-        var g = tok(i)
-        var j = 1
-        while (j < k) { g = UTF8String.concat(g, sp, tok(i + j)); j += 1 }
-        counts.merge(g, 1L, (a, x) => a + x)
-        i += 1
-      }
-      val out = new Array[Any](counts.size)
-      val it = counts.entrySet().iterator()
-      i = 0
-      while (it.hasNext) {
-        val e = it.next()
-        out(i) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
-        i += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      gramCountsArr(input.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.gramCountsArr($c, $k);")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }

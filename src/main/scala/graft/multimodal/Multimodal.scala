@@ -55,8 +55,9 @@ object Multimodal {
   /** Perceptual-hash near-duplicate detection over the binary payload
     * (the image-dedup pipeline shape): "decode" the payload (stub —
     * bytes back to text here; a real pipeline would decode pixels),
-    * hash fixed 4-byte blocks into a 32-bit SimHash signature, generate
-    * candidates by signature byte-block banding (pigeonhole-exhaustive
+    * hash fixed 4-byte blocks into a 64-bit SimHash signature (r8; was
+    * 32 — the narrow signature saturated its banding at scale),
+    * generate candidates by 16-bit-block banding (pigeonhole-exhaustive
     * for hamming ≤ 3 blocks, same as Dedup.simhashBlocks — never
     * all-pairs), and keep pairs at hamming ≤ `maxHamming`.
     *
@@ -79,7 +80,7 @@ object Multimodal {
       .filter(length(decoded) > 0)
       .select(col("doc_id"), graft.functions.TextExprs.simhash(blocks).as("sig"))
     val blkArr = array((0 until 4).map(b => struct(lit(b).as("blk"),
-      shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bval"))): _*)
+      shiftright(col("sig"), 16 * b).bitwiseAND(lit(65535L)).as("bval"))): _*)
     val blks = sigs
       .select(col("doc_id"), col("sig"), explode(blkArr).as("e"))
       .select(col("doc_id"), col("sig"), col("e.blk").as("blk"), col("e.bval").as("bval"))

@@ -39,7 +39,7 @@ object Dedup {
 
   val NumPerms = 16
   val NumBands = 8 // 8 bands × 2 rows over the 16 permutations
-  val SimhashBlocks = 4 // 32-bit signature split into 4 byte blocks
+  val SimhashBlocks = 4 // 64-bit signature split into 4 16-bit blocks (r8)
 
   /** (doc_id, shingle) — distinct 3-word shingles, exploded (native
     * one-pass shingler; TextFunctions.shingles is the HOF spec twin).
@@ -329,7 +329,8 @@ object Dedup {
         countDistinct(when(col("jaccard") >= verifyT, col("doc_id")))
           .as("n_docs_implicated"))
 
-  /** Per-doc 32-bit SimHash over the token multiset. Bits come from
+  /** Per-doc 64-bit SimHash over the token multiset (r8; 32-bit
+    * saturated at scale — see TextExprs.SimHashExpr). Bits come from
     * md5 nibbles (portable across engines, SURVEY.md §6): token hash bit
     * b = bit (b%4, MSB-first) of hex nibble (b/4) of md5(token); the
     * signature bit is the sign of the ±1 vote sum.
@@ -344,7 +345,7 @@ object Dedup {
     */
   def simhashSignaturesRelational(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bits = broadcast((0 until 32).toDF("b"))
+    val bits = broadcast((0 until 64).toDF("b"))
     val vote = expr(
       """case when cast(floor((instr('0123456789abcdef', substring(md5(w), cast(floor(b/4) as int)+1, 1)) - 1)
         |  / (case b%4 when 0 then 8 when 1 then 4 when 2 then 2 else 1 end)) as int) % 2 = 1
@@ -355,21 +356,27 @@ object Dedup {
       .select(col("doc_id"), col("b"), vote.as("v"))
       .groupBy(col("doc_id"), col("b"))
       .agg(sum(col("v")).as("s"))
+      // bit 63 is Long.MinValue — shiftleft is well-defined in Spark but
+      // the DuckDB mirror must special-case it (1::BIGINT << 63 errors)
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("cast(power(2, b) as bigint)")).otherwise(0L)).as("sig"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), cast(b as int))"))
+        .otherwise(0L)).as("sig"))
   }
 
   /** (doc_id, lang, sig, blk, bval): the signature split into
-    * `SimhashBlocks` byte blocks — the Manku/Google-style banding key.
-    * Two signatures within hamming distance h share at least one block
-    * whenever h < SimhashBlocks·(bits-per-block pigeonhole); joining on
+    * `SimhashBlocks` 16-bit blocks — the Manku/Google-style banding
+    * key. Two signatures within hamming distance h share at least one
+    * block whenever h < SimhashBlocks (pigeonhole); joining on
     * (lang, blk, bval) gives an equi-keyed candidate space that is
-    * linear-ish in corpus size instead of O(n²) per language.
+    * linear-ish in corpus size instead of O(n²) per language. 16-bit
+    * blocks (r8; was 8-bit over the 32-bit signature) give 65536
+    * values per block, so candidate groups stay small as the corpus
+    * grows — the 8-bit blocks saturated at 150k docs (78M candidates).
     */
   def simhashBlocks(spark: SparkSession, dir: String): DataFrame = {
     val blockStructs = array((0 until SimhashBlocks).map(b =>
       struct(lit(b).as("blk"),
-        shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bval"))): _*)
+        shiftright(col("sig"), 16 * b).bitwiseAND(lit(65535L)).as("bval"))): _*)
     simhashSignatures(spark, dir)
       .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
       .select(col("doc_id"), col("lang"), col("sig"), explode(blockStructs).as("bb"))

@@ -73,7 +73,11 @@ object SearchApi {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
     val reranked = scorer.score(
-        top.join(docs, top("vec_id") === docs("doc_id")), queryText, "logit")
+        // top is a bounded retrieval (<= retrieveK rows): broadcast it
+        // onto the documents scan explicitly (AQE picked this plan
+        // anyway; the hint removes the one replan that could shuffle
+        // documents at 100 TB)
+        broadcast(top).join(docs, top("vec_id") === docs("doc_id")), queryText, "logit")
       .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
       .withColumn("label", KnnSearch.relevanceLabel(col("logit")))
     val filtered = Seq(
@@ -109,7 +113,11 @@ object SearchApi {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
     val reranked = scorer.score(
-        top.join(docs, top("vec_id") === docs("doc_id")), queryText, "logit")
+        // top is a bounded retrieval (<= retrieveK rows): broadcast it
+        // onto the documents scan explicitly (AQE picked this plan
+        // anyway; the hint removes the one replan that could shuffle
+        // documents at 100 TB)
+        broadcast(top).join(docs, top("vec_id") === docs("doc_id")), queryText, "logit")
       .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
       .withColumn("label", KnnSearch.relevanceLabel(col("logit")))
     val filtered = Seq(
@@ -146,7 +154,11 @@ object SearchApi {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
     val reranked = scorer.score(
-        top.join(docs, top("vec_id") === docs("doc_id")), queryText, "logit")
+        // top is a bounded retrieval (<= retrieveK rows): broadcast it
+        // onto the documents scan explicitly (AQE picked this plan
+        // anyway; the hint removes the one replan that could shuffle
+        // documents at 100 TB)
+        broadcast(top).join(docs, top("vec_id") === docs("doc_id")), queryText, "logit")
       .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
       .withColumn("label", KnnSearch.relevanceLabel(col("logit")))
     val filtered = Seq(

@@ -102,6 +102,23 @@ object Scratch {
       "pagerank" -> (() => graft.operators.GraphOps.pagerank(spark, sfDir).count()),
       "triangles" -> (() => graft.operators.GraphOps.triangles(spark, sfDir).count()),
       "degree_dist" -> (() => graft.operators.GraphOps.degreeDist(spark, sfDir).count()),
+      "simhash_diag" -> { () =>
+        val t0 = System.nanoTime()
+        val blocks = graft.operators.Dedup.simhashBlocks(spark, sfDir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nb = blocks.count()
+        val t1 = System.nanoTime()
+        val cand = blocks.select(col("doc_id").as("doc_a"), col("lang"), col("blk"), col("bval"))
+          .join(blocks.select(col("doc_id").as("doc_b"), col("lang"), col("blk"), col("bval")),
+            Seq("lang", "blk", "bval"))
+          .filter(col("doc_a") < col("doc_b"))
+        val nc = cand.count()
+        val t2 = System.nanoTime()
+        val np = graft.operators.Dedup.simhashPairs(spark, sfDir).count()
+        val t3 = System.nanoTime()
+        blocks.unpersist()
+        println(f"  blocks=$nb (${(t1 - t0) / 1e9}%.2f) cand=$nc (${(t2 - t1) / 1e9}%.2f) pairs=$np full=${(t3 - t2) / 1e9}%.2f")
+      },
       "codegen_dump" -> { () =>
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         val df = graft.operators.PqIndex.searchIvfPq(spark, sfDir)

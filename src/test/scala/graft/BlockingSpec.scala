@@ -46,15 +46,15 @@ class BlockingSpec extends AnyFunSuite {
       s"pigeonhole violated: missing=${(allPairs -- banded).take(5)}")
   }
 
-  test("banded simhash pairs all share at least one byte block") {
+  test("banded simhash pairs all share at least one 16-bit block") {
     val p = Dedup.simhashPairs(spark, Sf)
     val sigs = Dedup.simhashSignatures(spark, Sf)
     val withSigs = p
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
     val sharesBlock = (0 until Dedup.SimhashBlocks).map(b =>
-      shiftright(col("sig_a"), 8 * b).bitwiseAND(lit(255L))
-        === shiftright(col("sig_b"), 8 * b).bitwiseAND(lit(255L)))
+      shiftright(col("sig_a"), 16 * b).bitwiseAND(lit(65535L))
+        === shiftright(col("sig_b"), 16 * b).bitwiseAND(lit(65535L)))
       .reduce(_ || _)
     assert(withSigs.filter(!sharesBlock).count() === 0)
   }

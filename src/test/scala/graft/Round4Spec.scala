@@ -258,17 +258,20 @@ class Round4Spec extends AnyFunSuite {
     val got = graft.multimodal.Multimodal.phashDedup(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got.nonEmpty)
-    // driver-side signature recomputation (same algebra as TextExprs.simhash)
+    // driver-side signature recomputation (same algebra as the 64-bit
+    // TextExprs.simhash, r8)
     def sigOf(text: String): Long = {
-      val votes = new Array[Int](32)
+      val votes = new Array[Int](64)
       val md = java.security.MessageDigest.getInstance("MD5")
       text.grouped(4).foreach { blk =>
         val d = md.digest(blk.getBytes("UTF-8"))
-        val h = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) | ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+        var h = 0L
+        var by = 0
+        while (by < 8) { h = (h << 8) | (d(by) & 0xffL); by += 1 }
         var b = 0
-        while (b < 32) { votes(b) += (((h >>> (31 - b)) & 1) * 2 - 1); b += 1 }
+        while (b < 64) { votes(b) += (((h >>> (63 - b)) & 1L) * 2 - 1).toInt; b += 1 }
       }
-      (0 until 32).foldLeft(0L)((s, b) => if (votes(b) > 0) s | (1L << b) else s)
+      (0 until 64).foldLeft(0L)((s, b) => if (votes(b) > 0) s | (1L << b) else s)
     }
     val sigs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> sigOf(r.getString(1)))
