@@ -142,17 +142,17 @@ class PropertyParitySpec extends AnyFunSuite {
     // (Dedup.simhashSignaturesRelational)
     def model(toks: Seq[String]): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val votes = new Array[Int](32)
+      val votes = new Array[Int](64) // 64-bit signature (r8)
       toks.foreach { t =>
         md.reset()
         val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        (0 until 32).foreach { b =>
+        (0 until 64).foreach { b =>
           val nib = Integer.parseInt(hex.substring(b / 4, b / 4 + 1), 16)
           val bit = (nib >> (3 - b % 4)) & 1
           votes(b) += (if (bit == 1) 1 else -1)
         }
       }
-      (0 until 32).foldLeft(0L)((s, b) => if (votes(b) > 0) s | (1L << b) else s)
+      (0 until 64).foldLeft(0L)((s, b) => if (votes(b) > 0) s | (1L << b) else s)
     }
     val got = arrays.toDF("xs")
       .select(TextExprs.simhash(col("xs")).as("sig")).collect().map(_.getLong(0))
