@@ -520,13 +520,31 @@ object Relational {
           abs(col("approx_p99") - col("exact_p99")) <= col("exact_p99") * 0.05)
           .as("within_bound"))
 
-  /** Raw HLL++ readout (spec target — estimate column unhashable). */
-  def approxDistinctRaw(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+  /** Raw HLL++ readout (spec target — estimate column unhashable).
+    *
+    * Shape (r8): exact distinct via two-level pre-aggregation and the
+    * HLL in its OWN branch, joined on the 3-row group key — not
+    * `countDistinct` + `approx_count_distinct` in one Aggregate, which
+    * Catalyst rewrites through Expand (every input row duplicated per
+    * distinct group, the HLL buffer riding the widened shuffle).
+    * Measured at sf1 under the checksum action: 7.10 → 0.91 s. Both
+    * formulations produce identical values (HLL register merges are
+    * max-commutative, so the estimate is order-independent for fixed
+    * data), and at 100 TB two narrow partial-agg shuffles beat one
+    * Expand-widened shuffle by the same argument.
+    */
+  def approxDistinctRaw(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_partkey"))
+    val exact = li.groupBy(col("l_returnflag"), col("l_partkey"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("exact_parts"), sum(col("c")).as("n"))
+    val apx = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    exact.join(broadcast(apx), "l_returnflag")
+      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"), col("n"))
+  }
 
   /** Graded form: exact columns + the HLL estimate folded into a
     * within-3×rsd boolean the oracle asserts TRUE (see

@@ -102,6 +102,29 @@ object Scratch {
       "pagerank" -> (() => graft.operators.GraphOps.pagerank(spark, sfDir).count()),
       "triangles" -> (() => graft.operators.GraphOps.triangles(spark, sfDir).count()),
       "degree_dist" -> (() => graft.operators.GraphOps.degreeDist(spark, sfDir).count()),
+      "apxd_cur" -> { () =>
+        val df = graft.operators.Relational.approxDistinct(spark, sfDir)
+        df.agg(bit_xor(xxhash64(df.columns.map(col).toIndexedSeq: _*))).collect()
+        ()
+      },
+      "apxd_join" -> { () =>
+        // exact distinct via pre-aggregation (no Expand), HLL in a
+        // separate branch, joined on the 3-row group key
+        val li = graft.Tables.lineitem(spark, sfDir)
+          .select(col("l_returnflag"), col("l_partkey"))
+        val exact = li.groupBy(col("l_returnflag"), col("l_partkey"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("exact_parts"), sum(col("c")).as("n"))
+        val apx = li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        val df = exact.join(apx, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_parts"), col("n"),
+            (abs(col("approx_parts") - col("exact_parts"))
+              <= col("exact_parts") * 0.06).as("within_bound"))
+        df.agg(bit_xor(xxhash64(df.columns.map(col).toIndexedSeq: _*))).collect()
+        ()
+      },
       "simhash_diag" -> { () =>
         val t0 = System.nanoTime()
         val blocks = graft.operators.Dedup.simhashBlocks(spark, sfDir)
