@@ -117,12 +117,21 @@ object Relational {
     */
   def basketLift(spark: SparkSession, dir: String, minSupport: Long = 3,
       topK: Int = 15): DataFrame = {
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val nOrders = op.select(countDistinct(col("l_orderkey")).as("n_orders"))
-    val partCnt = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
-    val pairs = op.groupBy(col("l_orderkey"))
+    // ONE corpus shuffle (r8): the basket groupBy's collect_set already
+    // dedups (orderkey, partkey), so the order count, the per-part
+    // order counts AND the pair fan-out all derive from the basket
+    // table — the old shape paid a separate 6M-row distinct shuffle
+    // before re-shuffling the same rows into baskets (the same
+    // redundancy frequentPairs dropped). The basket exchange is reused
+    // across all three consumers.
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val partCnt = baskets.select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val pairs = baskets
       .filter(size(col("parts")) >= 2)
       .select(explode(flatten(transform(col("parts"), (a, i) =>
         transform(slice(col("parts"), i + 2, size(col("parts"))), b =>
@@ -402,10 +411,15 @@ object Relational {
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        r6(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-        r6(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
-        r6(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+      // ONE percentile buffer for all three cut points (r8): three
+      // separate percentile() calls each accumulate the full per-group
+      // value multiset — 3× the buffer build and merge for the same
+      // sort. Same interpolation, same values per element.
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(col("l_returnflag"),
+        r6(element_at(col("ps"), 1)).as("p50"),
+        r6(element_at(col("ps"), 2)).as("p90"),
+        r6(element_at(col("ps"), 3)).as("p99"))
 
   /** Order-to-ship latency by priority: count, min/max and exact
     * median/p90 of (ship date − order date) days per order priority —
@@ -427,8 +441,11 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
         min(col("delay")).as("min_days"), max(col("delay")).as("max_days"),
-        graft.functions.VectorFunctions.r6(expr("percentile(delay, 0.5)")).as("p50_days"),
-        graft.functions.VectorFunctions.r6(expr("percentile(delay, 0.9)")).as("p90_days"))
+        // one buffer for both cut points (the q_percentiles r8 note)
+        expr("percentile(delay, array(0.5D, 0.9D))").as("ps"))
+      .select(col("o_orderpriority"), col("n_lines"), col("min_days"), col("max_days"),
+        graft.functions.VectorFunctions.r6(element_at(col("ps"), 1)).as("p50_days"),
+        graft.functions.VectorFunctions.r6(element_at(col("ps"), 2)).as("p90_days"))
       .orderBy(col("o_orderpriority"))
 
   /** Semi/anti-join coverage: per nation, customers with at least one
@@ -488,8 +505,10 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("ap"),
-        expr("percentile(l_extendedprice, 0.5)").as("ex50"),
-        expr("percentile(l_extendedprice, 0.99)").as("ex99"))
+        // one exact buffer for both cut points (the q_percentiles r8 note)
+        expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("exs"))
+      .select(col("l_returnflag"), col("ap"),
+        element_at(col("exs"), 1).as("ex50"), element_at(col("exs"), 2).as("ex99"))
       .select(col("l_returnflag"),
         r6(element_at(col("ap"), 1)).as("approx_p50"),
         r6(element_at(col("ap"), 2)).as("approx_p99"),
