@@ -33,6 +33,7 @@ object DedupChain {
   @volatile private var on = false
   // (table-kind + dir) -> parquet path of the materialized table
   private val built = new ConcurrentHashMap[String, String]()
+  private val buildLocks = new ConcurrentHashMap[String, Object]()
 
   def enable(): Unit = { on = true }
   def disable(): Unit = { on = false }
@@ -53,18 +54,26 @@ object DedupChain {
       build: => DataFrame): DataFrame =
     if (!on) build
     else {
-      // plain get/put, NOT computeIfAbsent: building ngram_pairs
-      // re-enters this method for minhash_sigs, and a nested map
-      // update inside computeIfAbsent's mapping function is illegal
-      // (a rebuild race would only waste one duplicate temp write)
+      // per-KEY lock, NOT computeIfAbsent on `built`: building
+      // ngram_pairs re-enters this method for minhash_sigs, and a
+      // nested map update inside computeIfAbsent's mapping function is
+      // illegal. Distinct kinds take distinct locks (the re-entrant
+      // chain is ngram → minhash, so lock order is acyclic), and the
+      // same thread re-entering its own key's monitor is reentrant —
+      // so two sessions racing the same stage now build it once
+      // (ADVICE r7 nit: the old get/put race wasted a duplicate
+      // temp write)
       val key = kind + "|" + dir
-      var path = built.get(key)
-      if (path == null) {
-        path = java.nio.file.Files.createTempDirectory("graft-chain-")
-          .resolve(kind).toString
-        build.write.parquet(path)
-        built.put(key, path)
+      val lock = buildLocks.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
+        var path = built.get(key)
+        if (path == null) {
+          path = java.nio.file.Files.createTempDirectory("graft-chain-")
+            .resolve(kind).toString
+          build.write.parquet(path)
+          built.put(key, path)
+        }
+        spark.read.parquet(path)
       }
-      spark.read.parquet(path)
     }
 }

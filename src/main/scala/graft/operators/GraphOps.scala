@@ -126,9 +126,10 @@ object GraphOps {
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
       .filter(size(col("parts")) >= 2)
-      .select(explode(flatten(transform(col("parts"), (a, i) =>
-        transform(slice(col("parts"), i + 2, size(col("parts"))), b =>
-          struct(a.as("pa"), b.as("pb")))))).as("p"))
+      // native in-basket pair fan-out (r8): the nested-transform HOF
+      // evaluated an interpreted lambda per produced pair — pair
+      // CONSTRUCTION, not the count, dominated the sf3 tail
+      .select(explode(graft.functions.ArrayExprs.orderedPairs(col("parts"))).as("p"))
       .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSupport)

@@ -133,10 +133,9 @@ object Relational {
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
     val pairs = baskets
       .filter(size(col("parts")) >= 2)
-      .select(explode(flatten(transform(col("parts"), (a, i) =>
-        transform(slice(col("parts"), i + 2, size(col("parts"))), b =>
-          struct(a.as("part_a"), b.as("part_b")))))).as("p"))
-      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      // native pair fan-out (r8 — see GraphOps.frequentPairs)
+      .select(explode(graft.functions.ArrayExprs.orderedPairs(col("parts"))).as("p"))
+      .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
     pairs

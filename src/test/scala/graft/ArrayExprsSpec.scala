@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayExprs
+
+/** The native in-basket pair fan-out must reproduce the nested
+  * transform/slice/flatten formulation element-for-element (order
+  * included) — the HOF is the semantic definition the oracles mirror.
+  */
+class ArrayExprsSpec extends AnyFunSuite {
+  import SparkSuite._
+  import spark.implicits._
+
+  private def hofPairs(parts: Column): Column =
+    flatten(transform(parts, (a, i) =>
+      transform(slice(parts, i + 2, size(parts)), b =>
+        struct(a.as("pa"), b.as("pb")))))
+
+  test("orderedPairs == nested-transform HOF on every corpus basket") {
+    val baskets = Tables.lineitem(spark, Sf)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+    val bad = baskets
+      .select(ArrayExprs.orderedPairs(col("parts")).as("n"),
+        hofPairs(col("parts")).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad === 0L)
+  }
+
+  test("edge cases: empty, singleton, null array") {
+    val rows = Seq(Some(Seq.empty[Long]), Some(Seq(7L)), Some(Seq(3L, 5L, 9L)), None)
+      .toDF("xs")
+      .select(ArrayExprs.orderedPairs(col("xs")).as("n"), hofPairs(col("xs")).as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"nullness: $r")
+      if (!r.isNullAt(0)) assert(r.getSeq[Any](0) === r.getSeq[Any](1), s"pairs: $r")
+    }
+    // the 3-element case explicitly: (3,5), (3,9), (5,9) in order
+    val three = rows(2).getSeq[org.apache.spark.sql.Row](0)
+    assert(three.map(p => (p.getLong(0), p.getLong(1))) ===
+      Seq((3L, 5L), (3L, 9L), (5L, 9L)))
+  }
+}
