@@ -424,7 +424,8 @@ object OracleSql {
        |ORDER BY logit DESC, doc_id LIMIT 10""".stripMargin
 
   private val ivfCtes =
-    s"""cent AS (SELECT vec_id AS cluster_id, embedding AS cvec FROM embeddings WHERE vec_id % 53 = 0),
+    s"""cent AS (SELECT vec_id AS cluster_id, embedding AS cvec FROM embeddings
+       |  WHERE vec_id % 53 = 0 AND vec_id < 5300),
        |ad AS (SELECT e.vec_id, c.cluster_id, ${dist2("e.embedding", "c.cvec")} AS d2
        |  FROM embeddings e CROSS JOIN cent c),
        |asg AS (SELECT vec_id, cluster_id, d2 FROM (

