@@ -324,7 +324,9 @@ object EventOps {
       .groupBy(col("cday"))
       .agg(countDistinct(col("user_id")).as("mau"))
     ud.groupBy(col("day"))
-      .agg(countDistinct(col("user_id")).as("dau"))
+      // ud is already distinct on (user_id, day): a plain count equals
+      // the distinct count without the two-phase distinct agg (r8)
+      .agg(count(lit(1)).as("dau"))
       .join(mau, col("day") === col("cday"))
       .select(col("day"), col("dau"), col("mau"),
         r6(col("dau") / (lit(1.0) * col("mau"))).as("stickiness"))

@@ -52,15 +52,17 @@ object GraphOps {
     */
   def pagerank(spark: SparkSession, dir: String, iters: Int = 2,
       topK: Int = 20): DataFrame = {
-    // do NOT persist ed (or the deduped pair table inside edges()):
-    // the subtree is plan-identical everywhere it appears, so Spark's
-    // ReusedExchange already computes the orders⋈lineitem+distinct
-    // shuffle once per execution — both persist variants were measured
-    // here and LOST (string-edge persist: 6.5 s → 11 s; narrow
-    // (long,long)-pair persist: 4 s → 10 s warm at sf0.1 — the cache
-    // materialization barrier + InMemoryRelation scans cost more than
-    // re-reading the reused shuffle files)
-    val ed = edges(spark, dir)
+    // The r3–r6 shape relied on ReusedExchange for the edge build
+    // (persisting the STRING edge table was measured to LOSE: 6.5 →
+    // 11 s at sf0.1). With the r8 numeric 16-byte edges the tradeoff
+    // flips: eagerly localCheckpointing the deduped edge table wins at
+    // every measured scale (sf0.1 2.64 → 1.91 s, sf1 7.13 → 4.71,
+    // sf3 13.96 → 8.69 — each consumer now reads materialized blocks
+    // instead of re-running the distinct's final aggregation). Same
+    // lineage-truncation caveat as dedup_components' barrier: an
+    // executor loss mid-query recomputes from the checkpoint, not the
+    // source.
+    val ed = edges(spark, dir).localCheckpoint()
     // every node has outdeg ≥ 1, so the outdegree table IS the node
     // set — one groupBy covers nodes + outdeg + (via its count) n,
     // where the old shape paid a separate distinct exchange for nodes

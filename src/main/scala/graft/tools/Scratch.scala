@@ -102,6 +102,30 @@ object Scratch {
       "pagerank" -> (() => graft.operators.GraphOps.pagerank(spark, sfDir).count()),
       "triangles" -> (() => graft.operators.GraphOps.triangles(spark, sfDir).count()),
       "degree_dist" -> (() => graft.operators.GraphOps.degreeDist(spark, sfDir).count()),
+      "pagerank_ck" -> { () =>
+        // pagerank with the numeric edge table eagerly localCheckpointed
+        // (lineage-truncating) instead of relying on ReusedExchange
+        val ed = graft.operators.GraphOps.edges(spark, sfDir).localCheckpoint()
+        val od = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        val nt = od.agg(count(lit(1)).as("n"))
+        import graft.functions.VectorFunctions.{cents, r6}
+        val r0 = od.crossJoin(broadcast(nt))
+          .select(col("src").as("node"), col("outdeg"),
+            cents(lit(0.15) / col("n"), 1e9).as("base_e9"),
+            cents(lit(1.0) / col("n"), 1e9).as("r_e9"))
+        var r = r0
+        for (_ <- 0 until 2) {
+          val cr = r.select(col("node"),
+            cents(lit(0.85) * col("r_e9") / col("outdeg"), 1.0).as("c_e9"))
+          val contrib = ed.join(broadcast(cr), ed("src") === cr("node"))
+            .groupBy(col("dst")).agg(sum(col("c_e9")).as("in_e9"))
+          r = r0.join(broadcast(contrib), r0("node") === contrib("dst"), "left")
+            .select(r0("node"), r0("outdeg"), r0("base_e9"),
+              (r0("base_e9") + coalesce(col("in_e9"), lit(0L))).as("r_e9"))
+        }
+        r.orderBy(col("r_e9").desc).limit(20).count()
+        ()
+      },
       "apxd_cur" -> { () =>
         val df = graft.operators.Relational.approxDistinct(spark, sfDir)
         df.agg(bit_xor(xxhash64(df.columns.map(col).toIndexedSeq: _*))).collect()
