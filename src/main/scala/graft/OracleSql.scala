@@ -896,6 +896,39 @@ object OracleSql {
        |  UNION ALL SELECT doc_b FROM jac WHERE jaccard >= (0.5)::DOUBLE))
        |SELECT * FROM agg CROSS JOIN imp""".stripMargin
 
+  /** Dedup aggressiveness sweep — mirrors Dedup.thresholdSweep: per
+    * drop threshold, verified pairs above it, docs the doc_b drop rule
+    * removes, and the character mass removed.
+    */
+  val dedupSweep: String =
+    s"""WITH $bandCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT c.doc_a, c.doc_b,
+       |  ${r6("coalesce(i.n_inter, 0) / (1.0 * (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)))")} AS jaccard
+       |FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes za ON za.doc_id = c.doc_a
+       |JOIN sizes zb ON zb.doc_id = c.doc_b),
+       |th AS (SELECT * FROM (VALUES ((0.5)::DOUBLE), ((0.6)::DOUBLE), ((0.7)::DOUBLE),
+       |  ((0.8)::DOUBLE), ((0.9)::DOUBLE)) t(threshold)),
+       |hits AS (SELECT t.threshold, j.doc_a, j.doc_b FROM jac j CROSS JOIN th t
+       |  WHERE j.jaccard >= t.threshold),
+       |pr AS (SELECT threshold, count(*) AS n_pairs FROM hits GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents),
+       |dd AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs_dropped,
+       |    CAST(sum(d.n_chars) AS BIGINT) AS chars_dropped
+       |  FROM (SELECT DISTINCT threshold, doc_b FROM hits) h
+       |  JOIN documents d ON d.doc_id = h.doc_b GROUP BY 1)
+       |SELECT t.threshold, coalesce(pr.n_pairs, 0) AS n_pairs,
+       |  coalesce(dd.n_docs_dropped, 0) AS n_docs_dropped,
+       |  coalesce(dd.chars_dropped, 0) AS chars_dropped,
+       |  ${r6("coalesce(dd.chars_dropped, 0) / (1.0 * tot.total_chars)")} AS frac_chars_dropped
+       |FROM th t LEFT JOIN pr ON pr.threshold = t.threshold
+       |LEFT JOIN dd ON dd.threshold = t.threshold CROSS JOIN tot""".stripMargin
+
   val vsQuantizedSearch: String =
     s"""WITH qr AS (SELECT embedding AS qv_raw,
        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS qs
@@ -2566,6 +2599,7 @@ object OracleSql {
     "vs_ivf_recall" -> vsIvfRecall,
     "vs_pq_recall" -> vsPqRecall,
     "dedup_report" -> dedupReport,
+    "dedup_sweep" -> dedupSweep,
     "vs_quantized_search" -> vsQuantizedSearch,
     "vs_binary_search" -> vsBinarySearch,
     "vs_matryoshka" -> vsMatryoshka,

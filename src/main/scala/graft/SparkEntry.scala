@@ -71,6 +71,7 @@ object SparkEntry {
     "vs_ivf_recall" -> ((s, d) => IvfIndex.recallReport(s, d)),
     "vs_pq_recall" -> ((s, d) => PqIndex.pqRecallReport(s, d)),
     "dedup_report" -> ((s, d) => Dedup.report(s, d)),
+    "dedup_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d)),
     "vs_ivf_kmeans" -> ((s, d) => IvfIndex.kmeansStats(s, d)),
     "vs_lsh_ann" -> ((s, d) => LshAnn.search(s, d)),
     "vs_lsh_recall" -> ((s, d) => LshAnn.recallReport(s, d)),

@@ -217,6 +217,42 @@ object Dedup {
       .groupBy(col("doc_b").as("drop_doc"))
       .agg(min(col("doc_a")).as("kept_doc"), max(col("jaccard")).as("max_jaccard"))
 
+  /** The dedup aggressiveness tuning table (r8 — the [[PqIndex
+    * .pqRecallReport]] pattern applied to dedup): for each candidate
+    * drop threshold, the verified pairs above it, the documents the
+    * [[dropDecisions]] rule would remove, and the fraction of corpus
+    * characters removed — what an operator reads before committing a
+    * 100 TB dedup pass to a threshold ("0.8 keeps 99% of the tokens;
+    * 0.6 costs 4%"). One verify chain feeds every threshold: the
+    * sweep rides the SAME LSH candidate pairs (broadcast threshold
+    * dim, per-threshold partial aggs), never re-scanning the corpus
+    * per configuration.
+    */
+  def thresholdSweep(spark: SparkSession, dir: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    import spark.implicits._
+    val th = broadcast(thresholds.toDF("threshold"))
+    val hits = ngramJaccard(spark, dir)
+      .crossJoin(th)
+      .filter(col("jaccard") >= col("threshold"))
+    val pairs = hits.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val docLen = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val total = docLen.agg(sum(col("n_chars")).as("total_chars"))
+    val dropped = hits.select(col("threshold"), col("doc_b").as("doc_id")).distinct()
+      .join(docLen, "doc_id")
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_docs_dropped"), sum(col("n_chars")).as("chars_dropped"))
+    th.join(pairs, Seq("threshold"), "left")
+      .join(dropped, Seq("threshold"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+        coalesce(col("chars_dropped"), lit(0L)).as("chars_dropped"),
+        r6(coalesce(col("chars_dropped"), lit(0L)) /
+          (lit(1.0) * col("total_chars"))).as("frac_chars_dropped"))
+  }
+
   /** Transitive duplicate groups: connected components over the
     * verified near-dup graph (exact Jaccard ≥ threshold), via min-label
     * propagation — each iteration is one join + aggregate, lineage cut
