@@ -32,7 +32,15 @@ object ArrayExprs {
     */
   def orderedPairsArr(xs: ArrayData): ArrayData = {
     val n = xs.numElements()
-    val m = if (n < 2) 0 else n * (n - 1) / 2
+    // pair count in Long: at n ≥ 65536 the Int product n*(n-1)/2
+    // overflows to a negative/truncated size (ADVICE r8) — baskets that
+    // large should be capped/salted upstream, so fail loudly, not wrap
+    val mL = if (n < 2) 0L else n.toLong * (n - 1) / 2
+    if (mL > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"orderedPairs: $n elements produce $mL pairs (> Int.MaxValue); " +
+          "cap or salt baskets this large before the pair fan-out")
+    val m = mL.toInt
     val out = new Array[Any](m)
     var k = 0
     var i = 0

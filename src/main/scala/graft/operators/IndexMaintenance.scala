@@ -53,6 +53,36 @@ object IndexMaintenance {
   private def markerPath(indexPath: String) =
     new Path(s"$indexPath/vectors/_graft_compacted")
 
+  /** Parsed `_graft_compacted` marker: the next epoch number a stream
+    * resume may use, plus the epoch numbers the LAST compaction folded
+    * into the base dir (so a crash between the base swap and the
+    * epoch-dir deletions never double-serves those rows — [[epochDirs]]
+    * skips them and the next compaction deletes the leftovers).
+    * Format: line 1 = epoch int; line 2 (optional) = `folded=1,2,3`.
+    */
+  private case class MarkerInfo(nextEpoch: Int, folded: Set[Int])
+
+  private def readMarker(spark: SparkSession, indexPath: String): Option[MarkerInfo] = {
+    val fs = fsOf(spark, indexPath)
+    val m = markerPath(indexPath)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val lines = try scala.io.Source.fromInputStream(in).getLines().toList
+                  finally in.close()
+      val folded = lines.collectFirst { case s if s.startsWith("folded=") =>
+        s.stripPrefix("folded=").split(",").filter(_.nonEmpty).map(_.trim.toInt).toSet
+      }.getOrElse(Set.empty[Int])
+      Some(MarkerInfo(lines.head.trim.toInt, folded))
+    }
+  }
+
+  private def markerBytes(epoch: Int, folded: Seq[Int]): Array[Byte] = {
+    val body = if (folded.isEmpty) s"$epoch\n"
+               else s"$epoch\nfolded=${folded.sorted.mkString(",")}\n"
+    body.getBytes("UTF-8")
+  }
+
   /** True once the index has been compacted at least once — the point
     * after which streaming appends must use a fresh epoch dir.
     */
@@ -62,18 +92,12 @@ object IndexMaintenance {
   /** Epoch number the next resume should use (monotone across
     * compactions — epoch dirs are never reused, so a stale checkpoint
     * can never write into a directory whose sink log was deleted).
+    * Folded-but-not-yet-deleted leftovers count toward the max, so a
+    * crash mid-cleanup cannot cause a number reuse either.
     */
   private def nextEpoch(spark: SparkSession, indexPath: String): Int = {
-    val fs = fsOf(spark, indexPath)
-    val m = markerPath(indexPath)
-    val fromMarker =
-      if (!fs.exists(m)) 1
-      else {
-        val in = fs.open(m)
-        try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-        finally in.close()
-      }
-    math.max(fromMarker, epochDirs(spark, indexPath).map(epochOf).maxOption.getOrElse(0) + 1)
+    val fromMarker = readMarker(spark, indexPath).map(_.nextEpoch).getOrElse(1)
+    math.max(fromMarker, allEpochDirs(spark, indexPath).map(epochOf).maxOption.getOrElse(0) + 1)
   }
 
   /** The sink directory a post-compaction stream resume should write
@@ -85,16 +109,29 @@ object IndexMaintenance {
   private def epochOf(dir: String): Int =
     dir.substring(dir.lastIndexOf("_e") + 2).toInt
 
-  /** Existing epoch dirs (`vectors_e<k>`) that contain data files. */
-  private def epochDirs(spark: SparkSession, indexPath: String): Seq[String] = {
+  /** Every on-disk `vectors_e<k>` dir, live or folded-leftover — the
+    * set that bounds [[nextEpoch]]'s monotonicity.
+    */
+  private def allEpochDirs(spark: SparkSession, indexPath: String): Seq[String] = {
     val fs = fsOf(spark, indexPath)
     val base = new Path(indexPath)
     if (!fs.exists(base)) Seq.empty
     else fs.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.matches("vectors_e\\d+"))
       .map(_.getPath.toString)
-      .filter(d => parquetFileCount(spark, d) > 0)
       .sortBy(epochOf)
+  }
+
+  /** Epoch dirs that SERVE: contain data files and are not declared
+    * folded by the marker (a folded dir still on disk is a crash
+    * leftover whose rows already live in the compacted base — reading
+    * it would serve those rows twice).
+    */
+  private def epochDirs(spark: SparkSession, indexPath: String): Seq[String] = {
+    val folded = readMarker(spark, indexPath).map(_.folded).getOrElse(Set.empty[Int])
+    allEpochDirs(spark, indexPath)
+      .filterNot(d => folded.contains(epochOf(d)))
+      .filter(d => parquetFileCount(spark, d) > 0)
   }
 
   /** All live vector rows of an index: the base layout plus any resume
@@ -120,6 +157,15 @@ object IndexMaintenance {
   def compactIndex(spark: SparkSession, indexPath: String,
       rowsPerFile: Long = 1L << 20): Long = {
     val vecDir = s"$indexPath/vectors"
+    val fs = fsOf(spark, indexPath)
+    // reconcile a prior crash: epoch dirs the current marker declares
+    // folded hold rows that already live in the compacted base (the
+    // previous run died between its base swap and these deletes)
+    readMarker(spark, indexPath).foreach { mi =>
+      allEpochDirs(spark, indexPath)
+        .filter(d => mi.folded.contains(epochOf(d)))
+        .foreach(d => fs.delete(new Path(d), true))
+    }
     val epochs = epochDirs(spark, indexPath)
     val df = vectorsDf(spark, indexPath)
     val partCol = df.schema.fieldNames.find(n => n == "cluster_id" || n == "bucket")
@@ -135,12 +181,22 @@ object IndexMaintenance {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)
       .partitionBy(partCol).parquet(tmp)
-    val fs = fsOf(spark, tmp)
+    // the marker travels INSIDE tmp, so it lands atomically with the
+    // tmp→vectors rename (ADVICE r8: a post-swap write left a window
+    // where a compacted, sink-log-free base dir read isCompacted==false
+    // and a stream resume's fresh sink log shadowed every row). It also
+    // records which epochs this compaction folded, so vectorsDf skips
+    // their leftovers if the deletes below never run.
+    val preMarker = fs.create(new Path(tmp, "_graft_compacted"), true)
+    try preMarker.write(markerBytes(epoch, epochs.map(epochOf)))
+    finally preMarker.close()
     val dst = new Path(vecDir)
     val aside = new Path(vecDir + "_old")
     // swap with the old data renamed aside FIRST: a crash between any
     // two steps leaves every row on disk (vectors_old + epochs), never
-    // a half-deleted serving dir (ADVICE r7)
+    // a half-deleted serving dir (ADVICE r7). The aside dir carries the
+    // PREVIOUS marker away with it, so from rename to rename the base
+    // marker is always the one matching the base's contents.
     fs.delete(aside, true)
     if (fs.exists(dst) && !fs.rename(dst, aside))
       throw new java.io.IOException(s"could not move $dst aside")
@@ -148,10 +204,6 @@ object IndexMaintenance {
       throw new java.io.IOException(s"could not move $tmp into place")
     fs.delete(aside, true)
     epochs.foreach(e => fs.delete(new Path(e), true))
-    // marker: this index now serves compacted files with no sink log —
-    // streaming appends must rotate to epoch `epoch` or later
-    val out = fs.create(markerPath(indexPath), true)
-    try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
     parquetFileCount(spark, vecDir)
   }
 

@@ -557,7 +557,11 @@ object Relational {
     val exact = li.groupBy(col("l_returnflag"), col("l_partkey"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("exact_parts"), sum(col("c")).as("n"))
+      // count(l_partkey), not count(1): each inner group carries one
+      // distinct partkey value, so counting the non-null ones preserves
+      // countDistinct's NULL-exclusion semantics on null-bearing inputs
+      // (ADVICE r8); n stays the raw row count including NULL partkeys
+      .agg(count(col("l_partkey")).as("exact_parts"), sum(col("c")).as("n"))
     val apx = li.groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
     exact.join(broadcast(apx), "l_returnflag")

@@ -35,16 +35,25 @@ object IndexStream {
     * reads base + epochs via `IndexMaintenance.vectorsDf`).
     */
   private def resolveSink(spark: SparkSession, indexPath: String,
-      sinkDir: String): String = {
+      sinkDir: String): (String, Boolean) = {
     val resolved = if (sinkDir == null) s"$indexPath/vectors" else sinkDir
-    if (resolved == s"$indexPath/vectors" &&
-        IndexMaintenance.isCompacted(spark, indexPath))
+    // compare QUALIFIED paths, not raw strings: a trailing slash, a
+    // file: URI or a relative spelling of the base vectors dir must not
+    // slip past the fail-fast below, nor pick the wrong sink format in
+    // startAppend (ADVICE r8)
+    def qualified(p: String) = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(path)
+    }
+    val isBase = qualified(resolved) == qualified(s"$indexPath/vectors")
+    if (isBase && IndexMaintenance.isCompacted(spark, indexPath))
       throw new IllegalStateException(
         s"$resolved was compacted (its streaming sink log is gone); resuming a " +
           "stream into it would shadow every compacted row for batch readers. " +
           "Resume into IndexMaintenance.nextEpochDir(spark, indexPath) instead " +
           "(keep the same source checkpoint).")
-    resolved
+    (resolved, isBase)
   }
 
   /** Start the append stream. The base `vectors` dir uses the parquet
@@ -60,8 +69,8 @@ object IndexStream {
   private def startAppend(spark: SparkSession, indexPath: String,
       assigned: DataFrame, checkpoint: String, sinkDir: String,
       partCol: String): StreamingQuery = {
-    val resolved = resolveSink(spark, indexPath, sinkDir)
-    if (resolved == s"$indexPath/vectors")
+    val (resolved, isBase) = resolveSink(spark, indexPath, sinkDir)
+    if (isBase)
       assigned.writeStream
         .format("parquet")
         .option("path", resolved)

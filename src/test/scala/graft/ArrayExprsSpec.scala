@@ -43,4 +43,18 @@ class ArrayExprsSpec extends AnyFunSuite {
     assert(three.map(p => (p.getLong(0), p.getLong(1))) ===
       Seq((3L, 5L), (3L, 9L), (5L, 9L)))
   }
+
+  test("a basket whose pair count exceeds Int.MaxValue fails loudly, not wrapped") {
+    // 65_537 elements → 2_147_516_416 pairs > Int.MaxValue: the Int
+    // product used to go negative (NegativeArraySizeException at best,
+    // a truncated pair array at worst — ADVICE r8)
+    val xs = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate(65537)(_.toLong))
+    val e = intercept[IllegalArgumentException] { ArrayExprs.orderedPairsArr(xs) }
+    assert(e.getMessage.contains("cap or salt"))
+    // just under the boundary stays exact: n=3 sanity via the same entry
+    val small = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(3L, 5L, 9L))
+    assert(ArrayExprs.orderedPairsArr(small).numElements() === 3)
+  }
 }

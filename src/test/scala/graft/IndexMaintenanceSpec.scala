@@ -136,6 +136,67 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq === servedFull)
   }
 
+  test("folded-epoch leftovers (crash between swap and delete) never double-serve") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val idx = tmp("graft-crash-ivf")
+    IvfIndex.writeIndex(spark, Sf, idx)
+    val all = spark.read.parquet(s"$idx/vectors")
+    val total = all.count()
+    // split the build into base + one epoch (the post-compaction resume
+    // layout: epoch rows live under a batch=<id> subdir)
+    val base2 = all.filter(pmod(col("vec_id"), lit(3)) =!= 2)
+    val epoch = all.filter(pmod(col("vec_id"), lit(3)) === 2)
+    base2.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$idx/vectors_tmp")
+    epoch.write.partitionBy("cluster_id").parquet(s"$idx/vectors_e1/batch=0")
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$idx/vectors"), true)
+    fs.rename(new Path(s"$idx/vectors_tmp"), new Path(s"$idx/vectors"))
+    assert(IndexMaintenance.vectorsDf(spark, idx).count() === total)
+
+    // snapshot the epoch dir, compact (folds + deletes it), then restore
+    // the snapshot — the on-disk state of a crash BETWEEN the base swap
+    // and the epoch deletions
+    val bak = tmp("graft-crash-bak")
+    FileUtil.copy(fs, new Path(s"$idx/vectors_e1"), fs, new Path(s"$bak/vectors_e1"),
+      false, spark.sparkContext.hadoopConfiguration)
+    IndexMaintenance.compactIndex(spark, idx)
+    // the marker traveled with the swap: present, and it names epoch 1 folded
+    val markerTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$idx/vectors/_graft_compacted")), "UTF-8")
+    assert(IndexMaintenance.isCompacted(spark, idx))
+    assert(markerTxt.contains("folded=1"), s"marker: $markerTxt")
+    FileUtil.copy(fs, new Path(s"$bak/vectors_e1"), fs, new Path(s"$idx/vectors_e1"),
+      false, spark.sparkContext.hadoopConfiguration)
+
+    // the leftover's rows are already in the compacted base: serving
+    // must skip it (no duplicates) and the epoch number is never reused
+    assert(IndexMaintenance.vectorsDf(spark, idx).count() === total)
+    assert(IndexMaintenance.vectorsDf(spark, idx)
+      .groupBy(col("vec_id")).count().filter(col("count") > 1).count() === 0L)
+    assert(IndexMaintenance.nextEpochDir(spark, idx).endsWith("vectors_e2"))
+
+    // the next compaction reconciles: leftover deleted, rows unchanged
+    IndexMaintenance.compactIndex(spark, idx)
+    assert(!fs.exists(new Path(s"$idx/vectors_e1")))
+    assert(spark.read.parquet(s"$idx/vectors").count() === total)
+  }
+
+  test("base-dir spellings with a trailing slash or file: scheme still fail fast") {
+    val idx = tmp("graft-alias-ivf")
+    IvfIndex.writeIndex(spark, Sf, idx)
+    IndexMaintenance.compactIndex(spark, idx)
+    val vecs = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    val ckpt = tmp("graft-alias-ckpt")
+    def mkStream() = spark.readStream.schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"${tmp("graft-alias-src")}/*")
+    // equivalent-but-non-identical spellings of the compacted base dir
+    // must hit the same guard as the exact string (ADVICE r8)
+    for (alias <- Seq(s"$idx/vectors/", s"file:$idx/vectors"))
+      intercept[IllegalStateException] {
+        IndexStream.appendToIndex(spark, idx, mkStream(), ckpt, sinkDir = alias)
+      }
+  }
+
   test("a non-index directory is rejected, not silently rewritten") {
     val idx = tmp("graft-compact-bogus")
     Tables.documents(spark, Sf).limit(5).write.parquet(s"$idx/vectors")
