@@ -29,6 +29,14 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // dropCaches() unpersists each query's lineage-cut blocks AFTER the
+    // query completed — the "locally checkpointed ... cannot be
+    // recomputed" warning that unpersist triggers warns about a
+    // recomputation that can no longer happen, so quiet the RDD loggers
+    // for it (the reliable-checkpoint mode is the real answer on a
+    // preemptible cluster — Checkpointing.cut)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // the bench session runs the whole dedup family back-to-back — the
     // exact user the session-scoped chain cache exists for. The first
     // run of the first chain query pays the one-time materialization

@@ -25,6 +25,11 @@ object Verify {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // the per-query cleanup below unpersists lineage-cut blocks after
+    // each query completed — the recompute warning that triggers is
+    // moot by then (see Bench for the full note)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // session runs the whole dedup family — share its chain artifact
     // (opt-out: SPARK_GRAFT_CHAIN_CACHE=0)
     if (sys.env.getOrElse("SPARK_GRAFT_CHAIN_CACHE", "1") != "0")

@@ -295,7 +295,7 @@ object Dedup {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+      else graft.Checkpointing.cut(df, eager = false) // honors the global flag (r9)
     // one min-label hop in its cheapest relational form: propagated
     // labels unioned with the current ones, one aggregate — a single
     // join + groupBy per hop (the older prop ⋈ left-join-back shape

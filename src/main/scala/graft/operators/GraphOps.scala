@@ -51,44 +51,52 @@ object GraphOps {
     * term is needed: every node here has outdegree ≥ 1 by construction.
     */
   def pagerank(spark: SparkSession, dir: String, iters: Int = 2,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20,
+      maxBroadcastRows: Long = graft.plans.Hints.DefaultMaxBroadcastRows): DataFrame = {
     // The r3–r6 shape relied on ReusedExchange for the edge build
     // (persisting the STRING edge table was measured to LOSE: 6.5 →
     // 11 s at sf0.1). With the r8 numeric 16-byte edges the tradeoff
-    // flips: eagerly localCheckpointing the deduped edge table wins at
+    // flips: eagerly checkpointing the deduped edge table wins at
     // every measured scale (sf0.1 2.64 → 1.91 s, sf1 7.13 → 4.71,
     // sf3 13.96 → 8.69 — each consumer now reads materialized blocks
-    // instead of re-running the distinct's final aggregation). Same
-    // lineage-truncation caveat as dedup_components' barrier: an
-    // executor loss mid-query recomputes from the checkpoint, not the
-    // source.
-    val ed = edges(spark, dir).localCheckpoint()
+    // instead of re-running the distinct's final aggregation). Default
+    // cut is localCheckpoint (lineage-truncation caveat as
+    // dedup_components' barrier); spark.graft.reliableCheckpoint=true
+    // writes rounds to the checkpoint FS instead (r9).
+    val ed = graft.Checkpointing.cut(edges(spark, dir))
     // every node has outdeg ≥ 1, so the outdegree table IS the node
-    // set — one groupBy covers nodes + outdeg + (via its count) n,
-    // where the old shape paid a separate distinct exchange for nodes
+    // set — one groupBy covers nodes + outdeg, and its count (one
+    // cheap job over the materialized edge blocks) gives n, which both
+    // feeds the teleport constants (replacing the old 1-row crossJoin)
+    // and size-gates the per-iteration broadcasts below
     val od = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nt = od.agg(count(lit(1)).as("n"))
+    val nNodes = od.count()
     // static per-node table carried through the loop: outdeg rides in
     // the rank rows (the old shape re-joined rank⋈outdeg every
     // iteration) and the teleport term is precomputed once
-    val r0 = od.crossJoin(broadcast(nt))
+    val r0 = od
       .select(col("src").as("node"), col("outdeg"),
-        cents(lit(0.15) / col("n"), 1e9).as("base_e9"),
-        cents(lit(1.0) / col("n"), 1e9).as("r_e9"))
+        cents(lit(0.15) / lit(nNodes.toDouble), 1e9).as("base_e9"),
+        cents(lit(1.0) / lit(nNodes.toDouble), 1e9).as("r_e9"))
     var r = r0
     for (_ <- 0 until iters) {
       // the per-edge contribution is constant per source node, so it
       // is computed ONCE per node on the O(nodes) broadcast side —
       // the edge scan only propagates and partial-aggregates longs;
-      // only the partially-aggregated (dst, sum) rows shuffle. (At
-      // node counts beyond broadcast reach this becomes a shuffle
-      // join co-partitioned with the groupBy — same plan shape, one
-      // exchange.)
+      // only the partially-aggregated (dst, sum) rows shuffle. The
+      // hints are size-gated on the node count (r9): past
+      // maxBroadcastRows both joins degrade to shuffle joins
+      // co-partitioned with the groupBy — same plan shape, one
+      // exchange each, no code edit (PlanShapeSpec pins both shapes).
       val cr = r.select(col("node"),
         cents(lit(0.85) * col("r_e9") / col("outdeg"), 1.0).as("c_e9"))
-      val contrib = ed.join(broadcast(cr), ed("src") === cr("node"))
+      val contrib = ed.join(
+          graft.plans.Hints.broadcastIfUnder(cr, nNodes, maxBroadcastRows),
+          ed("src") === cr("node"))
         .groupBy(col("dst")).agg(sum(col("c_e9")).as("in_e9"))
-      r = r0.join(broadcast(contrib), r0("node") === contrib("dst"), "left")
+      r = r0.join(
+          graft.plans.Hints.broadcastIfUnder(contrib, nNodes, maxBroadcastRows),
+          r0("node") === contrib("dst"), "left")
         .select(r0("node"), r0("outdeg"), r0("base_e9"),
           (r0("base_e9") + coalesce(col("in_e9"), lit(0L))).as("r_e9"))
     }
@@ -150,19 +158,26 @@ object GraphOps {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree"))
 
-  def triangles(spark: SparkSession, dir: String, minSupport: Long = 2): DataFrame = {
-    val pairs = frequentPairs(spark, dir, minSupport)
+  def triangles(spark: SparkSession, dir: String, minSupport: Long = 2,
+      maxBroadcastRows: Long = graft.plans.Hints.DefaultMaxBroadcastRows): DataFrame = {
+    // materialize the support-pruned pair table once: the three
+    // projections read checkpoint blocks instead of each re-planning
+    // the basket fan-out (r8 got the same sharing via ReusedExchange;
+    // the explicit cut additionally yields the exact pair count, which
+    // size-gates the closure-join broadcasts — r9)
+    val pairs = graft.Checkpointing.cut(frequentPairs(spark, dir, minSupport))
+    val nPairs = pairs.count()
     val ab = pairs.select(col("pa").as("a"), col("pb").as("b"), col("sup").as("s_ab"))
     val bc = pairs.select(col("pa").as("b"), col("pb").as("c"), col("sup").as("s_bc"))
     val ac = pairs.select(col("pa").as("a"), col("pb").as("c"), col("sup").as("s_ac"))
     // the support-pruned pair table is small by construction (35k rows
     // at sf1 for ~9M candidate pairs), so both closure joins broadcast:
-    // zero post-pairs shuffles, and the heavy (pa,pb) count exchange is
-    // computed once and reused across all three projections. If a
-    // lower minSupport ever pushed pairs past broadcast reach, drop
-    // the hints — same plan shape, one exchange per join (r8; was two
-    // shuffle joins re-shuffling the pair table three times).
-    ab.join(broadcast(bc), "b").join(broadcast(ac), Seq("a", "c"))
+    // zero post-pairs shuffles. Past maxBroadcastRows (an adversarially
+    // low minSupport at 100× data) the gate drops the hints and both
+    // closures degrade to shuffle joins — same plan shape, one exchange
+    // per join, no code edit (PlanShapeSpec pins both shapes).
+    ab.join(graft.plans.Hints.broadcastIfUnder(bc, nPairs, maxBroadcastRows), "b")
+      .join(graft.plans.Hints.broadcastIfUnder(ac, nPairs, maxBroadcastRows), Seq("a", "c"))
       .select(col("a"), col("b"), col("c"),
         least(col("s_ab"), col("s_bc"), col("s_ac")).as("min_sup"))
   }

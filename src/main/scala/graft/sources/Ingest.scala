@@ -117,7 +117,7 @@ object Ingest {
     // corpusPath, and appending to a path a running plan still reads is
     // a correctness race if any task recomputes mid-write. The delta is
     // batch-sized (small), so materializing it is the right call here.
-    val fresh = newDocs(batch, corpusPath).localCheckpoint()
+    val fresh = graft.Checkpointing.cut(newDocs(batch, corpusPath))
     val n = fresh.count()
     if (n > 0)
       fresh.write.mode("append").partitionBy("lang").parquet(corpusPath)

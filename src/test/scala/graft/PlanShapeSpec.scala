@@ -262,6 +262,37 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("windowspecdefinition(g#") && l.contains("min(")), p)
   }
 
+  test("size-gated broadcasts degrade to shuffle joins past the gate, results identical") {
+    import graft.operators.GraphOps
+    // BELOW the gate (the default path) the broadcast shapes are pinned
+    // by the pagerank/triangles tests above. Here: force the ABOVE-gate
+    // path (gate at 0 rows) with runtime broadcast conversion disabled,
+    // and require (a) a shuffle join, (b) no broadcast join on the gated
+    // tables, (c) bit-identical results — the no-code-edit degradation
+    // a 100× corpus relies on.
+    val wantPr = GraphOps.pagerank(spark, Sf).collect().map(_.toString).toSeq
+    val wantTri = GraphOps.triangles(spark, Sf).collect().map(_.toString).sorted.toSeq
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "-1"))
+      val pr = GraphOps.pagerank(spark, Sf, maxBroadcastRows = 0)
+      assert(pr.collect().map(_.toString).toSeq === wantPr)
+      val pPlan = pr.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(pPlan.contains("SortMergeJoin") || pPlan.contains("ShuffledHashJoin"), pPlan)
+      assert(!pPlan.contains("BroadcastHashJoin"), pPlan)
+      val tri = GraphOps.triangles(spark, Sf, maxBroadcastRows = 0)
+      assert(tri.collect().map(_.toString).sorted.toSeq === wantTri)
+      val tPlan = tri.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(tPlan.contains("SortMergeJoin") || tPlan.contains("ShuffledHashJoin"), tPlan)
+      assert(!tPlan.contains("BroadcastHashJoin"), tPlan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("heaps pays one vocab shuffle and fits on the bounded checkpoint grid") {
     val p = planOf("text_heaps")
     // token first-occurrence groupBy (vocab-sized) + bucket totals +
