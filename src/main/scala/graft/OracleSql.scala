@@ -423,9 +423,18 @@ object OracleSql {
        |FROM j WHERE dd BETWEEN DATE '2024-03-01' AND DATE '2024-09-30' AND logit >= 0.5
        |ORDER BY logit DESC, doc_id LIMIT 10""".stripMargin
 
+  // the coarse quantizer mirrors IvfIndex.centroids' r9 schedule:
+  // nlist = min(ceil(sqrt(N)), 8192) seeds, picked as the rows with the
+  // smallest md5(vec_id) (uniform hash sample, id-layout independent) —
+  // md5 of the same decimal string is byte-identical in both engines
   private val ivfCtes =
-    s"""cent AS (SELECT vec_id AS cluster_id, embedding AS cvec FROM embeddings
-       |  WHERE vec_id % 53 = 0 AND vec_id < 5300),
+    s"""cprm AS (SELECT LEAST(CAST(ceil(sqrt(count(*))) AS BIGINT), 8192) AS cnl
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cluster_id, embedding AS cvec FROM (
+       |  SELECT vec_id, embedding,
+       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crn
+       |  FROM embeddings), cprm
+       |  WHERE crn <= cnl),
        |ad AS (SELECT e.vec_id, c.cluster_id, ${dist2("e.embedding", "c.cvec")} AS d2
        |  FROM embeddings e CROSS JOIN cent c),
        |asg AS (SELECT vec_id, cluster_id, d2 FROM (

@@ -24,25 +24,48 @@ import graft.functions.VectorFunctions._
   */
 object IvfIndex {
 
-  val CentroidStep = 53
-
-  /** Cap on the coarse quantizer size (r8). Without it the seed rule
-    * (every 53rd vector) grows nlist LINEARLY with the corpus — 1132
-    * centroids at the 30× replica — which makes every assignment scan
-    * corpus × nlist ∝ N²: the reason vs_ivfpq_residual was the 30×
-    * tail's 18× leader. A real IVF quantizer is bounded index metadata
-    * (Faiss guidance nlist ≈ √N, refreshed by retraining), so the seed
-    * table is capped too; every oracle-checked SF has < 100 natural
-    * centroids, so graded results are unchanged.
+  /** Broadcast-reach cap on the coarse quantizer size. r8 found the
+    * corpus-LINEAR seed rule (every 53rd vector → 1132 centroids at the
+    * 30× replica → assignment cost ∝ N²) and capped it at a constant
+    * 100; r9 replaces the constant with the schedule below, and makes
+    * the cap what it should be: the broadcast-safety bound. The
+    * centroid table rides every assignment task as collected metadata
+    * (nlist × dim doubles ≈ 4 MB at the cap for d=64 — an assignment
+    * scan stays a map-side projection), so the cap is set by metadata
+    * reach, not by taste.
     */
-  val MaxCentroids = 100
+  val MaxCentroids = 8192
 
-  /** Deterministic centroid seeds (stand-in for k-means init). */
-  def centroids(spark: SparkSession, dir: String): DataFrame =
+  /** Faiss-guideline coarse-quantizer size: nlist ≈ ⌈√N⌉ under the
+    * broadcast cap, so a probe scans ~N/√N rows instead of N/100 — the
+    * difference between 3% and 0.03% of a 100 TB corpus per query.
+    */
+  def nlistOf(n: Long): Int =
+    math.min(math.ceil(math.sqrt(n.toDouble)).toLong, MaxCentroids.toLong).toInt
+
+  // one count per corpus dir per JVM: the schedule needs N, and every
+  // IVF call site funnels through centroids()
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def corpusSize(spark: SparkSession, dir: String): Long =
+    countCache.computeIfAbsent(dir,
+      _ => Long.box(Tables.embeddings(spark, dir).count())).longValue()
+
+  /** Deterministic centroid seeds (stand-in for k-means init): the
+    * ⌈√N⌉ rows with the smallest md5(vec_id) — a uniform hash sample
+    * that is independent of the id LAYOUT (the old every-53rd-id rule
+    * silently under-seeded corpora with sparse or offset ids), fully
+    * SQL-mirrorable (DuckDB md5 over the same decimal string), and a
+    * distributed top-k (TakeOrderedAndProject), never a global sort.
+    */
+  def centroids(spark: SparkSession, dir: String): DataFrame = {
+    val nl = nlistOf(corpusSize(spark, dir))
     Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % CentroidStep === 0 &&
-        col("vec_id") < CentroidStep.toLong * MaxCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(nl)
       .select(col("vec_id").as("cluster_id"), col("embedding").as("cvec"))
+  }
 
   /** Collect a centroid table (k×dim — index metadata, never data) into
     * a literal `array<struct<cluster_id, cvec>>` column. Element type

@@ -383,6 +383,26 @@ object Scratch {
           done = viol == 0L
         }
         println(f"  comp_diag3 pairs=${(t1 - t0) / 1e9}%.2f (n=$nPairs) rounds=$rounds")
+      },
+      // r9 nlist-schedule evidence: rows a 3-cluster probe actually scans
+      // under nlist = min(ceil(sqrt(N)), cap) — should grow ∝ N/√N = √N,
+      // not ∝ N/100 (the r8 constant)
+      "ivf_probe_rows" -> { () =>
+        import graft.operators.IvfIndex
+        import graft.functions.VectorFunctions.dist2
+        val n = graft.Tables.embeddings(spark, sfDir).count()
+        val cents = IvfIndex.centroids(spark, sfDir)
+        val nl = cents.count()
+        val q = graft.Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        val probed = cents.crossJoin(broadcast(q))
+          .withColumn("cd2", dist2(col("cvec"), col("qvec")))
+          .orderBy(col("cd2").asc, col("cluster_id").asc).limit(3)
+          .select("cluster_id")
+        val probedRows = IvfIndex.assignedEmbeddings(spark, sfDir)
+          .join(broadcast(probed), "cluster_id").count()
+        println(s"  ivf_probe_rows N=$n nlist=$nl nprobe=3 probedRows=$probedRows" +
+          f" frac=${probedRows.toDouble / n}%.4f")
       }
     )
 

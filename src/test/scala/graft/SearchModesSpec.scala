@@ -50,10 +50,13 @@ class SearchModesSpec extends AnyFunSuite {
   test("ivf+pq recovers most of the exact top-10 despite double approximation") {
     val exact = KnnSearch.topK(spark, Sf, k = 10).select("vec_id")
       .collect().map(_.getLong(0)).toSet
-    val ivfpq = graft.operators.PqIndex.searchIvfPq(spark, Sf).select("vec_id")
-      .collect().map(_.getLong(0)).toSet
-    // nprobe=3 cluster pruning on top of PQ codes: both stages lose
-    // candidates; half the true top-10 is the measured floor at sf0.001
+    // probe ~30% of the ⌈√N⌉-scheduled clusters (the pre-r9 constant
+    // was nprobe=3 of 10); both approximation stages lose candidates —
+    // half the true top-10 is the measured floor at sf0.001
+    val nprobe = math.ceil(
+      graft.operators.IvfIndex.centroids(spark, Sf).count() * 0.3).toInt
+    val ivfpq = graft.operators.PqIndex.searchIvfPq(spark, Sf, nprobe = nprobe)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
     assert((exact & ivfpq).size >= 5, s"ivf+pq recall: ${(exact & ivfpq).size}/10")
   }
 
