@@ -2647,6 +2647,9 @@ object OracleSql {
     "q_basket_lift" -> qBasketLift,
     "mm_phash" -> mmPhash,
     "vs_ivfpq_residual" -> vsIvfPqResidual,
+    // the persisted-path twin serves bit-identical results by
+    // construction (shared native encode loops), so it shares the oracle
+    "vs_ivfpq_residual_idx" -> vsIvfPqResidual,
     "q_forecast_sma" -> qForecastSma,
     "q_outer_join" -> qOuterJoin,
     "q_unpivot" -> qUnpivot,

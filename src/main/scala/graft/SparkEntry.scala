@@ -140,6 +140,9 @@ object SparkEntry {
     "mm_resize" -> ((s, d) => Multimodal.resizeQuery(s, d)),
     "mm_energy" -> ((s, d) => Multimodal.energyQuery(s, d)),
     "vs_ivfpq_residual" -> ((s, d) => PqIndex.searchIvfPqResidual(s, d)),
+    // persisted-path twin: same oracle, served from the partition-pruned
+    // codes-only residual index (built once per corpus fingerprint)
+    "vs_ivfpq_residual_idx" -> ((s, d) => PqIndex.searchResidualIndexed(s, d)),
     "q_forecast_sma" -> ((s, d) => EventOps.forecastSma(s, d)),
     "q_outer_join" -> ((s, d) => Relational.outerCoverage(s, d)),
     "q_unpivot" -> ((s, d) => Relational.unpivotStats(s, d)),

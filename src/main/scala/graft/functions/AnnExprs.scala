@@ -66,6 +66,10 @@ object AnnExprs {
     StructField("cluster_id", LongType, nullable = false),
     StructField("res_e9", LongType, nullable = false)))
 
+  private val residualCodesType = StructType(Seq(
+    StructField("cluster_id", LongType, nullable = false),
+    StructField("codes", ArrayType(LongType, containsNull = false), nullable = false)))
+
   private def isFloatArr(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
@@ -189,6 +193,66 @@ object AnnExprs {
     acc
   }
 
+  /** Index of the assigned centroid: same total-ordering rule as
+    * nearestRow (a NaN element makes every d² NaN → min-id centroid);
+    * `minIdx` for malformed rows. Shared by [[residualRow]] and
+    * [[residualCodesRow]] so the fused-ADC and persisted-codes paths
+    * assign identically by construction.
+    */
+  private def assignIdx(emb: ArrayData, ids: Array[Long],
+      cents: Array[Array[Double]], minIdx: Int, isF: Boolean): Int = {
+    val dim = cents(0).length
+    if (emb == null || emb.numElements() != dim || !windowValid(emb, 0, dim))
+      return minIdx
+    var bestD2 = 0.0
+    var bestId = 0L
+    var bestK = 0
+    var k = 0
+    while (k < cents.length) {
+      val cw = cents(k)
+      var d2 = 0.0
+      var j = 0
+      while (j < dim) {
+        val d = elem(emb, j, isF) - cw(j)
+        d2 += d * d
+        j += 1
+      }
+      val cmp = if (k == 0) -1 else java.lang.Double.compare(d2, bestD2)
+      if (cmp < 0 || (cmp == 0 && ids(k) < bestId)) {
+        bestD2 = d2; bestId = ids(k); bestK = k
+      }
+      k += 1
+    }
+    bestK
+  }
+
+  /** Residual codeword of window `s` against the assigned centroid's
+    * slice — window valid iff it lies inside BOTH the embedding and the
+    * centroid dim (zip_with pads the shorter side with NULL) and covers
+    * no null element; 0 otherwise. Shared by ADC and codes paths.
+    */
+  private def residualCode(emb: ArrayData, cvec: Array[Double],
+      sub: Array[Array[Double]], off: Int, subDim: Int, usable: Int,
+      isF: Boolean): Int = {
+    if (off + subDim > usable || !windowValid(emb, off, subDim)) return 0
+    var best = 0
+    var bestD2 = 0.0
+    var c = 0
+    while (c < sub.length) {
+      val cw = sub(c)
+      var d2 = 0.0
+      var j = 0
+      while (j < subDim) {
+        val d = (elem(emb, off + j, isF) - cvec(off + j)) - cw(j)
+        d2 += d * d
+        j += 1
+      }
+      if (c == 0 || java.lang.Double.compare(d2, bestD2) < 0) { bestD2 = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** [[ResidualAdcExpr]] per-row work. `emb` may be null; `minIdx` is
     * the index of the min-id centroid (the assignment for malformed
     * and NaN-free-invalid rows).
@@ -198,68 +262,40 @@ object AnnExprs {
       lut: Array[Array[Long]], minIdx: Int, isF: Boolean): InternalRow = {
     val dim = cents(0).length
     val subDim = rcb(0)(0).length
-    // cluster assignment — same total-ordering rule as nearestRow: a
-    // NaN element assigns the min-id centroid (and its cvec for the
-    // residual fold), matching the HOF twin (ADVICE r7)
-    val valid = emb != null && emb.numElements() == dim && windowValid(emb, 0, dim)
-    var clusterId = ids(minIdx)
-    var cvec = cents(minIdx)
-    if (valid) {
-      var bestD2 = 0.0
-      var bestId = 0L
-      var bestK = 0
-      var k = 0
-      while (k < cents.length) {
-        val cw = cents(k)
-        var d2 = 0.0
-        var j = 0
-        while (j < dim) {
-          val d = elem(emb, j, isF) - cw(j)
-          d2 += d * d
-          j += 1
-        }
-        val cmp = if (k == 0) -1 else java.lang.Double.compare(d2, bestD2)
-        if (cmp < 0 || (cmp == 0 && ids(k) < bestId)) {
-          bestD2 = d2; bestId = ids(k); bestK = k
-        }
-        k += 1
-      }
-      clusterId = bestId
-      cvec = cents(bestK)
-    }
-    // residual fold: window s is valid iff it lies inside BOTH the
-    // embedding and the centroid dim (zip_with pads the shorter side
-    // with NULL) and covers no null embedding element
+    val bestK = assignIdx(emb, ids, cents, minIdx, isF)
+    val cvec = cents(bestK)
     val embLen = if (emb == null) 0 else emb.numElements()
     val usable = math.min(embLen, dim)
     var acc = 0L
     var s = 0
     while (s < rcb.length) {
-      val off = s * subDim
-      var code = 0
-      if (off + subDim <= usable && windowValid(emb, off, subDim)) {
-        val sub = rcb(s)
-        var best = 0
-        var bestD2 = 0.0
-        var c = 0
-        while (c < sub.length) {
-          val cw = sub(c)
-          var d2 = 0.0
-          var j = 0
-          while (j < subDim) {
-            val d = (elem(emb, off + j, isF) - cvec(off + j)) - cw(j)
-            d2 += d * d
-            j += 1
-          }
-          if (c == 0 || java.lang.Double.compare(d2, bestD2) < 0) { bestD2 = d2; best = c }
-          c += 1
-        }
-        code = best
-      }
-      acc += lut(s)(code)
+      acc += lut(s)(residualCode(emb, cvec, rcb(s), s * subDim, subDim, usable, isF))
       s += 1
     }
-    new GenericInternalRow(Array[Any](clusterId, acc))
+    new GenericInternalRow(Array[Any](ids(bestK), acc))
+  }
+
+  /** [[ResidualCodesExpr]] per-row work: struct(cluster_id, codes) —
+    * the persisted-index projection of [[residualRow]] (identical
+    * assignment, identical per-window argmins; the codes are stored
+    * instead of folded through a query LUT).
+    */
+  def residualCodesRow(emb: ArrayData, ids: Array[Long],
+      cents: Array[Array[Double]], rcb: Array[Array[Array[Double]]],
+      minIdx: Int, isF: Boolean): InternalRow = {
+    val dim = cents(0).length
+    val subDim = rcb(0)(0).length
+    val bestK = assignIdx(emb, ids, cents, minIdx, isF)
+    val cvec = cents(bestK)
+    val embLen = if (emb == null) 0 else emb.numElements()
+    val usable = math.min(embLen, dim)
+    val codes = new Array[Any](rcb.length)
+    var s = 0
+    while (s < rcb.length) {
+      codes(s) = residualCode(emb, cvec, rcb(s), s * subDim, subDim, usable, isF).toLong
+      s += 1
+    }
+    new GenericInternalRow(Array[Any](ids(bestK), new GenericArrayData(codes)))
   }
 
   /** Shared doGenCode shape: the child is evaluated by the surrounding
@@ -401,6 +437,41 @@ object AnnExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Persisted-index projection of [[ResidualAdcExpr]]:
+    * struct(cluster_id, codes) with the residual codeword per subspace —
+    * what `PqIndex.writeResidualIndex` stores so a query-time LUT can
+    * score candidates off the code columns alone.
+    */
+  case class ResidualCodesExpr(child: Expression, ids: Array[Long],
+      cents: Array[Array[Double]], rcb: Array[Array[Array[Double]]])
+      extends UnaryExpression {
+    require(ids.length == cents.length && ids.nonEmpty)
+    require(rcb.nonEmpty && rcb.forall(_.nonEmpty))
+
+    override def dataType: DataType = residualCodesType
+    override def nullable: Boolean = false
+
+    @transient private lazy val isF = isFloatArr(child)
+    @transient private lazy val minIdx = ids.indexOf(ids.min)
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      residualCodesRow(if (v == null) null else v.asInstanceOf[ArrayData],
+        ids, cents, rcb, minIdx, isF)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      val rcbRef = ctx.addReferenceObj("rcb", rcb, "double[][][]")
+      staticCallGen(ctx, ev, child, "org.apache.spark.sql.catalyst.InternalRow",
+        arg => s"graft.functions.AnnExprs.residualCodesRow($arg, $idsRef, $centsRef, " +
+          s"$rcbRef, $minIdx, $isF)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def nearestCentroid(emb: Column, ids: Array[Long], cents: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroidExpr(ColumnBridge.expression(emb), ids, cents))
 
@@ -413,4 +484,8 @@ object AnnExprs {
   def residualAdc(emb: Column, ids: Array[Long], cents: Array[Array[Double]],
       rcb: Array[Array[Array[Double]]], lut: Array[Array[Long]]): Column =
     ColumnBridge.column(ResidualAdcExpr(ColumnBridge.expression(emb), ids, cents, rcb, lut))
+
+  def residualCodes(emb: Column, ids: Array[Long], cents: Array[Array[Double]],
+      rcb: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(ResidualCodesExpr(ColumnBridge.expression(emb), ids, cents, rcb))
 }
