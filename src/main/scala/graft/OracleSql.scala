@@ -1536,6 +1536,25 @@ object OracleSql {
        |  ${r6("sum(sum_codes) / (1.0 * sum(wlen))")} AS mean_energy
        |FROM e GROUP BY 1""".stripMargin
 
+  // mm_wav: the Spark side round-trips REAL RIFF/WAVE bytes (encode →
+  // chunk-walking parse → windowed RMS); the oracle recomputes the
+  // closed-form PCM series ((id·31 + i·7) mod 65536) − 32768 that the
+  // WAV payloads carry — the byte stage must be lossless for the hash
+  // to match
+  val mmWav: String =
+    s"""WITH m AS (SELECT doc_id,
+       |  CAST(160 + (doc_id % 7) * 16 AS INT) AS n FROM documents),
+       |s AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM m),
+       |v AS (SELECT doc_id, i,
+       |  CAST(((doc_id * 31 + i * 7) % 65536) - 32768 AS BIGINT) AS v FROM s),
+       |w AS (SELECT doc_id, i // 64 AS widx, sum(v * v) AS ss, count(*) AS n
+       |  FROM v GROUP BY 1, 2)
+       |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+       |  CAST(sum(n) AS BIGINT) AS n_samples, count(*) AS n_windows,
+       |  ${r6("sqrt(max(ss / (1.0 * n)))")} AS peak_rms,
+       |  ${r6("sqrt(sum(ss) / (1.0 * sum(n)))")} AS rms
+       |FROM w GROUP BY 1""".stripMargin
+
   val mmResize: String =
     s"""WITH m AS (SELECT doc_id,
        |  CAST((n_chars % 64) * 10 + 10 AS INT) AS width,
@@ -2691,6 +2710,7 @@ object OracleSql {
     "q_cohort_ltv" -> qCohortLtv,
     "text_js_divergence" -> textJsDivergence,
     "mm_energy" -> mmEnergy,
+    "mm_wav" -> mmWav,
     "text_hapax" -> textHapax,
   )
 }

@@ -139,6 +139,8 @@ object SparkEntry {
     "mm_frames" -> ((s, d) => Multimodal.framesQuery(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resizeQuery(s, d)),
     "mm_energy" -> ((s, d) => Multimodal.energyQuery(s, d)),
+    // real RIFF/WAVE round trip through the batched decode seam (r9)
+    "mm_wav" -> ((s, d) => Multimodal.wavEnergyQuery(s, d)),
     "vs_ivfpq_residual" -> ((s, d) => PqIndex.searchIvfPqResidual(s, d)),
     // persisted-path twin: same oracle, served from the partition-pruned
     // codes-only residual index (built once per corpus fingerprint)

@@ -166,6 +166,119 @@ object Multimodal {
           .r6(sum(col("sum_codes")) / (lit(1.0) * sum(col("wlen")))).as("mean_energy"))
   }
 
+  // ---- real WAV codec (r9): ONE modality's decoder is genuine ----
+  // Everything below runs actual RIFF/WAVE bytes through the batched
+  // decode seam — no ASCII stand-in. The PCM content is a closed-form
+  // series of (doc_id, i), which is what makes the END of the pipeline
+  // oracle-checkable while the MIDDLE is a real binary round trip.
+
+  case class WavRow(doc_id: Long, payload: Array[Byte])
+  case class WavDecoded(doc_id: Long, sample_rate: Int, samples: Array[Int])
+
+  val WavSampleRate = 8000
+
+  /** Closed-form 16-bit PCM samples for a doc (the oracle mirrors this
+    * arithmetic): 160–256 samples of ((id·31 + i·7) mod 65536) − 32768.
+    */
+  def wavSamples(id: Long): Array[Int] = {
+    val n = (160 + (id % 7) * 16).toInt
+    Array.tabulate(n)(i => (((id * 31 + i.toLong * 7) % 65536) - 32768).toInt)
+  }
+
+  /** Real RIFF/WAVE writer: canonical fmt chunk (PCM, mono, 16-bit,
+    * little-endian). With `withListChunk` a LIST/INFO chunk sits
+    * between fmt and data — so a "decoder" that blindly seeks byte 44
+    * reads garbage; only a chunk-walking parser decodes every payload.
+    */
+  def encodeWav(samples: Array[Int], sampleRate: Int,
+      withListChunk: Boolean): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val listSize = if (withListChunk) 12 else 0 // "LIST" + size + "INFO"
+    val buf = java.nio.ByteBuffer.allocate(44 + listSize + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + listSize + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+    if (withListChunk)
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
+  /** Real RIFF/WAVE parser: validates the RIFF/WAVE magic, walks the
+    * chunk list (skipping unknown chunks, honoring the RIFF word-align
+    * padding rule), reads fmt (requires PCM mono 16-bit) and decodes
+    * the data chunk as little-endian s16.
+    */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Int]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF file")
+    buf.getInt() // riff size
+    require(fourcc() == "WAVE", "not a WAVE file")
+    var sampleRate = -1
+    var samples: Array[Int] = null
+    while (buf.remaining() >= 8 && samples == null) {
+      val id = fourcc()
+      val size = buf.getInt()
+      id match {
+        case "fmt " =>
+          val fmt = buf.getShort(); val ch = buf.getShort()
+          sampleRate = buf.getInt(); buf.getInt(); buf.getShort()
+          val bits = buf.getShort()
+          require(fmt == 1 && ch == 1 && bits == 16,
+            s"unsupported WAV flavor: fmt=$fmt channels=$ch bits=$bits")
+          buf.position(buf.position() + (size - 16))
+        case "data" =>
+          require(sampleRate > 0, "data chunk before fmt")
+          samples = Array.fill(size / 2)(buf.getShort().toInt)
+        case _ =>
+          buf.position(buf.position() + size + (size & 1)) // skip + pad byte
+      }
+    }
+    require(samples != null, "no data chunk")
+    (sampleRate, samples)
+  }
+
+  /** Graded audio-energy query over REAL WAV bytes: encode each doc's
+    * PCM series as a genuine RIFF/WAVE payload, decode it back through
+    * the batched partition-wise seam (the mapPartitions shape every
+    * media decoder here uses), then windowed RMS — per-doc window
+    * count, peak-window RMS and overall RMS. The byte stage is real
+    * (odd docs carry an extra LIST chunk the parser must skip); the
+    * oracle recomputes the closed-form PCM arithmetic.
+    */
+  def wavEnergyQuery(spark: SparkSession, dir: String,
+      windowSamples: Int = 64): DataFrame = {
+    import spark.implicits._
+    val sr = WavSampleRate
+    val media: Dataset[WavRow] = graft.Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id")).as[Long]
+      .map(id => WavRow(id, encodeWav(wavSamples(id), sr, id % 2 == 1)))
+    val decoded = media.mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+      val (rate, ss) = decodeWav(r.payload)
+      WavDecoded(r.doc_id, rate, ss)
+    }))
+    decoded.toDF()
+      .select(col("doc_id"), col("sample_rate").cast("long").as("sample_rate"),
+        posexplode(col("samples")).as(Seq("i", "v")))
+      .groupBy(col("doc_id"), col("sample_rate"), expr(s"i div $windowSamples").as("widx"))
+      .agg(sum(col("v").cast("long") * col("v")).as("ss"), count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("sample_rate"))
+      .agg(sum(col("n")).as("n_samples"), count(lit(1)).as("n_windows"),
+        graft.functions.VectorFunctions
+          .r6(sqrt(max(col("ss") / (lit(1.0) * col("n"))))).as("peak_rms"),
+        graft.functions.VectorFunctions
+          .r6(sqrt(sum(col("ss")) / (lit(1.0) * sum(col("n"))))).as("rms"))
+      .select("doc_id", "sample_rate", "n_samples", "n_windows", "peak_rms", "rms")
+  }
+
   /** Frame sampling for audio/video-like payloads: split the byte
     * stream into fixed-size frames and keep every `stride`-th one —
     * the Spark-side plumbing (explode with positional index, pruned
