@@ -231,9 +231,12 @@ object Dedup {
   def thresholdSweep(spark: SparkSession, dir: String,
       thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
     import spark.implicits._
-    val th = broadcast(thresholds.toDF("threshold"))
+    // the hint stays on the crossJoin fan-out only: hinting the LEFT
+    // side of the left joins below is unsupported (build-left for a
+    // left outer join) and Spark drops it with a warning (r9)
+    val th0 = thresholds.toDF("threshold")
     val hits = ngramJaccard(spark, dir)
-      .crossJoin(th)
+      .crossJoin(broadcast(th0))
       .filter(col("jaccard") >= col("threshold"))
     val pairs = hits.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
     val docLen = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
@@ -242,8 +245,8 @@ object Dedup {
       .join(docLen, "doc_id")
       .groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_docs_dropped"), sum(col("n_chars")).as("chars_dropped"))
-    th.join(pairs, Seq("threshold"), "left")
-      .join(dropped, Seq("threshold"), "left")
+    th0.join(broadcast(pairs), Seq("threshold"), "left")
+      .join(broadcast(dropped), Seq("threshold"), "left")
       .crossJoin(broadcast(total))
       .select(col("threshold"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),

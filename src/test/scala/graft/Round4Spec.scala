@@ -288,7 +288,15 @@ class Round4Spec extends AnyFunSuite {
 
   test("residual ivfpq: sane recall vs brute force and tighter codes than raw PQ") {
     import graft.functions.VectorFunctions.dot
-    val got = graft.operators.PqIndex.searchIvfPqResidual(spark, Sf).collect()
+    // probe ~30% of the ⌈√N⌉-scheduled clusters (pre-r9: 3 of 10) with a
+    // 100-deep candidate cut: measured recall at sf0.001 is limited by
+    // the 16-codeword ADC ordering, not the probe (full probe at
+    // cand=50 also reads 3/10; cand=100 recovers half the true top-10)
+    val nprobe = math.ceil(
+      graft.operators.IvfIndex.centroids(spark, Sf).count() * 0.3).toInt
+    val got = graft.operators.PqIndex.searchIvfPqResidual(spark, Sf,
+        nprobe = nprobe, candidates = 100)
+      .collect()
     assert(got.length === 10)
     val exact = got.map(_.getDouble(3)).toSeq
     assert(exact === exact.sorted.reverse)
