@@ -406,16 +406,39 @@ object PqIndex {
     * the index reproduces the in-memory results exactly
     * (PqResidualIndexedSpec).
     */
-  def writeResidualIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
-    val (ids, cvecs) = IvfIndex.centroidMeta(IvfIndex.centroids(spark, dir))
-    val rcb = residualCodebookMeta(spark, dir)
+  /** The persisted residual layout's row projection — (vec_id,
+    * embedding, cluster_id, rcode_0..) — for a (vec_id, embedding)
+    * frame against explicit index metadata; shared by the batch build
+    * and the streaming append so both write byte-identical rows
+    * (the PQ `indexRows` pattern).
+    */
+  private[graft] def residualIndexRows(vecs: DataFrame, cents: DataFrame,
+      rcb: Array[Array[Array[Double]]]): DataFrame = {
+    val (ids, cvecs) = IvfIndex.centroidMeta(cents)
     val rc = graft.functions.AnnExprs.residualCodes(col("embedding"), ids, cvecs, rcb)
     val codeCols = (0 until NumSub).map(s =>
       element_at(col("rc.codes"), s + 1).cast("int").as(s"rcode_$s"))
-    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    vecs.select(col("vec_id"), col("embedding"))
       .withColumn("rc", rc)
       .select(col("vec_id") +: col("embedding") +:
         col("rc.cluster_id").as("cluster_id") +: codeCols: _*)
+  }
+
+  /** Residual codebook meta from an arbitrary (s, code, rcvec) table —
+    * e.g. the one persisted under a residual index path (rcvec is
+    * double: residuals are computed in double).
+    */
+  private[graft] def residualCodebookMetaOf(cbDf: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = cbDf.select(col("s"), col("code").cast("long"), col("rcvec")).collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    Array.tabulate(bySub.size) { s =>
+      bySub(s).sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray)
+    }
+  }
+
+  def writeResidualIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    residualIndexRows(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+        IvfIndex.centroids(spark, dir), residualCodebookMeta(spark, dir))
       .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$indexPath/vectors")
     IvfIndex.centroids(spark, dir).write.mode("overwrite").parquet(s"$indexPath/centroids")

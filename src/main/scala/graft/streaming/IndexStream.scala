@@ -138,6 +138,31 @@ object IndexStream {
       assignWithPqIndexMeta(spark, indexPath, newVecs),
       checkpoint, sinkDir, "cluster_id")
 
+  /** Residual-PQ twin of [[assignWithPqIndexMeta]]: cluster assignment
+    * AND residual codes from the metadata persisted under the residual
+    * index path (PqIndex.writeResidualIndex) via the SAME shared row
+    * projection the batch build uses — streamed rows byte-identical.
+    */
+  def assignWithResidualIndexMeta(spark: SparkSession, indexPath: String,
+      vecs: DataFrame): DataFrame =
+    PqIndex.residualIndexRows(vecs,
+      spark.read.parquet(s"$indexPath/centroids"),
+      PqIndex.residualCodebookMetaOf(spark.read.parquet(s"$indexPath/codebooks")))
+
+  /** Continuously append a stream of new embeddings into the persisted
+    * RESIDUAL index — completing streaming maintenance across all four
+    * persisted layouts (IVF, PQ, residual PQ, LSH); exactly-once per
+    * source file via the checkpoint, like [[appendToIndex]], and the
+    * same compaction/log-rotation contract (the layout partitions by
+    * cluster_id, so IndexMaintenance applies unchanged).
+    */
+  def appendToResidualIndex(spark: SparkSession, indexPath: String,
+      newVecs: DataFrame, checkpoint: String,
+      sinkDir: String = null): StreamingQuery =
+    startAppend(spark, indexPath,
+      assignWithResidualIndexMeta(spark, indexPath, newVecs),
+      checkpoint, sinkDir, "cluster_id")
+
   /** LSH twin: the hyperplanes are derived deterministically (no
     * persisted metadata to read), so streamed vectors bucket exactly
     * like batch-built ones by construction — completing streaming

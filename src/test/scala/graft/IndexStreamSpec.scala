@@ -104,6 +104,46 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
   }
 
+  test("stream-appended residual index serves identically to the batch-built one") {
+    import graft.operators.PqIndex
+    val fullIdx = tmp("graft-residx-full")
+    val liveIdx = tmp("graft-residx-live")
+    val staging = tmp("graft-residx-staging")
+    val ckpt = tmp("graft-residx-ckpt")
+
+    PqIndex.writeResidualIndex(spark, Sf, fullIdx)
+    spark.read.parquet(s"$fullIdx/centroids").write.parquet(s"$liveIdx/centroids")
+    spark.read.parquet(s"$fullIdx/codebooks").write.parquet(s"$liveIdx/codebooks")
+
+    val vecs = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    vecs.filter(col("vec_id") % 2 === 0).write.parquet(s"$staging/wave1")
+    vecs.filter(col("vec_id") % 2 === 1).write.parquet(s"$staging/wave2")
+    val stream = spark.readStream
+      .schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/wave*")
+    val q = IndexStream.appendToResidualIndex(spark, liveIdx, stream, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    // streamed rows byte-identical to batch-built ones: same residual
+    // codes, same clusters, for every vector
+    val cols = Seq("vec_id", "cluster_id", "rcode_0", "rcode_1", "rcode_2", "rcode_3")
+    val live = spark.read.parquet(s"$liveIdx/vectors")
+    val full = spark.read.parquet(s"$fullIdx/vectors")
+    assert(live.count() === full.count())
+    assert(live.select(cols.map(col): _*)
+      .exceptAll(full.select(cols.map(col): _*)).count() === 0L)
+
+    // serving over the streamed index == batch-built == fused in-memory
+    val query = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val a = PqIndex.searchResidualIndex(spark, liveIdx, query).collect()
+    val b = PqIndex.searchResidualIndex(spark, fullIdx, query).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    assert(a.map(_.toString).toSeq ===
+      PqIndex.searchIvfPqResidual(spark, Sf).collect().map(_.toString).toSeq)
+  }
+
   test("stream-appended LSH index serves identically to the batch-built one") {
     import graft.operators.LshAnn
     val fullIdx = tmp("graft-lshidx-full")
