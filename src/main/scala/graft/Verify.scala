@@ -25,11 +25,6 @@ object Verify {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
-    // the per-query cleanup below unpersists lineage-cut blocks after
-    // each query completed — the recompute warning that triggers is
-    // moot by then (see Bench for the full note)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // session runs the whole dedup family — share its chain artifact
     // (opt-out: SPARK_GRAFT_CHAIN_CACHE=0)
     if (sys.env.getOrElse("SPARK_GRAFT_CHAIN_CACHE", "1") != "0")
@@ -44,8 +39,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release per-query persisted blocks so 50 queries don't accumulate
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // (rdd loggers quieted around the loop only: the unpersist-after-
+      // completion recompute warning is moot — see Bench.dropCaches)
+      def rddLogLevel(l: org.apache.logging.log4j.Level): Unit =
+        org.apache.logging.log4j.core.config.Configurator
+          .setLevel("org.apache.spark.rdd", l)
+      rddLogLevel(org.apache.logging.log4j.Level.ERROR)
+      try {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      } finally rddLogLevel(org.apache.logging.log4j.Level.WARN)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -227,8 +227,14 @@ object Multimodal {
     while (buf.remaining() >= 8 && samples == null) {
       val id = fourcc()
       val size = buf.getInt()
+      // the size field is attacker-controlled bytes: a negative value
+      // would move position() BACKWARD (an infinite re-parse loop, not
+      // a loud failure), and an oversized one past the buffer
+      require(size >= 0 && size <= buf.remaining(),
+        s"corrupt chunk '$id': size=$size with ${buf.remaining()} bytes left")
       id match {
         case "fmt " =>
+          require(size >= 16, s"fmt chunk too short: $size")
           val fmt = buf.getShort(); val ch = buf.getShort()
           sampleRate = buf.getInt(); buf.getInt(); buf.getShort()
           val bits = buf.getShort()

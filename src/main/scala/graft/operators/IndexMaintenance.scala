@@ -161,11 +161,10 @@ object IndexMaintenance {
     // reconcile a prior crash: epoch dirs the current marker declares
     // folded hold rows that already live in the compacted base (the
     // previous run died between its base swap and these deletes)
-    readMarker(spark, indexPath).foreach { mi =>
-      allEpochDirs(spark, indexPath)
-        .filter(d => mi.folded.contains(epochOf(d)))
-        .foreach(d => fs.delete(new Path(d), true))
-    }
+    val prevFolded = readMarker(spark, indexPath).map(_.folded).getOrElse(Set.empty[Int])
+    allEpochDirs(spark, indexPath)
+      .filter(d => prevFolded.contains(epochOf(d)))
+      .foreach(d => fs.delete(new Path(d), true))
     val epochs = epochDirs(spark, indexPath)
     val df = vectorsDf(spark, indexPath)
     val partCol = df.schema.fieldNames.find(n => n == "cluster_id" || n == "bucket")
@@ -187,8 +186,13 @@ object IndexMaintenance {
     // and a stream resume's fresh sink log shadowed every row). It also
     // records which epochs this compaction folded, so vectorsDf skips
     // their leftovers if the deletes below never run.
+    // the folded set ACCUMULATES the previous marker's entries: if the
+    // reconcile delete above failed silently (fs.delete returns false on
+    // e.g. a transient object-store error), the leftover must stay
+    // skip-listed — epoch numbers are never reused, so stale entries for
+    // long-deleted dirs are harmless
     val preMarker = fs.create(new Path(tmp, "_graft_compacted"), true)
-    try preMarker.write(markerBytes(epoch, epochs.map(epochOf)))
+    try preMarker.write(markerBytes(epoch, (prevFolded ++ epochs.map(epochOf)).toSeq))
     finally preMarker.close()
     val dst = new Path(vecDir)
     val aside = new Path(vecDir + "_old")

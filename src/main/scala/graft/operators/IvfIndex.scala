@@ -43,12 +43,29 @@ object IvfIndex {
   def nlistOf(n: Long): Int =
     math.min(math.ceil(math.sqrt(n.toDouble)).toLong, MaxCentroids.toLong).toInt
 
-  // one count per corpus dir per JVM: the schedule needs N, and every
-  // IVF call site funnels through centroids()
+  // one count per corpus STATE per JVM: the schedule needs N, and every
+  // IVF call site funnels through centroids(). Keyed by the embeddings
+  // files' (path, len, mtime) signature, not the dir string — an
+  // in-place corpus refresh inside a live JVM must recompute N, or
+  // nlist silently diverges from the oracle (and poisons the
+  // fingerprint-keyed index caches). The signature is a metadata-only
+  // listing, ~free next to any query.
   private val countCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  private[graft] def corpusSignature(spark: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val st = it.next()
+      entries += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+    }
+    entries.sorted.mkString(";")
+  }
+
   private def corpusSize(spark: SparkSession, dir: String): Long =
-    countCache.computeIfAbsent(dir,
+    countCache.computeIfAbsent(corpusSignature(spark, dir),
       _ => Long.box(Tables.embeddings(spark, dir).count())).longValue()
 
   /** Deterministic centroid seeds (stand-in for k-means init): the

@@ -254,9 +254,16 @@ object PqIndex {
     * centered near zero, so a shared codebook fits them far better than
     * raw vectors.
     */
-  def residualCodebooks(spark: SparkSession, dir: String): DataFrame = {
+  def residualCodebooks(spark: SparkSession, dir: String): DataFrame =
+    residualCodebooksFrom(spark, dir, IvfIndex.centroids(spark, dir))
+
+  /** Same, against an explicit centroid table (so a build that already
+    * materialized the centroid pick does not re-run it).
+    */
+  private[graft] def residualCodebooksFrom(spark: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = {
     import spark.implicits._
-    val centsLit = IvfIndex.centroidLiteral(IvfIndex.centroids(spark, dir))
+    val centsLit = IvfIndex.centroidLiteral(cents)
     val subs = broadcast((0 until NumSub).toDF("s"))
     Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 17 === 0 && col("vec_id") < NumCodes * 17)
@@ -277,14 +284,8 @@ object PqIndex {
   /** Residual codebooks as primitive arrays [s][code][SubDim] (already
     * double — residuals are computed in double).
     */
-  private def residualCodebookMeta(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
-    val rows = residualCodebooks(spark, dir)
-      .select(col("s"), col("code").cast("long"), col("rcvec")).collect()
-    val bySub = rows.groupBy(_.getInt(0))
-    Array.tabulate(NumSub) { s =>
-      bySub(s).sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray)
-    }
-  }
+  private def residualCodebookMeta(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    residualCodebookMetaOf(residualCodebooks(spark, dir))
 
   private[graft] def residualCodebookLiteral(spark: SparkSession, dir: String) = {
     val bySub = residualCodebooks(spark, dir)
@@ -431,18 +432,26 @@ object PqIndex {
   private[graft] def residualCodebookMetaOf(cbDf: DataFrame): Array[Array[Array[Double]]] = {
     val rows = cbDf.select(col("s"), col("code").cast("long"), col("rcvec")).collect()
     val bySub = rows.groupBy(_.getInt(0))
-    Array.tabulate(bySub.size) { s =>
+    // size by NumSub, not bySub.size: a persisted table missing a
+    // subspace must fail loudly (key miss), never mis-size the meta
+    Array.tabulate(NumSub) { s =>
       bySub(s).sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray)
     }
   }
 
   def writeResidualIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    // materialize the centroid pick once: three consumers (row
+    // projection metadata, the centroids write, the codebook
+    // derivation's literal) would otherwise each re-run the md5 top-k
+    // corpus scan
+    val cents = graft.Checkpointing.cut(IvfIndex.centroids(spark, dir))
     residualIndexRows(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
-        IvfIndex.centroids(spark, dir), residualCodebookMeta(spark, dir))
+        cents, residualCodebookMetaOf(residualCodebooksFrom(spark, dir, cents)))
       .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$indexPath/vectors")
-    IvfIndex.centroids(spark, dir).write.mode("overwrite").parquet(s"$indexPath/centroids")
-    residualCodebooks(spark, dir).write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    residualCodebooksFrom(spark, dir, cents).write.mode("overwrite")
+      .parquet(s"$indexPath/codebooks")
   }
 
   /** Search the persisted residual index: probe list and per-cluster
@@ -503,16 +512,8 @@ object PqIndex {
     * fingerprint, so a stale cached index can never serve.
     */
   private def corpusFingerprint(spark: SparkSession, dir: String): String = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(path, true)
-    while (it.hasNext) {
-      val st = it.next()
-      entries += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
-    }
     val key = s"v1:$NumSub:$NumCodes:${IvfIndex.MaxCentroids}:" +
-      entries.sorted.mkString(";")
+      IvfIndex.corpusSignature(spark, dir)
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
@@ -520,18 +521,32 @@ object PqIndex {
   /** The cached persisted residual index for a corpus dir: built once
     * per corpus fingerprint under the system temp dir (an index BUILD
     * is an offline stage at any deployment; queries measure SERVING),
-    * reused by every later call in any JVM on this host. A partial
-    * build (no `_complete` marker) is discarded and rebuilt.
+    * reused by every later call in any JVM on this host. The build
+    * goes to a UNIQUE staging dir with the `_complete` marker written
+    * inside, then renames atomically into place — two racing JVMs
+    * (or a crash) can never interleave files under the served path;
+    * whoever loses the rename discards its staging copy and serves the
+    * winner's (the IndexMaintenance marker-travels-with-the-swap
+    * pattern).
     */
   def residualIndexFor(spark: SparkSession, dir: String): String = synchronized {
+    import org.apache.hadoop.fs.Path
     val base = s"${sys.props("java.io.tmpdir")}/graft_residx_${corpusFingerprint(spark, dir)}"
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(s"$base/_complete")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$base/_complete")
     if (!fs.exists(marker)) {
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      writeResidualIndex(spark, dir, base)
-      fs.create(marker, true).close()
+      val staging = s"${base}_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+      writeResidualIndex(spark, dir, staging)
+      fs.create(new Path(s"$staging/_complete"), true).close()
+      // a marker-less base is a crashed partial: clear it before racing
+      // for the rename; losing the race means a complete index is there
+      if (fs.exists(new Path(base)) && !fs.exists(marker))
+        fs.delete(new Path(base), true)
+      if (!fs.rename(new Path(staging), new Path(base))) {
+        if (!fs.exists(marker))
+          throw new java.io.IOException(s"could not install $base and no complete index present")
+        fs.delete(new Path(staging), true) // another JVM won with a complete build
+      }
     }
     base
   }
