@@ -74,14 +74,28 @@ object IvfIndex {
     * silently under-seeded corpora with sparse or offset ids), fully
     * SQL-mirrorable (DuckDB md5 over the same decimal string), and a
     * distributed top-k (TakeOrderedAndProject), never a global sort.
+    *
+    * The PICK is computed once per corpus state and cached as rows
+    * (keyed by the same file signature as the count): the seed table is
+    * index METADATA — nlist × dim floats a real engine derives at
+    * retraining time, not per query — so later calls serve it as a
+    * local relation instead of re-scanning the corpus. Invalidation is
+    * automatic: any change to the embeddings files changes the key.
     */
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+
   def centroids(spark: SparkSession, dir: String): DataFrame = {
-    val nl = nlistOf(corpusSize(spark, dir))
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
-      .limit(nl)
-      .select(col("vec_id").as("cluster_id"), col("embedding").as("cvec"))
+    val (schema, rows) = seedCache.computeIfAbsent(corpusSignature(spark, dir), _ => {
+      val nl = nlistOf(corpusSize(spark, dir))
+      val df = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+        .limit(nl)
+        .select(col("vec_id").as("cluster_id"), col("embedding").as("cvec"))
+      (df.schema, df.collect())
+    })
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Collect a centroid table (k×dim — index metadata, never data) into
