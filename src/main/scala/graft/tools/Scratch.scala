@@ -384,6 +384,22 @@ object Scratch {
         }
         println(f"  comp_diag3 pairs=${(t1 - t0) / 1e9}%.2f (n=$nPairs) rounds=$rounds")
       },
+      // r9 A/B: triangles via the r8 ReusedExchange shape (no cut, no
+      // count, unconditional broadcasts) vs the shipped gated shape
+      "tri_reuse" -> { () =>
+        val pairs = graft.operators.GraphOps.frequentPairs(spark, sfDir, 2)
+        val ab = pairs.select(col("pa").as("a"), col("pb").as("b"), col("sup").as("s_ab"))
+        val bc = pairs.select(col("pa").as("b"), col("pb").as("c"), col("sup").as("s_bc"))
+        val ac = pairs.select(col("pa").as("a"), col("pb").as("c"), col("sup").as("s_ac"))
+        val n = ab.join(broadcast(bc), "b").join(broadcast(ac), Seq("a", "c"))
+          .select(col("a"), col("b"), col("c"),
+            least(col("s_ab"), col("s_bc"), col("s_ac")).as("min_sup")).count()
+        println(s"  tri_reuse n=$n")
+      },
+      "tri_cut" -> { () =>
+        val n = graft.operators.GraphOps.triangles(spark, sfDir).count()
+        println(s"  tri_cut n=$n")
+      },
       // r9 nlist-schedule evidence: rows a 3-cluster probe actually scans
       // under nlist = min(ceil(sqrt(N)), cap) — should grow ∝ N/√N = √N,
       // not ∝ N/100 (the r8 constant)
