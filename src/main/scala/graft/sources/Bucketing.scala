@@ -21,6 +21,10 @@ object Bucketing {
       leftKey: String, rightKey: String): DataFrame = {
     val l = spark.table(left)
     val r = spark.table(right)
-    l.join(r, l(leftKey) === r(rightKey))
+    // same key name on both sides → USING form, which coalesces the key
+    // column (the expression form returned TWO identically-named columns
+    // and every downstream reference to the key was ambiguous; r9 review)
+    if (leftKey == rightKey) l.join(r, Seq(leftKey))
+    else l.join(r, l(leftKey) === r(rightKey))
   }
 }

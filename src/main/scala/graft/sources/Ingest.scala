@@ -35,11 +35,19 @@ object Ingest {
   def fromCsv(spark: SparkSession, path: String): DataFrame =
     normalize(spark.read.option("header", "true").schema(docSchema).csv(path))
 
-  /** Plain-text lines: one document per line, synthetic ids. */
+  /** Plain-text lines: one document per line. doc_id is derived from
+    * the CONTENT (xxhash64(source, text)), not monotonically_increasing_id:
+    * positional ids depend on the partition layout, so re-ingesting the
+    * same file assigned fresh ids and appendCorpus's anti-join saw every
+    * line as new — duplicating the whole file (r9 review). Identical
+    * lines share an id and collapse to one document, which is the
+    * content-dedup contract the ingest exists for.
+    */
   def fromText(spark: SparkSession, path: String, source: String): DataFrame =
     normalize(spark.read.text(path)
-      .select(monotonically_increasing_id().as("doc_id"),
+      .select(xxhash64(lit(source), col("value")).as("doc_id"),
         col("value").as("text"), lit("und").as("lang"), lit(source).as("source")))
+      .dropDuplicates("doc_id")
 
   /** Downloaded newsletter HTML pages → markdown documents — the
     * reference's actual ingest front door (markdown_assets.py:30-94):
@@ -100,11 +108,20 @@ object Ingest {
     */
   def newDocs(batch: DataFrame, corpusPath: String): DataFrame = {
     val spark = batch.sparkSession
+    // ONLY a missing corpus means "everything is new": swallowing every
+    // read failure here silently disabled dedup on a transient store
+    // error and appendCorpus wrote duplicates (r9 review) — any other
+    // failure must propagate
     val existing =
       try spark.read.parquet(corpusPath).select("doc_id")
-      catch { case _: Exception => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("doc_id", LongType)))) }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "PATH_NOT_FOUND" ||
+              String.valueOf(e.getMessage).contains("Path does not exist") =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("doc_id", LongType))))
+      }
     batch.join(existing, Seq("doc_id"), "left_anti")
   }
 
@@ -135,19 +152,32 @@ object Ingest {
     */
   def compactCorpus(spark: SparkSession, corpusPath: String,
       rowsPerFile: Long = 1L << 20): Long = {
-    val corpus = spark.read.parquet(corpusPath)
-    val rows = corpus.count()
-    val nFiles = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
+    // one shuffle task per lang value with the writer rolling a new
+    // part-file every rowsPerFile records (the IndexMaintenance
+    // pattern): the old round-robin repartition(nFiles) left every task
+    // holding rows of EVERY lang — up to nFiles × nLangs files, not
+    // nFiles — and paid a full count() pre-scan to size it (r9 review)
     val tmp = corpusPath + "_compacting"
-    corpus.repartition(nFiles).write.mode("overwrite")
+    spark.read.parquet(corpusPath)
+      .repartition(col("lang"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
       .partitionBy("lang").parquet(tmp)
-    // swap: local-fs rename is atomic per directory; on an object store
-    // this step is a manifest/metastore pointer update instead
+    // swap with the old data renamed ASIDE first and both renames
+    // CHECKED — a crash between any two steps leaves every row on disk,
+    // never a deleted corpus with the data stranded in the tmp dir
+    // (the IndexMaintenance.compactIndex contract; on an object store
+    // this is a manifest/metastore pointer update instead)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(corpusPath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val aside = new org.apache.hadoop.fs.Path(corpusPath + "_old")
+    fs.delete(aside, true)
+    if (fs.exists(dst) && !fs.rename(dst, aside))
+      throw new java.io.IOException(s"could not move $dst aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new java.io.IOException(s"could not move $tmp into place")
+    fs.delete(aside, true)
     val it = fs.listFiles(dst, true)
     var n = 0L
     while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }

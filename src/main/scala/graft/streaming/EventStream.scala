@@ -56,7 +56,12 @@ object EventStream {
   def anomalyStream(events: DataFrame, stats: DataFrame,
       zMax: Double = 3.0): DataFrame =
     events.join(broadcast(stats), "event_type")
-      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      // std = 0 (a constant-valued training type) must flag NOTHING: the
+      // unguarded division gave NaN/Infinity, and Spark's NaN-is-greatest
+      // ordering then flagged EVERY event of that type (r9 review); a
+      // null z falls out of the >= filter
+      .withColumn("z",
+        when(col("std") > 0, (col("value") - col("mean")) / col("std")))
       .filter(abs(col("z")) >= zMax)
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
 

@@ -48,7 +48,10 @@ object InequalityStream extends Serializable {
     import spark.implicits._
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"),
-        graft.functions.VectorFunctions.cents(col("value"), 100.0).as("vc"))
+        // null purchase values ride as 0 like CohortLtvStream — the
+        // non-nullable tuple field otherwise kills the stream (r9 review)
+        coalesce(graft.functions.VectorFunctions.cents(col("value"), 100.0),
+          lit(0L)).as("vc"))
       .as[(Long, Long)]
 
     def fn(user: Long, it: Iterator[(Long, Long)],

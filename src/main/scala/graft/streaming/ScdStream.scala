@@ -23,10 +23,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object ScdStream extends Serializable {
 
-  case class Version(user_id: Long, tier: Long, valid_from_us: Long,
+  case class Version(user_id: Long, tier: Option[Long], valid_from_us: Long,
       valid_to_us: Option[Long], version: Long)
   case class Ev(us: Long, event_id: Long, tier: Long)
   case class ScdState(pending: Seq[Ev], nextVersion: Long, lastTier: Option[Long])
+
+  /** Null tiers (missing/malformed props) ride through the primitive
+    * state tuples as this sentinel — far outside the int-div-25 range —
+    * and are mapped back to NULL on emit. The batch twin treats a null
+    * tier as its own attribute value (the null-safe `<=>` run
+    * comparison); sentinel equality reproduces that merging exactly,
+    * where the previous non-nullable encoding KILLED the stream on the
+    * first null (r9 review).
+    */
+  private val NullTier = Long.MinValue
+
+  private def tierOut(t: Long): Option[Long] =
+    if (t == NullTier) None else Some(t)
 
   private def micros(t: java.sql.Timestamp): Long =
     (t.getTime / 1000) * 1000000L + t.getNanos / 1000
@@ -49,7 +62,8 @@ object ScdStream extends Serializable {
     import spark.implicits._
     val finalFlush = !events.isStreaming
     val base = events.select(col("user_id"), col("event_id"), col("ts"),
-      expr("cast(get_json_object(props, '$.k') as int) div 25").as("tier"))
+      coalesce(expr("cast(get_json_object(props, '$.k') as int) div 25"),
+        lit(NullTier)).as("tier"))
     val withWm = if (events.isStreaming) base.withWatermark("ts", "10 minutes") else base
     val typed = withWm.as[(Long, Long, java.sql.Timestamp, Long)]
 
@@ -64,7 +78,7 @@ object ScdStream extends Serializable {
         val chg = changePoints(st.lastTier, merged)
         val closes = chg.drop(1).map(e => Some(e.us)) :+ None
         chg.zip(closes).zipWithIndex.iterator.map { case ((c, to), i) =>
-          Version(user, c.tier, c.us, to, st.nextVersion + i)
+          Version(user, tierOut(c.tier), c.us, to, st.nextVersion + i)
         }
       } else {
         val wmUs = state.getCurrentWatermarkMs() * 1000
@@ -79,7 +93,7 @@ object ScdStream extends Serializable {
         val emit = if (chg.isEmpty) Seq.empty
           else chg.zip(chg.drop(1)).map { case (c, nxt) => (c, nxt.us) }
         val out = emit.zipWithIndex.map { case ((c, to), i) =>
-          Version(user, c.tier, c.us, Some(to), st.nextVersion + i)
+          Version(user, tierOut(c.tier), c.us, Some(to), st.nextVersion + i)
         }
         val keptTier = if (emit.nonEmpty) Some(emit.last._1.tier) else st.lastTier
         val kept = chg.takeRight(1) ++ volatile

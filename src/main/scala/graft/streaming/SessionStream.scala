@@ -65,10 +65,13 @@ object SessionStream extends Serializable {
         merged.iterator.map(s => Session(user, s.start_us, s.end_us, s.n_events))
       } else {
         // a session is final only once the watermark passes end+gap: any
-        // not-yet-dropped late event has ts ≥ watermark, so it can merge
-        // into a session iff ts ≤ end+gap, i.e. iff end+gap > watermark.
+        // not-yet-dropped late event has ts ≥ watermark (the boundary
+        // ts == watermark is ADMITTED), so it can merge into a session
+        // iff ts ≤ end+gap, i.e. iff end+gap ≥ watermark — finality is
+        // the STRICT end+gap < watermark (the ≤ boundary could split a
+        // session batch sessionize would merge; r9 review)
         val wmUs = state.getCurrentWatermarkMs() * 1000
-        val (fin, kept) = merged.partition(s => s.end_us + GapMicros <= wmUs)
+        val (fin, kept) = merged.partition(s => s.end_us + GapMicros < wmUs)
         if (kept.isEmpty) { if (state.exists) state.remove() }
         else {
           state.update(SessState(kept))

@@ -35,6 +35,18 @@ class IngestSpec extends AnyFunSuite {
     assert(back.select("doc_id").distinct().count() === docs.count())
   }
 
+  test("text re-ingest is idempotent end-to-end (content-derived ids)") {
+    // the positional-id assignment made every re-read of the same file
+    // look new to the anti-join (r9 review) — content-hash ids fix it
+    val src = Files.createTempDirectory("graft-txt2").toString + "/d"
+    docs.select("text").write.text(src)
+    val corpus = Files.createTempDirectory("graft-txt2c").toString + "/c"
+    val n1 = Ingest.appendCorpus(Ingest.fromText(spark, src, "txt"), corpus)
+    assert(n1 > 0)
+    val n2 = Ingest.appendCorpus(Ingest.fromText(spark, src, "txt"), corpus)
+    assert(n2 === 0, "re-ingesting the same file must append nothing")
+  }
+
   test("incremental append is idempotent: a re-run ingests zero duplicates") {
     val dir = Files.createTempDirectory("graft-incr").toString + "/c"
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")

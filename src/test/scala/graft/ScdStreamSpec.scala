@@ -94,4 +94,23 @@ class ScdStreamSpec extends AnyFunSuite {
       assert(got === Seq((0L, 1L), (3L, 2L), (0L, 3L)), got)
     } finally q.stop()
   }
+
+  test("null tiers (missing/malformed props) fold instead of killing the query") {
+    import spark.implicits._
+    // the non-nullable tuple encoding died on the first null tier (r9
+    // review); nulls must behave as one attribute value, like the batch
+    // operator's null-safe <=> run comparison
+    val ev = Seq(
+      (7L, 1L, "2024-01-01 00:00:00", """{"k": 10}"""),
+      (7L, 2L, "2024-01-02 00:00:00", "{}"),          // null tier
+      (7L, 3L, "2024-01-03 00:00:00", "not json"),    // null tier (merges)
+      (7L, 4L, "2024-01-04 00:00:00", """{"k": 80}""")
+    ).toDF("user_id", "event_id", "ts_s", "props")
+      .select(col("user_id"), col("event_id"),
+        col("ts_s").cast("timestamp").as("ts"), col("props"))
+    val versions = ScdStream.scd2(ev).collect().sortBy(_.version)
+    assert(versions.map(_.tier).toSeq === Seq(Some(0L), None, Some(3L)),
+      versions.mkString(","))
+    assert(versions(1).valid_from_us < versions(2).valid_from_us)
+  }
 }

@@ -51,6 +51,19 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a zero-variance training type flags nothing (no NaN flood)") {
+    import spark.implicits._
+    // std = 0: unguarded division gave NaN/Infinity, and NaN-is-greatest
+    // ordering flagged EVERY event of the type (r9 review)
+    val stats = Seq(("heartbeat", 1.0, 0.0), ("click", 5.0, 2.0))
+      .toDF("event_type", "mean", "std")
+    val ev = Seq((1L, "heartbeat", 1.0), (2L, "heartbeat", 99.0), (3L, "click", 50.0))
+      .toDF("event_id", "event_type", "value")
+    val got = graft.streaming.EventStream.anomalyStream(ev, stats, zMax = 3.0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(3L), s"only the real outlier may flag, got $got")
+  }
+
   test("stateful streaming sessionization matches batch sessionize") {
     val dir = tmp()
     eventsBatch.repartition(4).write.mode("overwrite").parquet(dir)
