@@ -1275,6 +1275,83 @@ object OracleSql {
        |JOIN pairs e2 ON e2.pa = e1.pb
        |JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb""".stripMargin
 
+  /** Numeric trade-graph edge CTEs shared by the BFS / label-prop
+    * oracles — the same custkey·2 / suppkey·2+1 encoding the Spark
+    * loops run on (GraphOps.edges), so per-iteration tiebreaks compare
+    * the same longs on both sides.
+    */
+  private val numEdgeCtes =
+    """e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |ed AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)""".stripMargin
+
+  /** Render a numeric node id back to the reference naming. */
+  private def nodeCase(c: String) =
+    s"CASE WHEN $c % 2 = 0 THEN 'c' || CAST($c // 2 AS VARCHAR) ELSE 's' || CAST($c // 2 AS VARCHAR) END"
+
+  /** BFS min-hop distances (GraphOps.bfsHops): recursive walk from
+    * node c1 (=2), bounded at 4 hops; UNION dedups (node, hops) states
+    * so the working set stays O(nodes·hops), and min() collapses
+    * revisits at deeper hops.
+    */
+  val qBfsHops: String =
+    s"""WITH RECURSIVE $numEdgeCtes,
+       |walk(node, hops) AS (
+       |  SELECT CAST(2 AS BIGINT) AS node, 0 AS hops
+       |  UNION
+       |  SELECT ed.dst AS node, w.hops + 1 AS hops
+       |  FROM walk w JOIN ed ON ed.src = w.node WHERE w.hops < 4)
+       |SELECT ${nodeCase("node")} AS node, min(hops) AS hops
+       |FROM walk GROUP BY 1""".stripMargin
+
+  /** Common-neighbor link prediction (GraphOps.commonNeighbors): wedge
+    * closure over the support-pruned co-purchase pairs, direct edges
+    * removed, neighbor-Jaccard scored.
+    */
+  val qCommonNeighbors: String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pairs AS (SELECT x.p AS pa, y.p AS pb, count(*) AS sup
+       |  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |und AS (SELECT pa AS x, pb AS y FROM pairs
+       |  UNION ALL SELECT pb AS x, pa AS y FROM pairs),
+       |deg AS (SELECT x, count(*) AS deg FROM und GROUP BY 1),
+       |wed AS (SELECT wa.x AS a, wc.x AS c, count(*) AS common_cnt
+       |  FROM und wa JOIN und wc ON wa.y = wc.y AND wa.x < wc.x
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT * FROM wed WHERE NOT EXISTS
+       |  (SELECT 1 FROM pairs p WHERE p.pa = wed.a AND p.pb = wed.c))
+       |SELECT a, c, common_cnt, da.deg AS deg_a, dc.deg AS deg_c,
+       |  ${r6("common_cnt / (1.0 * (da.deg + dc.deg - common_cnt))")} AS jaccard
+       |FROM cand JOIN deg da ON da.x = cand.a JOIN deg dc ON dc.x = cand.c
+       |ORDER BY common_cnt DESC, a, c LIMIT 30""".stripMargin
+
+  /** Label propagation (GraphOps.labelProp): 3 unrolled synchronous
+    * rounds of most-frequent-neighbor-label (ties to the smallest
+    * numeric label — same total order as the Spark loop) over the
+    * support-pruned co-purchase graph, reported as community sizes.
+    */
+  val qLabelProp: String = {
+    def round(i: Int) =
+      s"""v$i AS (SELECT ed.dst, l.label, count(*) AS n
+         |  FROM ed JOIN l${i - 1} l ON ed.src = l.node GROUP BY 1, 2),
+         |l$i AS (SELECT dst AS node, label FROM (
+         |  SELECT dst, label, row_number() OVER (PARTITION BY dst ORDER BY n DESC, label) AS rn
+         |  FROM v$i) WHERE rn = 1)""".stripMargin
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pairs AS (SELECT x.p AS pa, y.p AS pb, count(*) AS sup
+       |  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |ed AS (SELECT pa AS src, pb AS dst FROM pairs
+       |  UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT label AS community, count(*) AS n_nodes
+       |FROM l3 GROUP BY 1 ORDER BY n_nodes DESC, community""".stripMargin
+  }
+
   /** Cohort LTV (EventOps.cohortLtv): epoch-week integer cohorts;
     * cents-integerized revenue; per-user rate divides in the same
     * order as Spark.
@@ -2680,6 +2757,9 @@ object OracleSql {
     "q_stratified_sample" -> qStratifiedSample,
     "q_scd2" -> qScd2,
     "q_triangles" -> qTriangles,
+    "q_bfs_hops" -> qBfsHops,
+    "q_common_neighbors" -> qCommonNeighbors,
+    "q_label_prop" -> qLabelProp,
     "q_benford" -> qBenford,
     "text_zipf" -> textZipf,
     "vs_pca_iter" -> vsPcaIter,

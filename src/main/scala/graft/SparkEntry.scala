@@ -156,6 +156,9 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => TrainingMix.stratifiedSample(s, d)),
     "q_scd2" -> ((s, d) => EventOps.scd2(s, d)),
     "q_triangles" -> ((s, d) => GraphOps.triangles(s, d)),
+    "q_bfs_hops" -> ((s, d) => GraphOps.bfsHops(s, d)),
+    "q_common_neighbors" -> ((s, d) => GraphOps.commonNeighbors(s, d)),
+    "q_label_prop" -> ((s, d) => GraphOps.labelProp(s, d)),
     "q_benford" -> ((s, d) => Relational.benford(s, d)),
     "text_zipf" -> ((s, d) => TextAnalysis.zipf(s, d)),
     "q_concurrency" -> ((s, d) => EventOps.concurrency(s, d)),

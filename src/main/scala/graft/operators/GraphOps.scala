@@ -158,6 +158,142 @@ object GraphOps {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree"))
 
+  /** Minimum-hop BFS distance from a source node over the trade graph
+    * — "how far does customer 1's supply neighborhood reach in ≤ k
+    * hops" (the reachability primitive under blast-radius / related-
+    * entity queries).
+    *
+    * Scale shape: frontier-expansion BFS — each round is ONE equi-join
+    * of the (materialized-once) edge table with the current frontier
+    * plus one anti-join against the visited set, both size-gated
+    * broadcasts (frontier and visited are O(nodes); past the gate they
+    * degrade to shuffle joins co-partitioned on the node id). The
+    * frontier is cut per round, so the plan stays O(1) deep and each
+    * round's work is proportional to the edges ADJACENT to the
+    * frontier, not the whole graph history. The oracle is a DuckDB
+    * recursive CTE over the same numeric edge encoding.
+    */
+  def bfsHops(spark: SparkSession, dir: String, source: Long = 2L,
+      maxHops: Int = 4,
+      maxBroadcastRows: Long = graft.plans.Hints.DefaultMaxBroadcastRows): DataFrame = {
+    val ed = graft.Checkpointing.cut(edges(spark, dir))
+    val seed = spark.range(1)
+      .select(lit(source).as("node"), lit(0).as("hops"))
+    // visited = union of the per-round cut frontiers: each member is
+    // already materialized, so no extra cut of the union is needed
+    var visited = seed
+    var frontier = seed.select(col("node"))
+    var nFrontier = 1L
+    var nVisited = 1L
+    for (h <- 1 to maxHops) {
+      val fr = frontier
+      val next = ed.join(
+          graft.plans.Hints.broadcastIfUnder(fr, nFrontier, maxBroadcastRows),
+          ed("src") === fr("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(graft.plans.Hints.broadcastIfUnder(visited, nVisited, maxBroadcastRows),
+          Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("hops"))
+      frontier = graft.Checkpointing.cut(next.select(col("node")))
+      nFrontier = frontier.count()
+      nVisited += nFrontier
+      visited = visited.union(
+        frontier.select(col("node"), lit(h).as("hops")))
+    }
+    visited.select(nodeName(col("node")).as("node"), col("hops"))
+  }
+
+  /** Link prediction by common neighbors on the co-purchase graph: for
+    * part pairs NOT directly connected, how many frequent-pair
+    * neighbors they share, plus the neighbor-Jaccard score — the
+    * "customers who bought these also bought that" candidate edges one
+    * step before they exist.
+    *
+    * Scale shape: the wedge join runs on the support-PRUNED pair table
+    * (the same shared stage as [[triangles]]), never the corpus; the
+    * per-common-neighbor fan-out is bounded by the pruned degree (at
+    * adversarial hub skew the standard remedy is a degree cap on the
+    * wedge pivot, which changes a filter, not the plan). Direct edges
+    * are removed with one anti-join; degrees ride a size-gated
+    * broadcast.
+    */
+  def commonNeighbors(spark: SparkSession, dir: String, minSupport: Long = 2,
+      topK: Int = 30,
+      maxBroadcastRows: Long = graft.plans.Hints.DefaultMaxBroadcastRows): DataFrame = {
+    val pairs = graft.Checkpointing.cut(frequentPairs(spark, dir, minSupport))
+    val nPairs = pairs.count()
+    val und = pairs.select(col("pa").as("x"), col("pb").as("y"))
+      .union(pairs.select(col("pb").as("x"), col("pa").as("y")))
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val wa = und.select(col("y").as("b"), col("x").as("a"))
+    val wc = und.select(col("y").as("b"), col("x").as("c"))
+    val wedges = wa
+      .join(graft.plans.Hints.broadcastIfUnder(wc, 2 * nPairs, maxBroadcastRows), "b")
+      .filter(col("a") < col("c"))
+      .groupBy(col("a"), col("c")).agg(count(lit(1)).as("common_cnt"))
+      // drop pairs that are already edges: candidate links only
+      .join(pairs.select(col("pa").as("a"), col("pb").as("c")),
+        Seq("a", "c"), "left_anti")
+    val da = deg.select(col("x").as("a"), col("deg").as("deg_a"))
+    val dc = deg.select(col("x").as("c"), col("deg").as("deg_c"))
+    wedges
+      .join(graft.plans.Hints.broadcastIfUnder(da, 2 * nPairs, maxBroadcastRows), "a")
+      .join(graft.plans.Hints.broadcastIfUnder(dc, 2 * nPairs, maxBroadcastRows), "c")
+      .select(col("a"), col("c"), col("common_cnt"), col("deg_a"), col("deg_c"),
+        r6(col("common_cnt") / (col("deg_a") + col("deg_c") - col("common_cnt")))
+          .as("jaccard"))
+      .orderBy(col("common_cnt").desc, col("a"), col("c"))
+      .limit(topK)
+  }
+
+  /** Community detection by synchronous label propagation on the
+    * co-purchase graph: `iters` rounds of "adopt the most frequent
+    * neighbor label, ties to the smallest", reported as community
+    * sizes. Unlike [[Dedup.components]] (pure min-label = connected
+    * components) the FREQUENCY vote finds dense sub-structure inside a
+    * component — on this data ~440 product communities, where the
+    * dense bipartite trade graph would collapse to its 2 sides.
+    *
+    * Deterministic by construction: synchronous updates (every round
+    * reads only the previous round's labels) and a total tie order
+    * (count desc, numeric label asc) — the oracle unrolls the same
+    * rounds over the same numeric node ids. Scale shape: the corpus is
+    * touched once by the shared support-pruned pair stage
+    * ([[frequentPairs]]); per round, one edge⋈labels join (labels
+    * O(nodes), size-gated broadcast), one partial-agg shuffle on
+    * (dst, label), and one per-dst window — partitioned by node id,
+    * never global.
+    */
+  def labelProp(spark: SparkSession, dir: String, iters: Int = 3,
+      minSupport: Long = 2,
+      maxBroadcastRows: Long = graft.plans.Hints.DefaultMaxBroadcastRows): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.Checkpointing.cut(frequentPairs(spark, dir, minSupport))
+    val ed = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+    // undirected edges, so the src projection IS the node set
+    val nodes = ed.select(col("src").as("node")).distinct()
+    val nNodes = nodes.count()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val lb = labels
+      val votes = ed.join(
+          graft.plans.Hints.broadcastIfUnder(lb, nNodes, maxBroadcastRows),
+          ed("src") === lb("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("n").desc, col("label").asc)
+      labels = graft.Checkpointing.cut(
+        votes.select(col("dst").as("node"), col("label"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("label")))
+    }
+    labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      .select(col("label").as("community"), col("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("community"))
+  }
+
   def triangles(spark: SparkSession, dir: String, minSupport: Long = 2,
       maxBroadcastRows: Long = graft.plans.Hints.DefaultMaxBroadcastRows): DataFrame = {
     // materialize the support-pruned pair table once: the three

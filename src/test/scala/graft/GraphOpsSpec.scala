@@ -29,4 +29,58 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(r1 != r3, "iterating had no effect on the rank vector")
   }
+
+  test("bfsHops: source at 0, and hop parity alternates graph sides") {
+    val rows = GraphOps.bfsHops(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows("c1") == 0, "the source node must be at hop 0")
+    // bipartite: from a customer source, suppliers sit at odd hops,
+    // customers at even hops — any violation means the frontier leaked
+    rows.foreach { case (n, h) =>
+      if (n.startsWith("s")) assert(h % 2 == 1, s"supplier $n at even hop $h")
+      else assert(h % 2 == 0, s"customer $n at odd hop $h")
+    }
+    assert(rows.values.max <= 4, "hops exceeded the maxHops bound")
+    assert(rows.size > 1, "BFS never left the source")
+  }
+
+  test("bfsHops distances are minimal (hop-k nodes have a hop-(k-1) neighbor)") {
+    val dist = GraphOps.bfsHops(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val ed = GraphOps.edges(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def name(n: Long) = (if (n % 2 == 0) "c" else "s") + (n >> 1)
+    val adj = ed.groupBy(e => name(e._1)).map { case (k, v) => k -> v.map(e => name(e._2)).toSet }
+    dist.filter(_._2 > 0).foreach { case (n, h) =>
+      val best = adj(n).flatMap(dist.get).min
+      assert(best == h - 1, s"$n at hop $h has best-neighbor hop $best — not minimal")
+    }
+  }
+
+  test("commonNeighbors returns non-edges with valid jaccard") {
+    val pairs = GraphOps.frequentPairs(spark, Sf, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = GraphOps.commonNeighbors(spark, Sf).collect()
+    assert(rows.nonEmpty, "no predicted links")
+    rows.foreach { r =>
+      val (a, c) = (r.getLong(0), r.getLong(1))
+      assert(a < c, "pairs must be id-oriented")
+      assert(!pairs.contains((a, c)), s"($a,$c) is already a direct edge")
+      val j = r.getDouble(5)
+      assert(j > 0 && j <= 1, s"jaccard $j out of range")
+    }
+    val counts = rows.map(_.getLong(2))
+    assert(counts.sameElements(counts.sortBy(-_)), "not sorted by common_cnt desc")
+  }
+
+  test("labelProp: community sizes cover the pruned-graph node set") {
+    val nNodes = GraphOps.frequentPairs(spark, Sf, 2)
+      .select(org.apache.spark.sql.functions.explode(
+        array(col("pa"), col("pb"))).as("n")).distinct().count()
+    val comm = GraphOps.labelProp(spark, Sf).collect()
+    assert(comm.map(_.getLong(1)).sum == nNodes,
+      "community sizes must partition the node set")
+    // every community label is itself a node that voted for it
+    assert(comm.length > 1, "label propagation collapsed to one community")
+  }
 }
