@@ -1326,6 +1326,50 @@ object OracleSql {
        |FROM cand JOIN deg da ON da.x = cand.a JOIN deg dc ON dc.x = cand.c
        |ORDER BY common_cnt DESC, a, c LIMIT 30""".stripMargin
 
+  /** 2-D skyline (Relational.skyline): direct running-min formulation
+    * — the Spark side's grid pruning is a sound+complete candidate
+    * filter, so the unpruned sweep here produces the same set.
+    */
+  val qSkyline: String =
+    s"""WITH pts AS (SELECT o_totalprice AS price, o_orderdate AS odate,
+       |    count(*) AS n_orders FROM orders GROUP BY 1, 2),
+       |pp AS (SELECT price, min(odate) AS odate FROM pts GROUP BY 1),
+       |rm AS (SELECT price, odate, min(odate) OVER (ORDER BY price DESC
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmin FROM pp)
+       |SELECT price, strftime(odate, '%Y-%m-%d') AS order_date, n_orders
+       |FROM rm JOIN pts USING (price, odate)
+       |WHERE rmin IS NULL OR odate < rmin
+       |ORDER BY price DESC""".stripMargin
+
+  /** Decile gains table (Relational.decileLift): ties-together decile
+    * from all-integer cumulative rank math (the Spark side computes the
+    * same cum via a two-level grid sweep; this mirror can afford the
+    * direct one-window form).
+    */
+  val qDecileLift: String =
+    s"""WITH c AS (SELECT c_custkey, ${cents("c_acctbal", "100.0")} AS bal_c FROM customer),
+       |nt AS (SELECT count(*) AS n FROM c),
+       |g AS (SELECT bal_c, count(*) AS cnt FROM c GROUP BY 1),
+       |cm AS (SELECT bal_c, sum(cnt) OVER (ORDER BY bal_c) AS cum FROM g),
+       |dd AS (SELECT bal_c, 10 - CAST(floor((cum - 1) * 10.0 / n) AS BIGINT) AS decile
+       |  FROM cm CROSS JOIN nt),
+       |o AS (SELECT o_custkey, count(*) AS n_o,
+       |  sum(${cents("o_totalprice", "100.0")}) AS rev_c FROM orders GROUP BY 1),
+       |pd AS (SELECT decile, count(*) AS n_customers,
+       |  CAST(sum(coalesce(n_o, 0)) AS BIGINT) AS n_orders,
+       |  CAST(sum(coalesce(rev_c, 0)) AS BIGINT) AS rev_c
+       |  FROM c JOIN dd USING (bal_c) LEFT JOIN o ON c_custkey = o_custkey GROUP BY 1),
+       |f AS (SELECT decile, n_customers, n_orders, rev_c,
+       |  CAST(sum(n_customers) OVER w AS BIGINT) AS cum_cust,
+       |  CAST(sum(rev_c) OVER w AS BIGINT) AS cum_rev,
+       |  CAST(sum(n_customers) OVER () AS BIGINT) AS tot_cust,
+       |  CAST(sum(rev_c) OVER () AS BIGINT) AS tot_rev
+       |  FROM pd WINDOW w AS (ORDER BY decile))
+       |SELECT decile, n_customers, n_orders, ${r6("rev_c / 100.0")} AS revenue,
+       |  ${r6("cum_rev / (1.0 * tot_rev)")} AS cum_rev_share,
+       |  ${r6("(cum_rev / (1.0 * tot_rev)) / (cum_cust / (1.0 * tot_cust))")} AS lift
+       |FROM f ORDER BY decile""".stripMargin
+
   /** Label propagation (GraphOps.labelProp): 3 unrolled synchronous
     * rounds of most-frequent-neighbor-label (ties to the smallest
     * numeric label — same total order as the Spark loop) over the
@@ -2760,6 +2804,8 @@ object OracleSql {
     "q_bfs_hops" -> qBfsHops,
     "q_common_neighbors" -> qCommonNeighbors,
     "q_label_prop" -> qLabelProp,
+    "q_skyline" -> qSkyline,
+    "q_decile_lift" -> qDecileLift,
     "q_benford" -> qBenford,
     "text_zipf" -> textZipf,
     "vs_pca_iter" -> vsPcaIter,

@@ -622,4 +622,112 @@ object Relational {
         r6(pow(obs - expd, 2) / expd).as("chi2_term"))
       .orderBy(col("digit"))
   }
+
+  /** 2-D Pareto frontier (skyline) of orders: the undominated set under
+    * (maximize o_totalprice, minimize o_orderdate) — "the earliest
+    * order at every price level that no later-or-equal, cheaper-or-
+    * equal order beats". The classic multi-criteria shortlist operator.
+    *
+    * Scale shape: grid-pruned distributed skyline. Stage 1 collapses
+    * the corpus to distinct (price, date) points (one shuffle) and a
+    * price-BUCKET grid of per-bucket min dates — the grid is bounded by
+    * the price DOMAIN / bucket width (~60 rows), not the corpus, so its
+    * strictly-higher-bucket running min is broadcast as metadata.
+    * Stage 2 filters each point against its bucket's threshold
+    * map-side: any point at-or-after the min date of a strictly higher
+    * bucket is dominated and dropped — survivors are the per-bucket
+    * frontier candidates (O(grid + frontier), corpus-independent in
+    * expectation). Stage 3 runs the exact per-price running-min sweep
+    * on that bounded candidate set. Pruning is sound because a
+    * higher-bucket point always has strictly higher price, and
+    * complete because every pruned point's dominator chain ends in a
+    * skyline point that itself survives pruning — the oracle computes
+    * the unpruned direct formulation and hash-matches.
+    */
+  def skyline(spark: SparkSession, dir: String,
+      bucketWidth: Double = 10000.0): DataFrame = {
+    import graft.functions.VectorFunctions.boundedWindow
+    val pts = Tables.orders(spark, dir)
+      .groupBy(col("o_totalprice").as("price"), col("o_orderdate").as("odate"))
+      .agg(count(lit(1)).as("n_orders"))
+    val bucketed = pts.withColumn("bucket",
+      floor(col("price") / lit(bucketWidth)).cast("long"))
+    val grid = bucketed.groupBy(col("bucket")).agg(min(col("odate")).as("bmin"))
+    val thr = grid.select(col("bucket"),
+      min(col("bmin")).over(boundedWindow(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)).as("thr"))
+    val cand = bucketed.join(broadcast(thr), Seq("bucket"))
+      .filter(col("thr").isNull || col("odate") < col("thr"))
+    // exact sweep over the candidate frontier: prices are distinct
+    // after the per-price min, so "rows preceding" = strictly higher
+    val perPrice = cand.groupBy(col("price")).agg(min(col("odate")).as("odate"))
+    val rmin = min(col("odate")).over(boundedWindow(col("price").desc)
+      .rowsBetween(Window.unboundedPreceding, -1))
+    perPrice.select(col("price"), col("odate"), rmin.as("rmin"))
+      .filter(col("rmin").isNull || col("odate") < col("rmin"))
+      .join(pts, Seq("price", "odate"))
+      .select(col("price"), date_format(col("odate"), "yyyy-MM-dd").as("order_date"),
+        col("n_orders"))
+      .orderBy(col("price").desc)
+  }
+
+  /** Decile gains table ("lift chart"): customers ranked by account
+    * balance (the stand-in for a model score), split into 10 ranked
+    * deciles with TIES KEPT TOGETHER, then scored by how much order
+    * revenue each decile actually captures — cumulative share and lift
+    * vs a random baseline. The standard campaign-targeting readout.
+    *
+    * Scale shape: deciling WITHOUT a global sort. The corpus collapses
+    * to a distinct-value grid (groupBy on integerized balance); the
+    * grid gets exact cumulative counts from a two-level sweep — a
+    * COARSE bucket grid (bounded by the value domain, broadcast) plus
+    * a per-coarse-bucket partitioned window — so no unpartitioned
+    * corpus-sized window anywhere. The decile of a value is then pure
+    * integer arithmetic on its cumulative rank, the per-customer
+    * assignment is one equi-join on the value, and the final gains
+    * table is a 10-row bounded window. All-integer rank math means the
+    * DuckDB mirror (which can afford the direct one-window
+    * formulation) is bit-identical.
+    */
+  def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.boundedWindow
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), cents(col("c_acctbal"), 100.0).as("bal_c"))
+    val nCust = c.count()
+    val g = c.groupBy(col("bal_c")).agg(count(lit(1)).as("cnt"))
+      .withColumn("coarse", floor(col("bal_c") / lit(100000L)).cast("long"))
+    val coarseCum = g.groupBy(col("coarse")).agg(sum(col("cnt")).as("ccnt"))
+      .select(col("coarse"),
+        coalesce(sum(col("ccnt")).over(boundedWindow(col("coarse"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("cum0"))
+    val wIn = Window.partitionBy(col("coarse")).orderBy(col("bal_c"))
+    val decile = g.join(broadcast(coarseCum), Seq("coarse"))
+      .select(col("bal_c"),
+        (col("cum0") + sum(col("cnt")).over(wIn)).as("cum"))
+      .select(col("bal_c"),
+        (lit(10L) - floor(((col("cum") - 1) * 10).cast("double") / lit(nCust.toDouble))
+          .cast("long")).as("decile"))
+    val o = Tables.orders(spark, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_o"), sum(cents(col("o_totalprice"), 100.0)).as("rev_c"))
+    val pd = c.join(decile, Seq("bal_c"))
+      .join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(coalesce(col("n_o"), lit(0L))).as("n_orders"),
+        sum(coalesce(col("rev_c"), lit(0L))).as("rev_c"))
+    val wCum = boundedWindow(col("decile")).rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = boundedWindow(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pd.select(col("decile"), col("n_customers"), col("n_orders"),
+        r6(col("rev_c") / 100.0).as("revenue"),
+        (sum(col("n_customers")).over(wCum)).as("cum_cust"),
+        (sum(col("rev_c")).over(wCum)).as("cum_rev"),
+        (sum(col("n_customers")).over(wTot)).as("tot_cust"),
+        (sum(col("rev_c")).over(wTot)).as("tot_rev"))
+      .select(col("decile"), col("n_customers"), col("n_orders"), col("revenue"),
+        r6(col("cum_rev") / (lit(1.0) * col("tot_rev"))).as("cum_rev_share"),
+        r6((col("cum_rev") / (lit(1.0) * col("tot_rev"))) /
+          (col("cum_cust") / (lit(1.0) * col("tot_cust")))).as("lift"))
+      .orderBy(col("decile"))
+  }
 }
