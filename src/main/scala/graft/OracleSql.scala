@@ -1326,6 +1326,56 @@ object OracleSql {
        |FROM cand JOIN deg da ON da.x = cand.a JOIN deg dc ON dc.x = cand.c
        |ORDER BY common_cnt DESC, a, c LIMIT 30""".stripMargin
 
+  /** Containment dedup (Dedup.containment): rare-shingle (df 2..10)
+    * inverted-index candidates, exact intersection on candidates only,
+    * overlap coefficient ≥ 0.5 — the threshold applies to the ROUNDED
+    * value on both sides.
+    */
+  val dedupContainment: String =
+    s"""WITH $shingleCte,
+       |df AS (SELECT shingle, count(*) AS c FROM sh GROUP BY 1),
+       |rare AS (SELECT shingle FROM df WHERE c BETWEEN 2 AND 10),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN rare USING (shingle)
+       |  JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT doc_a, doc_b, n_inter, za.n_sh AS n_a, zb.n_sh AS n_b,
+       |  ${r6("n_inter / (1.0 * least(za.n_sh, zb.n_sh))")} AS containment
+       |  FROM inter JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, n_inter, n_a, n_b, containment
+       |FROM sc WHERE containment >= 0.5""".stripMargin
+
+  /** Kaplan–Meier survival (EventOps.survival): same integer-folded
+    * product recurrence (`//` = Spark's `DIV` on nonnegative longs)
+    * over the same bounded curve, as a recursive CTE.
+    */
+  val qSurvival: String =
+    s"""WITH RECURSIVE u AS (SELECT o_custkey, min(epoch_us(o_orderdate)) AS f,
+       |    max(epoch_us(o_orderdate)) AS l FROM orders GROUP BY 1),
+       |m AS (SELECT max(l) AS mx FROM u),
+       |d AS (SELECT (l - f) // 2592000000000 AS dur,
+       |  CASE WHEN l < mx - 7776000000000 THEN 1 ELSE 0 END AS churned
+       |  FROM u CROSS JOIN m),
+       |bd AS (SELECT dur, count(*) AS n_total,
+       |  CAST(sum(churned) AS BIGINT) AS n_event FROM d GROUP BY 1),
+       |cv AS (SELECT dur, n_event, n_total - n_event AS n_cens,
+       |  CAST(sum(n_total) OVER () - coalesce(sum(n_total) OVER (ORDER BY dur
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+       |  CAST(row_number() OVER (ORDER BY dur) AS BIGINT) AS rn FROM bd),
+       |s(rn, s_e9) AS (
+       |  SELECT CAST(0 AS BIGINT) AS rn, CAST(1000000000 AS BIGINT) AS s_e9
+       |  UNION ALL
+       |  SELECT c.rn, s.s_e9 * (c.n_risk - c.n_event) // c.n_risk
+       |  FROM s JOIN cv c ON c.rn = s.rn + 1)
+       |SELECT c.dur AS duration_months, c.n_risk, c.n_event, c.n_cens,
+       |  ${r6("s.s_e9 / 1000000000.0")} AS survival
+       |FROM s JOIN cv c ON c.rn = s.rn ORDER BY c.dur""".stripMargin
+
   /** 2-D skyline (Relational.skyline): direct running-min formulation
     * — the Spark side's grid pruning is a sound+complete candidate
     * filter, so the unpruned sweep here produces the same set.
@@ -2806,6 +2856,8 @@ object OracleSql {
     "q_label_prop" -> qLabelProp,
     "q_skyline" -> qSkyline,
     "q_decile_lift" -> qDecileLift,
+    "q_survival" -> qSurvival,
+    "dedup_containment" -> dedupContainment,
     "q_benford" -> qBenford,
     "text_zipf" -> textZipf,
     "vs_pca_iter" -> vsPcaIter,

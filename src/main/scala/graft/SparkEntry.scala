@@ -161,6 +161,8 @@ object SparkEntry {
     "q_label_prop" -> ((s, d) => GraphOps.labelProp(s, d)),
     "q_skyline" -> ((s, d) => Relational.skyline(s, d)),
     "q_decile_lift" -> ((s, d) => Relational.decileLift(s, d)),
+    "q_survival" -> ((s, d) => EventOps.survival(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "q_benford" -> ((s, d) => Relational.benford(s, d)),
     "text_zipf" -> ((s, d) => TextAnalysis.zipf(s, d)),
     "q_concurrency" -> ((s, d) => EventOps.concurrency(s, d)),

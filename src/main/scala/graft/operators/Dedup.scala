@@ -488,6 +488,49 @@ object Dedup {
     * before any pair is materialized, exactly the frequent-band guard
     * production LSH pipelines use. The corpus itself never self-joins.
     */
+  /** Asymmetric containment dedup (overlap coefficient): pairs where
+    * the SMALLER doc's shingle set is ≥ `minContainment` inside the
+    * larger — the quote-inclusion / partial-copy structure that
+    * symmetric Jaccard (and hence MinHash banding, which approximates
+    * Jaccard) systematically under-finds when |A| ≪ |B|.
+    *
+    * Candidate rule: docs sharing ≥ 1 RARE shingle (document frequency
+    * 2..`dfCap`) — an inverted-index block. Pair fan-out happens
+    * INSIDE each shingle's posting list (the [[substringDupes]]
+    * pattern: one shuffle on the shingle, bounded dfCap² pairs per
+    * list, never a corpus self-join); boilerplate shingles above the
+    * cap generate nothing, exactly the stop-shingle guard production
+    * pipelines use (a contained pair ALL of whose shared shingles are
+    * boilerplate is deliberately out of scope — the oracle mirrors the
+    * same rule, so the miss model is explicit, as with LSH banding).
+    * The exact intersection then runs on candidates only.
+    */
+  def containment(spark: SparkSession, dir: String, dfCap: Int = 10,
+      minContainment: Double = 0.5): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val cand = sh.groupBy(col("shingle"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, dfCap))
+      .select(explode(graft.functions.ArrayExprs.orderedPairs(col("docs"))).as("p"))
+      .select(col("p.pa").as("doc_a"), col("p.pb").as("doc_b")).distinct()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val docSets = Tables.fanOut(Tables.documents(spark, dir))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.TextExprs.shingles(tokens(col("text"))).as("sh"))
+    cand
+      .join(docSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .withColumn("containment",
+        r6(col("n_inter") / (lit(1.0) * least(col("n_a"), col("n_b")))))
+      .filter(col("containment") >= minContainment)
+  }
+
   def substringDupes(spark: SparkSession, dir: String, windowTokens: Int = 8,
       maxGroup: Int = 8): DataFrame = {
     val wins = Tables.fanOut(Tables.documents(spark, dir))

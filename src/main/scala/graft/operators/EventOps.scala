@@ -923,4 +923,64 @@ object EventOps {
         r6(col("cum_tv") / (lit(1.0) * col("s"))).as("cum_share"))
       .orderBy(col("decile"))
   }
+
+  /** Kaplan–Meier survival curve of customer lifetimes: lifetime =
+    * first order → last order in 30-day buckets; a customer whose last
+    * order predates the corpus horizon by > `censorDays` "churned"
+    * (event), everyone else is right-censored. Per lifetime bucket:
+    * at-risk count, events, censored, and the KM survival estimate
+    * S(t) = Π (1 − dᵢ/nᵢ) — the standard retention-economics curve.
+    *
+    * Numeric contract: the survival product is folded in INTEGER
+    * arithmetic (S_e9 ← S_e9·(n−d) div n, seeded at 1e9) so the
+    * sequential recurrence is bit-identical in Spark and DuckDB — a
+    * double Π (or exp∘Σ∘ln) would be at the mercy of libm ulps. Safe
+    * while n_risk < 9.2e9 (long overflow bound; at more users, widen
+    * to DECIMAL).
+    *
+    * Scale shape: the corpus collapses to per-customer (first, last)
+    * in one shuffle; the curve table is bounded by the TIME SPAN
+    * (≤ ~80 monthly buckets for years of data), so its risk-set sweep
+    * is a bounded window and the sequential KM fold runs as a
+    * recursive CTE over the bounded curve (Spark 4 WITH RECURSIVE;
+    * depth = curve rows < the default 100 recursion limit — widen
+    * `spark.sql.cteRecursionLevelLimit` alongside coarser buckets if
+    * the span grows).
+    */
+  def survival(spark: SparkSession, dir: String, censorDays: Int = 90,
+      bucketDays: Int = 30): DataFrame = {
+    import graft.functions.VectorFunctions.boundedWindow
+    val dayUs = 86400000000L
+    val u = Tables.orders(spark, dir)
+      // cast is a no-op on TIMESTAMP and a same-micros reinterpret on
+      // the NTZ parquet flavor (session TZ is pinned to UTC)
+      .select(col("o_custkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("us")).as("f"), max(col("us")).as("l"))
+    val horizon = u.agg(max(col("l")).as("mx"))
+    val byDur = u.crossJoin(broadcast(horizon))
+      .select(expr(s"(l - f) div ${bucketDays * dayUs}").as("dur"),
+        (col("l") < col("mx") - lit(censorDays * dayUs)).cast("long").as("churned"))
+      .groupBy(col("dur"))
+      .agg(count(lit(1)).as("n_total"), sum(col("churned")).as("n_event"))
+    val wPrev = boundedWindow(col("dur")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = boundedWindow(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byDur.select(col("dur"), col("n_event"),
+        (col("n_total") - col("n_event")).as("n_cens"),
+        (sum(col("n_total")).over(wAll) -
+          coalesce(sum(col("n_total")).over(wPrev), lit(0L))).as("n_risk"),
+        row_number().over(boundedWindow(col("dur"))).as("rn"))
+      .createOrReplaceTempView("graft_km_curve")
+    spark.sql("""
+      WITH RECURSIVE s(rn, s_e9) AS (
+        SELECT 0, CAST(1000000000 AS BIGINT)
+        UNION ALL
+        SELECT c.rn, s.s_e9 * (c.n_risk - c.n_event) DIV c.n_risk
+        FROM s JOIN graft_km_curve c ON c.rn = s.rn + 1)
+      SELECT c.dur AS duration_months, c.n_risk, c.n_event, c.n_cens,
+        floor(s.s_e9 / 1.0E9 * 1.0E6 + 0.5D) / 1.0E6 AS survival
+      FROM s JOIN graft_km_curve c ON c.rn = s.rn
+      ORDER BY c.dur""")
+  }
 }
