@@ -293,6 +293,50 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("commonNeighbors: wedge + degree joins broadcast below the gate") {
+    val p = planOf("q_common_neighbors")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("r9 graph ops degrade past the gate with identical results") {
+    import graft.operators.GraphOps
+    // bfsHops and labelProp cut lineage per round, so their iteration
+    // joins aren't visible in the final plan — the degradation contract
+    // is asserted as bit-identical RESULTS above/below the gate (plus
+    // commonNeighbors' visible plan in both regimes)
+    val wantBfs = GraphOps.bfsHops(spark, Sf).collect().map(_.toString).sorted.toSeq
+    val wantCn = GraphOps.commonNeighbors(spark, Sf).collect().map(_.toString).toSeq
+    val wantLp = GraphOps.labelProp(spark, Sf).collect().map(_.toString).toSeq
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "-1"))
+      assert(GraphOps.bfsHops(spark, Sf, maxBroadcastRows = 0)
+        .collect().map(_.toString).sorted.toSeq === wantBfs)
+      val cn = GraphOps.commonNeighbors(spark, Sf, maxBroadcastRows = 0)
+      assert(cn.collect().map(_.toString).toSeq === wantCn)
+      val cnPlan = cn.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(cnPlan.contains("SortMergeJoin") || cnPlan.contains("ShuffledHashJoin"), cnPlan)
+      assert(!cnPlan.contains("BroadcastHashJoin"), cnPlan)
+      assert(GraphOps.labelProp(spark, Sf, maxBroadcastRows = 0)
+        .collect().map(_.toString).toSeq === wantLp)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("skyline stays pruned: no corpus-sized window, no nested-loop join") {
+    val p = planOf("q_skyline")
+    // the only Window ops run on the bounded grid/candidate sets, AFTER
+    // the per-bucket threshold filter; the corpus must never self-join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // grid threshold join is metadata
+  }
+
   test("heaps pays one vocab shuffle and fits on the bounded checkpoint grid") {
     val p = planOf("text_heaps")
     // token first-occurrence groupBy (vocab-sized) + bucket totals +
