@@ -1326,6 +1326,46 @@ object OracleSql {
        |FROM cand JOIN deg da ON da.x = cand.a JOIN deg dc ON dc.x = cand.c
        |ORDER BY common_cnt DESC, a, c LIMIT 30""".stripMargin
 
+  /** Column profile (Relational.profile): per-column distinct-value
+    * grid, every stat derived from it; same column list and order.
+    */
+  val qProfile: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, CAST(sum(cnt) AS BIGINT) AS n,
+         |  CAST(coalesce(sum(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_null,
+         |  count(v) AS n_distinct, ${r6("min(v)")} AS min_v, ${r6("max(v)")} AS max_v,
+         |  ${r6("sum(CASE WHEN v IS NOT NULL THEN " + cents("v", "100.0") + " * cnt END) / 100.0 / (sum(cnt) - coalesce(sum(CASE WHEN v IS NULL THEN cnt END), 0))")} AS avg_v,
+         |  ${r6("max(CASE WHEN v IS NOT NULL THEN cnt END) / (1.0 * (sum(cnt) - coalesce(sum(CASE WHEN v IS NULL THEN cnt END), 0)))")} AS mode_share
+         |FROM (SELECT CAST($c AS DOUBLE) AS v, count(*) AS cnt FROM lineitem GROUP BY 1) g""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey", "l_suppkey")
+      .map(one).mkString("\n", "\nUNION ALL\n", "")
+  }
+
+  /** BRR bootstrap CI (Relational.bootstrapCi): the same md5-hex-char
+    * half-sample membership rule, integerized replicate means, and
+    * rank-picked discrete percentiles over the 64-replicate table.
+    */
+  val qBootstrapCi: String =
+    s"""WITH o AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS h,
+       |  ${cents("o_totalprice", "100.0")} AS vc FROM orders),
+       |fan AS (SELECT rep, vc FROM o
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS rep) r
+       |  WHERE CASE WHEN rep % 2 = 0
+       |    THEN substring(h, (rep // 2) + 1, 1) <= '7'
+       |    ELSE substring(h, (rep // 2) + 1, 1) >= '8' END),
+       |rm AS (SELECT rep, CAST((sum(vc) * 100) // count(*) AS BIGINT) AS m_e4
+       |  FROM fan GROUP BY 1),
+       |fl AS (SELECT CAST((sum(vc) * 100) // count(*) AS BIGINT) AS mbar_e4,
+       |  count(*) AS n_orders FROM o),
+       |rk AS (SELECT m_e4, row_number() OVER (ORDER BY m_e4, rep) AS rk FROM rm)
+       |SELECT CAST(max(n_orders) AS BIGINT) AS n_orders, count(*) AS n_reps,
+       |  ${r6("max(mbar_e4) / 10000.0")} AS mean_value,
+       |  ${r6("sqrt(CAST(sum((m_e4 - mbar_e4) * (m_e4 - mbar_e4)) AS BIGINT) / 64.0) / 10000.0")} AS se_brr,
+       |  ${r6("CAST(sum(CASE WHEN rk = 4 THEN m_e4 END) AS BIGINT) / 10000.0")} AS ci_lo,
+       |  ${r6("CAST(sum(CASE WHEN rk = 32 THEN m_e4 END) AS BIGINT) / 10000.0")} AS ci_mid,
+       |  ${r6("CAST(sum(CASE WHEN rk = 61 THEN m_e4 END) AS BIGINT) / 10000.0")} AS ci_hi
+       |FROM rk CROSS JOIN fl""".stripMargin
+
   /** Containment dedup (Dedup.containment): rare-shingle (df 2..10)
     * inverted-index candidates, exact intersection on candidates only,
     * overlap coefficient ≥ 0.5 — the threshold applies to the ROUNDED
@@ -2858,6 +2898,8 @@ object OracleSql {
     "q_decile_lift" -> qDecileLift,
     "q_survival" -> qSurvival,
     "dedup_containment" -> dedupContainment,
+    "q_profile" -> qProfile,
+    "q_bootstrap_ci" -> qBootstrapCi,
     "q_benford" -> qBenford,
     "text_zipf" -> textZipf,
     "vs_pca_iter" -> vsPcaIter,

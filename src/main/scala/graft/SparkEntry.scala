@@ -163,6 +163,8 @@ object SparkEntry {
     "q_decile_lift" -> ((s, d) => Relational.decileLift(s, d)),
     "q_survival" -> ((s, d) => EventOps.survival(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
+    "q_profile" -> ((s, d) => Relational.profile(s, d)),
+    "q_bootstrap_ci" -> ((s, d) => Relational.bootstrapCi(s, d)),
     "q_benford" -> ((s, d) => Relational.benford(s, d)),
     "text_zipf" -> ((s, d) => TextAnalysis.zipf(s, d)),
     "q_concurrency" -> ((s, d) => EventOps.concurrency(s, d)),

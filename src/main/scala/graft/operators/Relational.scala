@@ -623,6 +623,101 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** One-pass-per-column data-quality profile of lineitem: row count,
+    * nulls, EXACT distinct cardinality, min/max, mean and the modal
+    * value's frequency share — the table-health readout that feeds
+    * join planning (n_distinct, mode_share = skew warning) and schema
+    * drift checks.
+    *
+    * Scale shape: each column collapses to its distinct-VALUE grid
+    * with one partial-agged shuffle (the r8 q_approx_distinct lesson:
+    * per-column group-bys, never a multi-countDistinct Expand), and
+    * every statistic — including the exact distinct count and the
+    * modal share — derives from that one grid with a second bounded
+    * aggregate. Columns profile independently (scan reuse via
+    * ReusedExchange; at extreme widths swap the exact grid for
+    * approx_count_distinct per column).
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.lineitem(spark, dir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_partkey", "l_suppkey")
+    cols.map { name =>
+      val g = t.groupBy(col(name).cast("double").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      g.agg(
+          sum(col("cnt")).as("n"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+          count(col("v")).as("n_distinct"),
+          min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"),
+          max(when(col("v").isNotNull, col("cnt"))).as("mode_cnt"),
+          sum(when(col("v").isNotNull, cents(col("v"), 100.0) * col("cnt"))).as("sum_c"))
+        .select(lit(name).as("col_name"), col("n"), col("n_null"),
+          col("n_distinct"), r6(col("min_v")).as("min_v"),
+          r6(col("max_v")).as("max_v"),
+          r6(col("sum_c") / 100.0 / (col("n") - col("n_null"))).as("avg_v"),
+          r6(col("mode_cnt") / (lit(1.0) * (col("n") - col("n_null"))))
+            .as("mode_share"))
+    }.reduce(_ union _)
+  }
+
+  /** Deterministic bootstrap CI for the mean order value via BALANCED
+    * HALF-SAMPLE REPLICATION: 32 independent md5-bit splits of the
+    * order keys, each contributing its two complementary halves → 64
+    * replicate means, reported as the full-sample mean, the BRR
+    * standard error and discrete 5/50/95 percentile bounds. The
+    * uncertainty readout behind any sampled metric — with zero RNG:
+    * replicate membership is a pure function of the row key, so the
+    * estimate is reproducible across runs, partitionings and engines.
+    *
+    * Scale shape: the 64× replicate fan-out is map-side (one md5 per
+    * row, one hex-char compare per replicate) and collapses through
+    * partial aggregation to 64 (rep, sum, count) partials per task —
+    * the shuffle moves O(64·tasks) rows regardless of corpus size.
+    * All replicate statistics are integerized (mean in 10⁻⁴ dollars,
+    * variance in its square) so the sequential DuckDB mirror sums the
+    * same longs. Rank-based (discrete) percentiles over the bounded
+    * 64-row replicate table dodge interpolation-formula ulps.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.boundedWindow
+    val reps = 64
+    val o = Tables.orders(spark, dir)
+      .select(md5(col("o_orderkey").cast("string")).as("h"),
+        cents(col("o_totalprice"), 100.0).as("vc"))
+    val fan = o.select(col("h"), col("vc"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      // split r/2 uses hex char r/2+1; even rep keeps the low nibbles,
+      // odd rep the complementary high ones
+      .filter(when(col("rep") % 2 === 0,
+        expr("substring(h, (rep div 2) + 1, 1)") <= "7")
+        .otherwise(expr("substring(h, (rep div 2) + 1, 1)") >= "8"))
+    val repMeans = fan.groupBy(col("rep"))
+      .agg(count(lit(1)).as("cnt"), sum(col("vc")).as("sum_c"))
+      .select(col("rep"), expr("(sum_c * 100) div cnt").as("m_e4"))
+    val full = o.agg(expr("(sum(vc) * 100) div count(*)").as("mbar_e4"),
+      count(lit(1)).as("n_orders"))
+    val ranked = repMeans.crossJoin(broadcast(full))
+      .select(col("m_e4"), col("mbar_e4"), col("n_orders"),
+        row_number().over(boundedWindow(col("m_e4"), col("rep"))).as("rk"))
+    ranked.agg(
+        first(col("n_orders")).as("n_orders"),
+        count(lit(1)).as("n_reps"),
+        first(col("mbar_e4")).as("mbar_e4"),
+        sum((col("m_e4") - col("mbar_e4")) * (col("m_e4") - col("mbar_e4")))
+          .as("ss"),
+        sum(when(col("rk") === math.ceil(0.05 * reps).toInt, col("m_e4"))).as("p05_e4"),
+        sum(when(col("rk") === math.ceil(0.50 * reps).toInt, col("m_e4"))).as("p50_e4"),
+        sum(when(col("rk") === math.ceil(0.95 * reps).toInt, col("m_e4"))).as("p95_e4"))
+      .select(col("n_orders"), col("n_reps"),
+        r6(col("mbar_e4") / 10000.0).as("mean_value"),
+        r6(sqrt(col("ss") / lit(reps.toDouble)) / 10000.0).as("se_brr"),
+        r6(col("p05_e4") / 10000.0).as("ci_lo"),
+        r6(col("p50_e4") / 10000.0).as("ci_mid"),
+        r6(col("p95_e4") / 10000.0).as("ci_hi"))
+  }
+
   /** 2-D Pareto frontier (skyline) of orders: the undominated set under
     * (maximize o_totalprice, minimize o_orderdate) — "the earliest
     * order at every price level that no later-or-equal, cheaper-or-
