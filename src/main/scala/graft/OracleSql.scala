@@ -1326,6 +1326,40 @@ object OracleSql {
        |FROM cand JOIN deg da ON da.x = cand.a JOIN deg dc ON dc.x = cand.c
        |ORDER BY common_cnt DESC, a, c LIMIT 30""".stripMargin
 
+  /** Behavioral n-grams (EventOps.eventNgrams): per-user ordered
+    * event-type sequence, distinct 3-grams (space-joined, same as the
+    * text shingler), user support, top-20.
+    */
+  val qEventNgrams: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+       |s AS (SELECT user_id, list(event_type ORDER BY us, event_id) AS seq
+       |  FROM e GROUP BY 1),
+       |nt AS (SELECT count(*) AS n FROM s),
+       |g AS (SELECT user_id, unnest(list_distinct(
+       |  CASE WHEN len(seq) >= 3
+       |    THEN list_transform(generate_series(1, len(seq) - 2),
+       |      i -> seq[i] || ' ' || seq[i + 1] || ' ' || seq[i + 2])
+       |    ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM s)
+       |SELECT gram, count(*) AS n_users,
+       |  ${r6("count(*) / (1.0 * max(n))")} AS user_share
+       |FROM g CROSS JOIN nt GROUP BY gram
+       |ORDER BY n_users DESC, gram LIMIT 20""".stripMargin
+
+  /** Lag features (EventOps.lagFeatures): same one-window shape; the
+    * rolling mean divides the frame's integer sum by its row count.
+    */
+  val qLagFeatures: String =
+    s"""WITH o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS us,
+       |  ${cents("o_totalprice", "100.0")} AS vc FROM orders)
+       |SELECT o_orderkey, o_custkey,
+       |  CAST(row_number() OVER w AS BIGINT) AS order_idx,
+       |  ${r6("lag(vc, 1) OVER w / 100.0")} AS prev_value,
+       |  (us - lag(us, 1) OVER w) // 86400000000 AS days_since_prev,
+       |  ${r6("sum(vc) OVER wr / (100.0 * count(*) OVER wr)")} AS roll3_value
+       |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY us, o_orderkey),
+       |  wr AS (PARTITION BY o_custkey ORDER BY us, o_orderkey
+       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Column profile (Relational.profile): per-column distinct-value
     * grid, every stat derived from it; same column list and order.
     */
@@ -2900,6 +2934,8 @@ object OracleSql {
     "dedup_containment" -> dedupContainment,
     "q_profile" -> qProfile,
     "q_bootstrap_ci" -> qBootstrapCi,
+    "q_event_ngrams" -> qEventNgrams,
+    "q_lag_features" -> qLagFeatures,
     "q_benford" -> qBenford,
     "text_zipf" -> textZipf,
     "vs_pca_iter" -> vsPcaIter,

@@ -165,6 +165,8 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "q_profile" -> ((s, d) => Relational.profile(s, d)),
     "q_bootstrap_ci" -> ((s, d) => Relational.bootstrapCi(s, d)),
+    "q_event_ngrams" -> ((s, d) => EventOps.eventNgrams(s, d)),
+    "q_lag_features" -> ((s, d) => EventOps.lagFeatures(s, d)),
     "q_benford" -> ((s, d) => Relational.benford(s, d)),
     "text_zipf" -> ((s, d) => TextAnalysis.zipf(s, d)),
     "q_concurrency" -> ((s, d) => EventOps.concurrency(s, d)),

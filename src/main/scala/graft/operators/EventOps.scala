@@ -924,6 +924,64 @@ object EventOps {
       .orderBy(col("decile"))
   }
 
+  /** Frequent behavioral n-grams: every length-3 sub-path of each
+    * user's full event-type sequence, scored by USER support (a user
+    * counts once per gram) — the sub-path mining layer between
+    * [[eventPaths]] (whole-session strings) and [[markovTransitions]]
+    * (single steps). The native one-pass shingler from the text family
+    * does the k-gram construction — the same expression serves prose
+    * shingling and behavioral mining.
+    *
+    * Scale shape: one shuffle collapses events to per-user ordered
+    * sequences (bounded by per-user activity); gram construction is
+    * map-side (distinct within user by construction, so support =
+    * plain count); the gram agg shuffles O(distinct grams) partials and
+    * the top-k is a TakeOrdered, never a global sort.
+    */
+  def eventNgrams(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val seqs = base(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("us"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type")).as("seq"))
+    val nUsers = seqs.agg(count(lit(1)).as("n_users_total"))
+    seqs.select(col("user_id"),
+        explode(graft.functions.TextExprs.shingles(col("seq"))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("gram"), col("n_users"),
+        r6(col("n_users") / (lit(1.0) * col("n_users_total"))).as("user_share"))
+      .orderBy(col("n_users").desc, col("gram"))
+      .limit(topK)
+  }
+
+  /** Point-in-time lag features per order — the feature-engineering
+    * pattern every training pipeline needs: previous order value, days
+    * since the previous order, and a 3-order rolling mean, all strictly
+    * backward-looking (no leakage: every feature is computable at the
+    * order's own timestamp).
+    *
+    * Scale shape: exactly one shuffle (on the customer key); all three
+    * features ride the same partitioned window ordering, and the
+    * rolling mean divides the frame's integerized sum by its row count
+    * so the mirror is bit-exact.
+    */
+  def lagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("us"), col("o_orderkey"))
+    val wRoll = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        graft.functions.VectorFunctions.cents(col("o_totalprice"), 100.0).as("vc"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).cast("long").as("order_idx"),
+        r6(lag(col("vc"), 1).over(w) / 100.0).as("prev_value"),
+        ((col("us") - lag(col("us"), 1).over(w)) / lit(86400000000L))
+          .cast("long").as("days_since_prev"),
+        r6(sum(col("vc")).over(wRoll) /
+          (lit(100.0) * count(lit(1)).over(wRoll))).as("roll3_value"))
+  }
+
   /** Kaplan–Meier survival curve of customer lifetimes: lifetime =
     * first order → last order in 30-day buckets; a customer whose last
     * order predates the corpus horizon by > `censorDays` "churned"
@@ -936,20 +994,21 @@ object EventOps {
     * sequential recurrence is bit-identical in Spark and DuckDB — a
     * double Π (or exp∘Σ∘ln) would be at the mercy of libm ulps. Safe
     * while n_risk < 9.2e9 (long overflow bound; at more users, widen
-    * to DECIMAL).
+    * to BigInt).
     *
     * Scale shape: the corpus collapses to per-customer (first, last)
-    * in one shuffle; the curve table is bounded by the TIME SPAN
-    * (≤ ~80 monthly buckets for years of data), so its risk-set sweep
-    * is a bounded window and the sequential KM fold runs as a
-    * recursive CTE over the bounded curve (Spark 4 WITH RECURSIVE;
-    * depth = curve rows < the default 100 recursion limit — widen
-    * `spark.sql.cteRecursionLevelLimit` alongside coarser buckets if
-    * the span grows).
+    * in one shuffle, then to one row per lifetime bucket — bounded by
+    * the TIME SPAN (≤ ~80 monthly buckets for years of data), not the
+    * corpus. The suffix risk counts and the sequential KM fold run on
+    * the driver over that bounded aggregate (the same "bounded
+    * metadata" contract as index centroids): a WITH RECURSIVE twin
+    * was measured re-executing the whole upstream once per bucket
+    * (Spark re-plans an uncached view inside each recursion step), so
+    * the inherently-sequential tail of a bounded curve belongs on the
+    * driver, not in the plan.
     */
   def survival(spark: SparkSession, dir: String, censorDays: Int = 90,
       bucketDays: Int = 30): DataFrame = {
-    import graft.functions.VectorFunctions.boundedWindow
     val dayUs = 86400000000L
     val u = Tables.orders(spark, dir)
       // cast is a no-op on TIMESTAMP and a same-micros reinterpret on
@@ -958,29 +1017,22 @@ object EventOps {
       .groupBy(col("o_custkey"))
       .agg(min(col("us")).as("f"), max(col("us")).as("l"))
     val horizon = u.agg(max(col("l")).as("mx"))
-    val byDur = u.crossJoin(broadcast(horizon))
+    val curve = u.crossJoin(broadcast(horizon))
       .select(expr(s"(l - f) div ${bucketDays * dayUs}").as("dur"),
         (col("l") < col("mx") - lit(censorDays * dayUs)).cast("long").as("churned"))
       .groupBy(col("dur"))
       .agg(count(lit(1)).as("n_total"), sum(col("churned")).as("n_event"))
-    val wPrev = boundedWindow(col("dur")).rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = boundedWindow(col("dur"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    byDur.select(col("dur"), col("n_event"),
-        (col("n_total") - col("n_event")).as("n_cens"),
-        (sum(col("n_total")).over(wAll) -
-          coalesce(sum(col("n_total")).over(wPrev), lit(0L))).as("n_risk"),
-        row_number().over(boundedWindow(col("dur"))).as("rn"))
-      .createOrReplaceTempView("graft_km_curve")
-    spark.sql("""
-      WITH RECURSIVE s(rn, s_e9) AS (
-        SELECT 0, CAST(1000000000 AS BIGINT)
-        UNION ALL
-        SELECT c.rn, s.s_e9 * (c.n_risk - c.n_event) DIV c.n_risk
-        FROM s JOIN graft_km_curve c ON c.rn = s.rn + 1)
-      SELECT c.dur AS duration_months, c.n_risk, c.n_event, c.n_cens,
-        floor(s.s_e9 / 1.0E9 * 1.0E6 + 0.5D) / 1.0E6 AS survival
-      FROM s JOIN graft_km_curve c ON c.rn = s.rn
-      ORDER BY c.dur""")
+      .orderBy(col("dur"))
+      .collect() // bounded: one row per occupied lifetime bucket
+    val suffixRisk = curve.map(_.getLong(1)).scanRight(0L)(_ + _)
+    var sE9 = 1000000000L
+    val folded = curve.zipWithIndex.map { case (r, i) =>
+      val (nTotal, nEvent, nRisk) = (r.getLong(1), r.getLong(2), suffixRisk(i))
+      sE9 = sE9 * (nRisk - nEvent) / nRisk // trunc-div ≡ SQL DIV on nonnegatives
+      (r.getLong(0), nRisk, nEvent, nTotal - nEvent,
+        math.floor(sE9 / 1.0e9 * 1.0e6 + 0.5) / 1.0e6)
+    }.toSeq
+    spark.createDataFrame(folded)
+      .toDF("duration_months", "n_risk", "n_event", "n_cens", "survival")
   }
 }

@@ -40,4 +40,43 @@ class EventOpsSpec extends AnyFunSuite {
     val j = EventOps.jsonAgg(spark, Sf)
     assert(j.agg(sum("n")).head().getLong(0) === Tables.events(spark, Sf).count())
   }
+
+  test("event ngrams are 3-grams over the event alphabet with sane support") {
+    val types = Tables.events(spark, Sf).select(col("event_type"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val rows = EventOps.eventNgrams(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = r.getString(0).split(" ")
+      assert(parts.length == 3 && parts.forall(types.contains),
+        s"gram '${r.getString(0)}' is not a 3-gram over the event alphabet")
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1)
+    }
+    val sup = rows.map(_.getLong(1))
+    assert(sup.sameElements(sup.sortBy(-_)), "not ordered by support")
+  }
+
+  test("lag features are strictly backward-looking (no leakage)") {
+    val rows = EventOps.lagFeatures(spark, Sf).collect()
+    assert(rows.length == Tables.orders(spark, Sf).count())
+    rows.filter(_.getLong(2) == 1L).foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(4),
+        "first order must have null lag features")
+    }
+    // for a first order the rolling mean is its own value; recompute one
+    // customer's chain end-to-end
+    val c = rows.head.getLong(1)
+    val chain = rows.filter(_.getLong(1) == c).sortBy(_.getLong(2))
+    val vals = Tables.orders(spark, Sf).filter(col("o_custkey") === c)
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .select(col("o_totalprice")).collect()
+      .map(r => math.floor(r.getDouble(0) * 100.0 + 0.5).toLong)
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    chain.zipWithIndex.foreach { case (r, i) =>
+      val frame = vals.slice(math.max(0, i - 2), i + 1)
+      assert(r.getDouble(5) == r6d(frame.sum / (100.0 * frame.length)),
+        s"roll3 mismatch at idx ${i + 1} for customer $c")
+      if (i > 0) assert(r.getDouble(3) == r6d(vals(i - 1) / 100.0))
+    }
+  }
 }
