@@ -1924,6 +1924,69 @@ object OracleSql {
        |SELECT doc_id, n_toks, ${r6("sum_lp_e6 / ((1000000.0)::DOUBLE * n_toks)")} AS avg_logprob
        |FROM d ORDER BY avg_logprob, doc_id LIMIT 10""".stripMargin
 
+  /** DSIR importance weights (TextAnalysis.dsirWeights): same hashed
+    * unigram buckets (md5 2-hex-char prefix → 0..255), add-one-smoothed
+    * target/source log ratio integerized per token before the doc sum.
+    */
+  val textDsir: String = {
+    val hexv = (i: Int) => s"(instr('0123456789abcdef', substring(md5(token), $i, 1)) - 1)"
+    s"""WITH tb AS (SELECT doc_id, lang,
+       |  ${hexv(1)} * 16 + ${hexv(2)} AS b
+       |  FROM (SELECT doc_id, lang, unnest($toks) AS token FROM documents)),
+       |tgt AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+       |src AS (SELECT b, count(*) AS cs FROM tb GROUP BY 1),
+       |tt AS (SELECT (SELECT sum(cs) FROM src) AS s_tot,
+       |  (SELECT sum(ct) FROM tgt) AS t_tot),
+       |lut AS (SELECT s.b, ${cents(
+             "ln(((coalesce(ct, 0) + 1.0) * (s_tot + 256.0)) / " +
+               "((cs + 1.0) * (t_tot + 256.0)))", "1000000.0")} AS lr_e6
+       |  FROM src s LEFT JOIN tgt t ON s.b = t.b CROSS JOIN tt),
+       |d AS (SELECT doc_id, lang, CAST(sum(lr_e6) AS BIGINT) AS sum_lr_e6,
+       |  count(*) AS n_toks FROM tb JOIN lut USING(b) GROUP BY 1, 2)
+       |SELECT doc_id, lang, n_toks,
+       |  ${r6("sum_lr_e6 / (1000000.0)::DOUBLE")} AS dsir_score
+       |FROM d ORDER BY dsir_score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** CCNet perplexity terciles (TextAnalysis.pplBuckets): the lmScore
+    * per-doc chain + the decileLift ties-together rank, 3 buckets.
+    */
+  val textPplBuckets: String =
+    s"""WITH tok AS (SELECT doc_id, lang, unnest($toks) AS token FROM documents),
+       |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_total FROM tok),
+       |c AS (SELECT doc_id, lang,
+       |  ${cents("ln(cnt / ((1.0)::DOUBLE * n_total))", "1000000.0")} AS lp_e6
+       |  FROM tok JOIN freq USING(token) CROSS JOIN tot),
+       |d AS (SELECT doc_id, lang, CAST(sum(lp_e6) AS BIGINT) AS sum_lp_e6,
+       |  count(*) AS n_toks FROM c GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, lang, n_toks,
+       |  ${r6("sum_lp_e6 / ((1000000.0)::DOUBLE * n_toks)")} AS score FROM d),
+       |nt AS (SELECT count(*) AS n FROM sc),
+       |g AS (SELECT score, count(*) AS cnt FROM sc GROUP BY 1),
+       |cm AS (SELECT score, sum(cnt) OVER (ORDER BY score) AS cum FROM g),
+       |tc AS (SELECT score, CAST(floor((cum - 1) * 3.0 / n) AS BIGINT) AS t
+       |  FROM cm CROSS JOIN nt),
+       |b AS (SELECT lang, n_toks, sc.score,
+       |  CASE WHEN t = 2 THEN 'head' WHEN t = 1 THEN 'middle' ELSE 'tail' END AS bucket
+       |  FROM sc JOIN tc USING(score))
+       |SELECT lang, bucket, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_toks,
+       |  min(score) AS score_min, max(score) AS score_max
+       |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
+  /** Deterministic shard shuffle (TrainingMix.shardShuffle): the direct
+    * one-window-per-shard rank the Spark side reproduces via bounded
+    * prefix-bucket offsets.
+    */
+  val qShardShuffle: String =
+    s"""WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       |s AS (SELECT doc_id, h,
+       |  CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) % 8 AS BIGINT) AS shard
+       |  FROM h)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM s""".stripMargin
+
   val textContamination: String =
     s"""WITH $shingleCte,
        |ng AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY 1),
@@ -2878,6 +2941,9 @@ object OracleSql {
     "vs_matryoshka" -> vsMatryoshka,
     "text_tfidf" -> textTfidf,
     "text_lm_score" -> textLmScore,
+    "text_dsir" -> textDsir,
+    "text_ppl_buckets" -> textPplBuckets,
+    "q_shard_shuffle" -> qShardShuffle,
     "text_contamination" -> textContamination,
     "q_anomaly" -> qAnomaly,
     "q_events_path" -> qEventsPath,

@@ -109,6 +109,9 @@ object SparkEntry {
     // D+. corpus scoring / hygiene
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
     "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
+    "text_dsir" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    "text_ppl_buckets" -> ((s, d) => TextAnalysis.pplBuckets(s, d)),
+    "q_shard_shuffle" -> ((s, d) => TrainingMix.shardShuffle(s, d)),
     "text_contamination" -> ((s, d) => Decontam.contamination(s, d)),
     // E+. analytics
     "q_anomaly" -> ((s, d) => Relational.anomaly(s, d)),

@@ -236,6 +236,115 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_toks"), col("avg_logprob"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): each document is
+    * scored by the log-likelihood ratio of its hashed-unigram features
+    * under a TARGET distribution (here: the `targetLang` slice — the
+    * domain you want more of) vs the RAW corpus distribution, with
+    * add-one smoothing over the bucket vocabulary. The score is the SUM
+    * of per-token log ratios (the paper's log importance weight — on
+    * this corpus the tail separates hardest: off-target docs carry
+    * strongly negative evidence, spec-pinned). Resampling by these
+    * weights is the standard cheap domain-matching selector. Reported:
+    * the topK docs by log weight.
+    *
+    * Scale shape: bucketing is map-side md5 hex math (2 hex chars →
+    * 256 buckets; runs verbatim in DuckDB). Both feature distributions
+    * are BOUNDED aggregates (nBuckets rows) joined back broadcast, so
+    * the corpus pays one token fan-out and one doc-key partial-agg
+    * shuffle; top-k is a TakeOrdered. Per-token log ratios are
+    * integerized (1e6) before the per-doc sum — order-independent, same
+    * precedent as [[lmScore]].
+    */
+  def dsirWeights(spark: SparkSession, dir: String, targetLang: String = "en",
+      topK: Int = 20): DataFrame = {
+    val nBuckets = 256
+    val hx = "0123456789abcdef"
+    val tok = graft.Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+      .withColumn("b",
+        (expr(s"instr('$hx', substring(md5(token), 1, 1)) - 1") * 16 +
+          expr(s"instr('$hx', substring(md5(token), 2, 1)) - 1")).cast("long"))
+      .transform(graft.plans.ScanShare.shared)
+    val tgt = tok.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val src = tok.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    // every probe-side bucket exists in src by construction; buckets
+    // absent from the target slice smooth to ct=0
+    val totals = src.agg(sum(col("cs")).as("s_tot")).crossJoin(
+      tgt.agg(sum(col("ct")).as("t_tot")))
+    val lut = src.join(tgt, Seq("b"), "left")
+      .crossJoin(totals)
+      .select(col("b"), graft.functions.VectorFunctions.cents(
+        log(((coalesce(col("ct"), lit(0L)) + lit(1.0)) * (col("s_tot") + lit(nBuckets.toDouble))) /
+          ((col("cs") + lit(1.0)) * (col("t_tot") + lit(nBuckets.toDouble)))), 1e6).as("lr_e6"))
+    tok.join(broadcast(lut), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("lr_e6")).as("sum_lr_e6"), count(lit(1)).as("n_toks"))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        r6(col("sum_lr_e6") / lit(1e6)).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): docs split
+    * into head / middle / tail TERCILES by their unigram-LM mean token
+    * log-probability (head = most fluent), reported per (lang, bucket)
+    * with doc/token counts and the score range. The standard
+    * quality-tiering step before mixing — CCNet trains on head+middle
+    * and drops tail.
+    *
+    * Scale shape: the per-doc score rides [[lmScore]]'s chain (token
+    * fan-out → bounded vocab join → doc-key partial agg). Terciles use
+    * the ties-together sort-free rank (the decileLift pattern): the doc
+    * table collapses to its distinct-score grid, a coarse integer-score
+    * grid (bounded by the score DOMAIN) carries broadcast running
+    * offsets, and the only window is partitioned by coarse bucket.
+    * min/max per cell instead of mean keeps every output column
+    * order-independent (no double summation).
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.boundedWindow
+    val tok = graft.Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+      .transform(graft.plans.ScanShare.shared)
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val tot = tok.agg(count(lit(1)).as("n_total"))
+    // cut once: the doc-score table feeds the count, the score grid AND
+    // the final bucket join — without the cut the token fan-out re-runs
+    // three times
+    val perDoc = graft.Checkpointing.cut(tok.join(freq, "token")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp_e6", graft.functions.VectorFunctions.cents(
+        log(col("cnt") / (lit(1.0) * col("n_total"))), 1e6))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("lp_e6")).as("sum_lp_e6"), count(lit(1)).as("n_toks"))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        r6(col("sum_lp_e6") / (lit(1e6) * col("n_toks"))).as("score")))
+    val nDocs = perDoc.count()
+    val g = perDoc.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+      .withColumn("coarse", floor(col("score")).cast("long"))
+    val coarseCum = g.groupBy(col("coarse")).agg(sum(col("cnt")).as("ccnt"))
+      .select(col("coarse"),
+        coalesce(sum(col("ccnt")).over(boundedWindow(col("coarse"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("cum0"))
+    val wIn = Window.partitionBy(col("coarse")).orderBy(col("score"))
+    val terc = g.join(broadcast(coarseCum), Seq("coarse"))
+      .select(col("score"),
+        (col("cum0") + sum(col("cnt")).over(wIn)).as("cum"))
+      .select(col("score"),
+        floor(((col("cum") - 1) * 3).cast("double") / lit(nDocs.toDouble))
+          .cast("long").as("t"))
+    perDoc.join(terc, Seq("score"))
+      .select(col("lang"), col("n_toks"), col("score"),
+        when(col("t") === 2, "head").when(col("t") === 1, "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"),
+        min(col("score")).as("score_min"), max(col("score")).as("score_max"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   /** Gopher-style repetition / quality rules (Rae et al. 2021 §A1.1,
     * adapted to token n-grams — the corpus has no line structure):
     * per document,

@@ -190,4 +190,47 @@ object TrainingMix {
       .filter(col("rk") <= perSource)
       .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
   }
+
+  /** Deterministic global training shuffle WITHOUT a global sort:
+    * every doc gets a shard (hash bucket of its key) and an exact
+    * position within the shard — together a reproducible permutation
+    * the trainer streams shard-by-shard. This is the "terashuffle"
+    * every LLM run needs: the read order must be (a) decorrelated from
+    * ingest order, (b) identical across re-runs and partitionings, and
+    * (c) computable without ever totally ordering the corpus.
+    *
+    * Scale shape: shard and sub-bucket are map-side md5 hex math (runs
+    * verbatim in DuckDB, unlike xxhash64). The within-shard rank is the
+    * distributed-rank pattern (q_gini precedent): per-(shard, bucket)
+    * counts fold into bounded running offsets (nShards×16 rows,
+    * broadcast), and the only window is PARTITIONED by (shard, bucket)
+    * — 1/(nShards·16) of the corpus per partition, and the bucket can
+    * take more hex chars if partitions still run hot. The oracle is the
+    * direct one-window-per-shard formulation.
+    */
+  def shardShuffle(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val hx = "0123456789abcdef"
+    val d = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .select(col("doc_id"), col("h"),
+        (expr(s"instr('$hx', substring(h, 1, 1)) - 1") % nShards)
+          .cast("long").as("shard"),
+        // the 2-hex-char PREFIX value: a shard holds 16/nShards distinct
+        // first chars, so the sub-bucket must be monotone in h itself
+        // (bucket asc, h asc ≡ h asc within the shard) for the offsets
+        // to reproduce the direct per-shard ORDER BY h rank
+        (expr(s"instr('$hx', substring(h, 1, 1)) - 1") * 16 +
+          expr(s"instr('$hx', substring(h, 2, 1)) - 1")).cast("long").as("bucket"))
+    val offsets = d.groupBy(col("shard"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("shard"), col("bucket"),
+        coalesce(sum(col("cnt")).over(
+          Window.partitionBy(col("shard")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val wIn = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    d.join(broadcast(offsets), Seq("shard", "bucket"))
+      .select(col("doc_id"), col("shard"),
+        (col("off") + row_number().over(wIn)).as("pos"))
+  }
 }
