@@ -884,6 +884,40 @@ object OracleSql {
        |FROM bf LEFT JOIN iv ON bf.query_id = iv.query_id AND bf.vec_id = iv.vec_id
        |GROUP BY 1""".stripMargin
 
+  /** nDCG@10 of the IVF batch search (IvfIndex.ndcgReport): graded
+    * relevance from the brute top-10 (rel = 11 − brute rank), DCG terms
+    * integerized at 1e6 before the per-query sum, ideal DCG folded from
+    * the same integerized terms in-engine.
+    */
+  val vsNdcg: String =
+    s"""WITH $ivfCtes,
+       |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |bp AS (SELECT query_id, cluster_id, qv FROM (
+       |  SELECT q.query_id, c.cluster_id, q.qv,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${dist2("c.cvec", "q.qv")}, c.cluster_id) AS rn
+       |  FROM bq q CROSS JOIN cent c) WHERE rn <= 3),
+       |iv AS (SELECT query_id, vec_id, pos FROM (
+       |  SELECT p.query_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY ${dot("e.embedding", "p.qv")} DESC, e.vec_id) AS pos
+       |  FROM embeddings e JOIN asg a USING(vec_id) JOIN bp p ON a.cluster_id = p.cluster_id)
+       |  WHERE pos <= 10),
+       |bf AS (SELECT query_id, vec_id, brnk FROM (
+       |  SELECT q.query_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${dot("e.embedding", "q.qv")} DESC, e.vec_id) AS brnk
+       |  FROM embeddings e CROSS JOIN bq q) WHERE brnk <= 10),
+       |idcg AS (SELECT CAST(sum(${cents("(11 - p) * ln(2) / ln(p + 1)", "1000000.0")})
+       |  AS BIGINT) AS idcg_e6 FROM generate_series(1, 10) AS g(p)),
+       |t AS (SELECT iv.query_id,
+       |  ${cents("coalesce(11 - bf.brnk, 0) * ln(2) / ln(iv.pos + 1)", "1000000.0")} AS term_e6,
+       |  CASE WHEN bf.brnk IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM iv LEFT JOIN bf ON iv.query_id = bf.query_id AND iv.vec_id = bf.vec_id)
+       |SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hit,
+       |  ${r6("sum(term_e6) / (1.0 * idcg_e6)")} AS ndcg
+       |FROM t CROSS JOIN idcg GROUP BY query_id, idcg_e6""".stripMargin
+
   val dedupReport: String =
     s"""WITH $bandCtes,
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -2933,6 +2967,7 @@ object OracleSql {
     "vs_ivf_batch" -> vsIvfBatch,
     "q_grouping_sets" -> qGroupingSets,
     "vs_ivf_recall" -> vsIvfRecall,
+    "vs_ndcg" -> vsNdcg,
     "vs_pq_recall" -> vsPqRecall,
     "dedup_report" -> dedupReport,
     "dedup_sweep" -> dedupSweep,

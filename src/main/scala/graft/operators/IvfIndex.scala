@@ -452,6 +452,50 @@ object IvfIndex {
         r6(col("n_hit") / lit(k.toDouble)).as("recall"))
   }
 
+  /** nDCG@k of the nprobe-pruned search — [[recallReport]]'s
+    * position-aware companion: recall says WHETHER the true top-k came
+    * back, nDCG says whether it came back IN ORDER (a hit at rank 1
+    * outweighs the same hit at rank k). Graded relevance comes from the
+    * exact brute-force ranking (rel = k+1 − brute_rank, 0 beyond k);
+    * DCG terms rel·ln2/ln(pos+1) are integerized (1e6) before the
+    * per-query sum so the 10-term double sum is order-independent, and
+    * the ideal DCG is folded from the SAME integerized terms inside
+    * both engines (never a Scala-side literal — libm parity).
+    *
+    * Scale shape: rides [[searchBatch]] (broadcast probe table, partial
+    * top-k) plus the brute truth both quality metrics inherently need;
+    * the DCG fold is a k-row-per-query aggregate.
+    */
+  def ndcgReport(spark: SparkSession, dir: String, nprobe: Int = 3,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.cents
+    val ivf = searchBatch(spark, dir, nprobe, k)
+      .select(col("query_id"), col("vec_id"), col("rnk").as("pos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    val brute = KnnSearch.scored(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+        Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+      .select(col("query_id"), col("vec_id"), col("score"))
+      .withColumn("brnk", row_number().over(w).cast("long"))
+      .filter(col("brnk") <= k)
+      .select("query_id", "vec_id", "brnk")
+    val rel = coalesce(lit(k.toLong) + 1L - col("brnk"), lit(0L))
+    val idcg = spark.range(1, k + 1).select(
+      sum(cents((lit(k + 1) - col("id")) * log(lit(2.0)) / log(col("id") + lit(1.0)),
+        1e6)).as("idcg_e6"))
+    ivf.join(brute, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"),
+        cents(rel * log(lit(2.0)) / log(col("pos") + lit(1.0)), 1e6).as("term_e6"),
+        when(col("brnk").isNotNull, 1L).otherwise(0L).as("hit"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("term_e6")).as("dcg_e6"), sum(col("hit")).as("n_hit"))
+      .crossJoin(broadcast(idcg))
+      .select(col("query_id"), col("n_hit"),
+        r6(col("dcg_e6") / (lit(1.0) * col("idcg_e6"))).as("ndcg"))
+  }
+
   /** IVF search: rank centroids by distance to the query, scan only the
     * `nprobe` nearest clusters, brute-force top-k inside them. The
     * candidate filter is an isin over the assignment column computed in

@@ -102,4 +102,27 @@ class RecallSpec extends AnyFunSuite {
     val hi = queryIds.map(recallAt10(_, 8)).sum / queryIds.size
     assert(hi >= lo, s"recall not monotone: $lo -> $hi")
   }
+
+  test("ndcg is bounded, monotone in nprobe, and exactly 1 at full probe") {
+    def avgNdcg(nprobe: Int): Double = {
+      val rows = IvfIndex.ndcgReport(spark, Sf, nprobe = nprobe).collect()
+      rows.foreach { r =>
+        val n = r.getDouble(2)
+        assert(n >= 0.0 && n <= 1.0, s"ndcg $n out of [0,1]")
+      }
+      rows.map(_.getDouble(2)).sum / rows.length
+    }
+    // a larger probe set can only replace a returned doc with a
+    // higher-scored (= more relevant) one, so DCG is nondecreasing
+    val n1 = avgNdcg(1)
+    val n3 = avgNdcg(3)
+    assert(n3 >= n1, s"ndcg not monotone: nprobe1=$n1 nprobe3=$n3")
+    // probing every cluster IS brute force: perfect ranking everywhere
+    val nClusters = IvfIndex.centroids(spark, Sf).count().toInt
+    val full = IvfIndex.ndcgReport(spark, Sf, nprobe = nClusters).collect()
+    full.foreach { r =>
+      assert(r.getLong(1) === 10L, s"full-probe n_hit ${r.getLong(1)}")
+      assert(r.getDouble(2) === 1.0, s"full-probe ndcg ${r.getDouble(2)}")
+    }
+  }
 }
