@@ -256,15 +256,23 @@ object TextAnalysis {
     * integerized (1e6) before the per-doc sum — order-independent, same
     * precedent as [[lmScore]].
     */
-  def dsirWeights(spark: SparkSession, dir: String, targetLang: String = "en",
-      topK: Int = 20): DataFrame = {
+  /** The hashed-unigram feature id: md5 2-hex-char prefix → 0..255
+    * (hex→int, identical to the oracle's instr('0123..f', …) ladder).
+    * md5 rather than xxhash so the mirror runs in DuckDB.
+    */
+  def dsirBucket(token: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(token), 1, 2), 16, 10).cast("long")
+
+  /** Train the DSIR bucket→log-ratio table: a BOUNDED (≤256 row)
+    * DataFrame of integerized smoothed log ratios — the "model" the
+    * batch scorer joins broadcast and the streaming scorer folds into
+    * a literal map ([[graft.streaming.DocStream.dsirScore]]).
+    */
+  def dsirLut(spark: SparkSession, dir: String, targetLang: String = "en"): DataFrame = {
     val nBuckets = 256
-    val hx = "0123456789abcdef"
     val tok = graft.Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
-      .withColumn("b",
-        (expr(s"instr('$hx', substring(md5(token), 1, 1)) - 1") * 16 +
-          expr(s"instr('$hx', substring(md5(token), 2, 1)) - 1")).cast("long"))
+      .withColumn("b", dsirBucket(col("token")))
       .transform(graft.plans.ScanShare.shared)
     val tgt = tok.filter(col("lang") === targetLang)
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
@@ -273,11 +281,19 @@ object TextAnalysis {
     // absent from the target slice smooth to ct=0
     val totals = src.agg(sum(col("cs")).as("s_tot")).crossJoin(
       tgt.agg(sum(col("ct")).as("t_tot")))
-    val lut = src.join(tgt, Seq("b"), "left")
+    src.join(tgt, Seq("b"), "left")
       .crossJoin(totals)
       .select(col("b"), graft.functions.VectorFunctions.cents(
         log(((coalesce(col("ct"), lit(0L)) + lit(1.0)) * (col("s_tot") + lit(nBuckets.toDouble))) /
           ((col("cs") + lit(1.0)) * (col("t_tot") + lit(nBuckets.toDouble)))), 1e6).as("lr_e6"))
+  }
+
+  def dsirWeights(spark: SparkSession, dir: String, targetLang: String = "en",
+      topK: Int = 20): DataFrame = {
+    val tok = graft.Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+      .withColumn("b", dsirBucket(col("token")))
+    val lut = dsirLut(spark, dir, targetLang)
     tok.join(broadcast(lut), Seq("b"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("lr_e6")).as("sum_lr_e6"), count(lit(1)).as("n_toks"))

@@ -32,6 +32,37 @@ object DocStream {
       .filter(col("quality") >= minQuality && col("pred_lang") === col("lang"))
       .drop("quality", "pred_lang")
 
+  /** Per-row DSIR score from a batch-trained bucket LUT — the
+    * importance-resampling companion of [[qualityFilter]] and
+    * EventStream.anomalyStream's batch-trained-stats-into-stream
+    * pattern. The ≤256-entry LUT (TextAnalysis.dsirLut, collected as
+    * bounded model metadata) folds into a literal map, so scoring is a
+    * stateless per-row projection: no explode, no join, no state store
+    * — the stream shape a 100 TB live tail needs, and the identical
+    * expression scores batch backfills (spec proves equality to the
+    * batch explode+join formulation doc-for-doc).
+    *
+    * Buckets unseen at training time score 0 (no evidence either way —
+    * the add-one-smoothed LUT covers every bucket the training corpus
+    * produced, so this only triggers on genuinely novel vocabulary).
+    */
+  def dsirScore(lut: Array[(Long, Long)])(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    require(lut.nonEmpty && lut.length <= 256, s"dsir LUT has ${lut.length} entries")
+    val m = map(lut.flatMap { case (b, v) => Seq(lit(b), lit(v)) }.toIndexedSeq: _*)
+    val perTok = transform(graft.functions.TextFunctions.tokens(text),
+      t => coalesce(element_at(m, TextAnalysis.dsirBucket(t)), lit(0L)))
+    aggregate(perTok, lit(0L), (acc, x) => acc + x).as("dsir_e6")
+  }
+
+  /** In-flight domain selection: keep stream docs whose DSIR log weight
+    * clears `minScoreE6` (integerized 1e6, matching the LUT).
+    */
+  def dsirFilter(docs: DataFrame, lut: Array[(Long, Long)],
+      minScoreE6: Long): DataFrame =
+    docs.withColumn("dsir_e6", dsirScore(lut)(col("text")))
+      .filter(col("dsir_e6") >= minScoreE6)
+
   /** Stream documents into the corpus: filter in-flight, then append
     * only never-seen doc_ids per micro-batch.
     */
