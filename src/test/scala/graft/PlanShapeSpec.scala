@@ -345,4 +345,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("partial_min") || p.contains("partial_count"), p)
   }
+
+  test("shard shuffle is genuinely sort-free: no global sort, offsets ride a broadcast") {
+    val p = planOf("q_shard_shuffle")
+    // the whole point: a permutation of the corpus with NO total order —
+    // no range partitioning anywhere, and the only window sort is the
+    // (shard, bucket)-partitioned local one
+    assert(!p.contains("rangepartitioning"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // bounded offset grid
+  }
+
+  test("dsir scores in two bounded joins: LUT broadcast, corpus shuffled only per doc") {
+    val p = planOf("text_dsir")
+    // the 256-row LUT must come back broadcast — a shuffle join here
+    // would key-shuffle the whole token fan-out against metadata
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ppl buckets: tercile thresholds join broadcast; no corpus-sized window") {
+    val p = planOf("text_ppl_buckets")
+    // the only range partitioning allowed is the final orderBy on the
+    // bounded (lang × 3) output grid — never a corpus-wide sort; the
+    // SinglePartition window in the plan is boundedWindow over the
+    // ≤~15-row coarse-score grid (its documented contract), not the
+    // corpus
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
