@@ -2441,6 +2441,19 @@ object OracleSql {
        |  CAST(abs(rev_cents * 1000000 - (sum_prev * 1000000) // n_prev) AS BIGINT) AS err_e6
        |FROM wn WHERE n_prev = 7""".stripMargin
 
+  /** Rolling median (EventOps.rollingMedian): lower-middle of the
+    * sorted 7-row frame — rank-based, no interpolation, integer cents.
+    */
+  val qRollingMedian: String =
+    s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, ${cents("value", "100.0")} AS vc FROM events),
+       |daily AS (SELECT day, CAST(sum(vc) AS BIGINT) AS rev_cents FROM e GROUP BY 1),
+       |f AS (SELECT day, rev_cents, list_sort(list(rev_cents) OVER (
+       |  ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS frame FROM daily)
+       |SELECT day, rev_cents, CAST(len(frame) AS BIGINT) AS n_frame,
+       |  CAST(frame[CAST((len(frame) + 1) // 2 AS INT)] AS BIGINT) AS roll_med_cents,
+       |  rev_cents > frame[CAST((len(frame) + 1) // 2 AS INT)] * 2 AS spike
+       |FROM f""".stripMargin
+
   /** Holt trend smoothing (EventOps.forecastHolt): the oracle replays
     * the sequential recursion with a recursive CTE; α=1/2 and β=1/4
     * are exact binary fractions, so the double arithmetic is
@@ -3016,6 +3029,7 @@ object OracleSql {
     // construction (shared native encode loops), so it shares the oracle
     "vs_ivfpq_residual_idx" -> vsIvfPqResidual,
     "q_forecast_sma" -> qForecastSma,
+    "q_rolling_median" -> qRollingMedian,
     "q_outer_join" -> qOuterJoin,
     "q_unpivot" -> qUnpivot,
     "q_streaks" -> qStreaks,

@@ -150,6 +150,7 @@ object SparkEntry {
     // codes-only residual index (built once per corpus fingerprint)
     "vs_ivfpq_residual_idx" -> ((s, d) => PqIndex.searchResidualIndexed(s, d)),
     "q_forecast_sma" -> ((s, d) => EventOps.forecastSma(s, d)),
+    "q_rolling_median" -> ((s, d) => EventOps.rollingMedian(s, d)),
     "q_outer_join" -> ((s, d) => Relational.outerCoverage(s, d)),
     "q_unpivot" -> ((s, d) => Relational.unpivotStats(s, d)),
     "q_streaks" -> ((s, d) => EventOps.activityStreaks(s, d)),

@@ -982,6 +982,34 @@ object EventOps {
           (lit(100.0) * count(lit(1)).over(wRoll))).as("roll3_value"))
   }
 
+  /** Exact 7-day rolling MEDIAN of daily revenue with a 2× spike flag —
+    * the robust-trend companion of [[forecastSma]]: one fat day barely
+    * moves the median where it drags the mean a seventh of its weight
+    * (the q_mad_outliers argument applied to the time axis). The median
+    * is the LOWER middle of the sorted frame — rank-based, zero
+    * interpolation, so integer cents flow end to end and both engines
+    * pick the identical element.
+    *
+    * Scale shape: the corpus collapses to the bounded daily grid in one
+    * partial-agg shuffle; the frame sort runs on ≤`window` values per
+    * grid row. Same boundedness contract as every daily-series query.
+    */
+  def rollingMedian(spark: SparkSession, dir: String, window: Int = 7): DataFrame = {
+    import graft.functions.VectorFunctions.cents
+    val daily = base(spark, dir)
+      .groupBy(expr("us div 86400000000").as("day"))
+      .agg(sum(cents(col("value"), 100.0)).as("rev_cents"))
+    val w = graft.functions.VectorFunctions.boundedWindow(col("day"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    daily
+      .withColumn("frame", array_sort(collect_list(col("rev_cents")).over(w)))
+      .withColumn("n_frame", size(col("frame")).cast("long"))
+      .withColumn("roll_med_cents",
+        element_at(col("frame"), expr("CAST((n_frame + 1) div 2 AS INT)")))
+      .select(col("day"), col("rev_cents"), col("n_frame"), col("roll_med_cents"),
+        (col("rev_cents") > col("roll_med_cents") * 2L).as("spike"))
+  }
+
   /** Kaplan–Meier survival curve of customer lifetimes: lifetime =
     * first order → last order in 30-day buckets; a customer whose last
     * order predates the corpus horizon by > `censorDays` "churned"

@@ -56,6 +56,22 @@ class EventOpsSpec extends AnyFunSuite {
     assert(sup.sameElements(sup.sortBy(-_)), "not ordered by support")
   }
 
+  test("rolling median matches a hand fold and resists a spike") {
+    val rows = EventOps.rollingMedian(spark, Sf).collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getLong(1))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val frame = revs.slice(math.max(0, i - 6), i + 1).sorted
+      assert(r.getLong(2) === frame.length.toLong)
+      val med = frame((frame.length - 1) / 2) // lower middle, 0-based
+      assert(r.getLong(3) === med, s"median mismatch at day ${r.getLong(0)}")
+      assert(r.getBoolean(4) === (r.getLong(1) > 2 * med))
+    }
+    // robustness: the median of [m, m, m, m, m, m, 1e9·m] is still m
+    val m = Array.fill(6)(100L) :+ 100000000000L
+    assert(m.sorted.apply((m.length - 1) / 2) === 100L)
+  }
+
   test("lag features are strictly backward-looking (no leakage)") {
     val rows = EventOps.lagFeatures(spark, Sf).collect()
     assert(rows.length == Tables.orders(spark, Sf).count())
