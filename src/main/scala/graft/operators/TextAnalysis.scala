@@ -268,12 +268,20 @@ object TextAnalysis {
     * batch scorer joins broadcast and the streaming scorer folds into
     * a literal map ([[graft.streaming.DocStream.dsirScore]]).
     */
-  def dsirLut(spark: SparkSession, dir: String, targetLang: String = "en"): DataFrame = {
-    val nBuckets = 256
-    val tok = graft.Tables.fanOut(Tables.documents(spark, dir))
+  /** The shared (doc, lang, token, bucket) fan-out — ONE cached scan
+    * feeds LUT training and the probe side of the scorer.
+    */
+  private def dsirTok(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
       .withColumn("b", dsirBucket(col("token")))
       .transform(graft.plans.ScanShare.shared)
+
+  def dsirLut(spark: SparkSession, dir: String, targetLang: String = "en"): DataFrame =
+    dsirLutFrom(dsirTok(spark, dir), targetLang)
+
+  private def dsirLutFrom(tok: DataFrame, targetLang: String): DataFrame = {
+    val nBuckets = 256
     val tgt = tok.filter(col("lang") === targetLang)
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val src = tok.groupBy(col("b")).agg(count(lit(1)).as("cs"))
@@ -290,10 +298,8 @@ object TextAnalysis {
 
   def dsirWeights(spark: SparkSession, dir: String, targetLang: String = "en",
       topK: Int = 20): DataFrame = {
-    val tok = graft.Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
-      .withColumn("b", dsirBucket(col("token")))
-    val lut = dsirLut(spark, dir, targetLang)
+    val tok = dsirTok(spark, dir)
+    val lut = dsirLutFrom(tok, targetLang)
     tok.join(broadcast(lut), Seq("b"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("lr_e6")).as("sum_lr_e6"), count(lit(1)).as("n_toks"))
