@@ -202,25 +202,33 @@ object TrainingMix {
     * Scale shape: shard and sub-bucket are map-side md5 hex math (runs
     * verbatim in DuckDB, unlike xxhash64). The within-shard rank is the
     * distributed-rank pattern (q_gini precedent): per-(shard, bucket)
-    * counts fold into bounded running offsets (nShards×16 rows,
+    * counts fold into bounded running offsets (16^prefixChars rows,
     * broadcast), and the only window is PARTITIONED by (shard, bucket)
-    * — 1/(nShards·16) of the corpus per partition, and the bucket can
-    * take more hex chars if partitions still run hot. The oracle is the
-    * direct one-window-per-shard formulation.
+    * — corpus/16^prefixChars rows per sort partition. `prefixChars`
+    * sizes that: 2 (default) gives 256 partitions; a 100 TB corpus
+    * wants 5–6 (1M–16.7M partitions of a few MB each; the offset grid
+    * is 16^prefixChars rows of three longs, still comfortably under
+    * the broadcast gate at 6). The oracle is the direct
+    * one-window-per-shard formulation, identical at every depth.
     */
-  def shardShuffle(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+  def shardShuffle(spark: SparkSession, dir: String, nShards: Int = 8,
+      prefixChars: Int = 2): DataFrame = {
+    require(prefixChars >= 1 && prefixChars <= 6,
+      s"prefixChars=$prefixChars: the offset grid is 16^prefixChars rows " +
+        "and must stay broadcast-safe (16^6 = 16.7M is the gate)")
     val hx = "0123456789abcdef"
     val d = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
       .select(col("doc_id"), col("h"),
         (expr(s"instr('$hx', substring(h, 1, 1)) - 1") % nShards)
           .cast("long").as("shard"),
-        // the 2-hex-char PREFIX value: a shard holds 16/nShards distinct
-        // first chars, so the sub-bucket must be monotone in h itself
-        // (bucket asc, h asc ≡ h asc within the shard) for the offsets
-        // to reproduce the direct per-shard ORDER BY h rank
-        (expr(s"instr('$hx', substring(h, 1, 1)) - 1") * 16 +
-          expr(s"instr('$hx', substring(h, 2, 1)) - 1")).cast("long").as("bucket"))
+        // the hex-PREFIX value: a shard holds 16/nShards distinct first
+        // chars, so the sub-bucket must be monotone in h itself (bucket
+        // asc, h asc ≡ h asc within the shard) for the offsets to
+        // reproduce the direct per-shard ORDER BY h rank — any prefix
+        // of h is, at every depth
+        conv(substring(col("h"), 1, prefixChars), 16, 10)
+          .cast("long").as("bucket"))
     val offsets = d.groupBy(col("shard"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("shard"), col("bucket"),

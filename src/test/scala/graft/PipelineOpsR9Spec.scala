@@ -31,6 +31,16 @@ class PipelineOpsR9Spec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("shard shuffle is invariant in the prefix depth (the 100 TB knob)") {
+    // deeper sub-bucketing re-sizes the sort partitions, never the result
+    val d2 = TrainingMix.shardShuffle(spark, Sf, prefixChars = 2)
+    val d4 = TrainingMix.shardShuffle(spark, Sf, prefixChars = 4)
+      .withColumnRenamed("pos", "pos4").withColumnRenamed("shard", "shard4")
+    assert(d2.join(d4, "doc_id")
+      .filter(col("pos") =!= col("pos4") || col("shard") =!= col("shard4"))
+      .count() === 0)
+  }
+
   test("shard shuffle rank matches the direct per-shard sort") {
     // the bounded-offset formulation must equal a plain window over h
     import org.apache.spark.sql.expressions.Window
