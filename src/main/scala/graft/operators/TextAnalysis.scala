@@ -246,7 +246,8 @@ object TextAnalysis {
     * this corpus the tail separates hardest: off-target docs carry
     * strongly negative evidence, spec-pinned). Resampling by these
     * weights is the standard cheap domain-matching selector. Reported:
-    * the topK docs by log weight.
+    * the topK docs by log weight. `bucketChars` scales the feature
+    * resolution with the corpus (see [[dsirBucket]]).
     *
     * Scale shape: bucketing is map-side md5 hex math (2 hex chars →
     * 256 buckets; runs verbatim in DuckDB). Both feature distributions
@@ -260,8 +261,12 @@ object TextAnalysis {
     * (hex→int, identical to the oracle's instr('0123..f', …) ladder).
     * md5 rather than xxhash so the mirror runs in DuckDB.
     */
-  def dsirBucket(token: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(token), 1, 2), 16, 10).cast("long")
+  def dsirBucket(token: org.apache.spark.sql.Column, chars: Int = 2)
+      : org.apache.spark.sql.Column = {
+    require(chars >= 1 && chars <= 4,
+      s"dsirBucket chars=$chars: 16^chars buckets must stay LUT-sized")
+    conv(substring(md5(token), 1, chars), 16, 10).cast("long")
+  }
 
   /** Train the DSIR bucket→log-ratio table: a BOUNDED (≤256 row)
     * DataFrame of integerized smoothed log ratios — the "model" the
@@ -271,17 +276,19 @@ object TextAnalysis {
   /** The shared (doc, lang, token, bucket) fan-out — ONE cached scan
     * feeds LUT training and the probe side of the scorer.
     */
-  private def dsirTok(spark: SparkSession, dir: String): DataFrame =
+  private def dsirTok(spark: SparkSession, dir: String, bucketChars: Int): DataFrame =
     graft.Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
-      .withColumn("b", dsirBucket(col("token")))
+      .withColumn("b", dsirBucket(col("token"), bucketChars))
       .transform(graft.plans.ScanShare.shared)
 
-  def dsirLut(spark: SparkSession, dir: String, targetLang: String = "en"): DataFrame =
-    dsirLutFrom(dsirTok(spark, dir), targetLang)
+  def dsirLut(spark: SparkSession, dir: String, targetLang: String = "en",
+      bucketChars: Int = 2): DataFrame =
+    dsirLutFrom(dsirTok(spark, dir, bucketChars), targetLang,
+      math.pow(16, bucketChars).toInt)
 
-  private def dsirLutFrom(tok: DataFrame, targetLang: String): DataFrame = {
-    val nBuckets = 256
+  private def dsirLutFrom(tok: DataFrame, targetLang: String,
+      nBuckets: Int): DataFrame = {
     val tgt = tok.filter(col("lang") === targetLang)
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val src = tok.groupBy(col("b")).agg(count(lit(1)).as("cs"))
@@ -297,9 +304,9 @@ object TextAnalysis {
   }
 
   def dsirWeights(spark: SparkSession, dir: String, targetLang: String = "en",
-      topK: Int = 20): DataFrame = {
-    val tok = dsirTok(spark, dir)
-    val lut = dsirLutFrom(tok, targetLang)
+      topK: Int = 20, bucketChars: Int = 2): DataFrame = {
+    val tok = dsirTok(spark, dir, bucketChars)
+    val lut = dsirLutFrom(tok, targetLang, math.pow(16, bucketChars).toInt)
     tok.join(broadcast(lut), Seq("b"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("lr_e6")).as("sum_lr_e6"), count(lit(1)).as("n_toks"))

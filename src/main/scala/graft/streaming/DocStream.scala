@@ -46,12 +46,14 @@ object DocStream {
     * the add-one-smoothed LUT covers every bucket the training corpus
     * produced, so this only triggers on genuinely novel vocabulary).
     */
-  def dsirScore(lut: Array[(Long, Long)])(text: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
-    require(lut.nonEmpty && lut.length <= 256, s"dsir LUT has ${lut.length} entries")
-    val m = map(lut.flatMap { case (b, v) => Seq(lit(b), lit(v)) }.toIndexedSeq: _*)
+  def dsirScore(lut: Array[(Long, Long)], bucketChars: Int = 2)
+      (text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // one MapType literal (not 2·|lut| expression nodes), so the knob
+    // scales to the 16^4 regime without blowing up the plan
+    require(lut.nonEmpty && lut.length <= 65536, s"dsir LUT has ${lut.length} entries")
+    val m = typedlit(lut.toMap)
     val perTok = transform(graft.functions.TextFunctions.tokens(text),
-      t => coalesce(element_at(m, TextAnalysis.dsirBucket(t)), lit(0L)))
+      t => coalesce(element_at(m, TextAnalysis.dsirBucket(t, bucketChars)), lit(0L)))
     aggregate(perTok, lit(0L), (acc, x) => acc + x).as("dsir_e6")
   }
 

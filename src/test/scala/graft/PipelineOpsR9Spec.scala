@@ -86,6 +86,15 @@ class PipelineOpsR9Spec extends AnyFunSuite {
       s"de-target per-token mean should peak at de: $de")
   }
 
+  test("dsir direction survives finer feature resolution (bucketChars=3)") {
+    val en = TextAnalysis.dsirWeights(spark, Sf, topK = 500, bucketChars = 3)
+      .groupBy("lang")
+      .agg((sum(col("dsir_score") * col("n_toks")) / sum("n_toks")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(en.keys.forall(l => en("en") >= en(l)),
+      s"en-target per-token mean should peak at en at 4096 buckets: $en")
+  }
+
   test("ppl buckets form exact terciles and conserve docs and tokens") {
     val b = TextAnalysis.pplBuckets(spark, Sf)
     val nDocs = Tables.documents(spark, Sf).count()
