@@ -365,6 +365,39 @@ object OracleSql {
        |FROM bt LEFT JOIN atop ON bt.query_id = atop.query_id AND bt.vec_id = atop.vec_id
        |GROUP BY 1""".stripMargin
 
+  /** LSH nDCG@5 (LshAnn.ndcgReport): the vsLshRecall candidate stream
+    * with positions, scored by the shared integerized-DCG contract.
+    */
+  val vsLshNdcg: String =
+    s"""WITH $lshPlanes,
+       |proj AS (SELECT e.vec_id, p.p, ${dot("e.embedding", "p.w")} AS pr
+       |  FROM embeddings e CROSS JOIN planes p),
+       |bk AS (SELECT vec_id,
+       |  CAST(sum(CASE WHEN pr > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1),
+       |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, bk.bucket AS qb
+       |  FROM embeddings e JOIN bk USING (vec_id) WHERE e.vec_id % 100 = 0),
+       |pb AS (SELECT query_id, qv, unnest([qb, CAST(xor(qb, 1) AS BIGINT)]) AS bucket FROM q),
+       |app AS (SELECT pb.query_id, e.vec_id, ${dot("e.embedding", "pb.qv")} AS s
+       |  FROM embeddings e JOIN bk USING (vec_id) JOIN pb ON bk.bucket = pb.bucket),
+       |ar AS (SELECT query_id, vec_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS pos FROM app),
+       |atop AS (SELECT query_id, vec_id, pos FROM ar WHERE pos <= 5),
+       |sc AS (SELECT q.query_id, e.vec_id, ${dot("e.embedding", "q.qv")} AS s
+       |  FROM embeddings e, q),
+       |br AS (SELECT query_id, vec_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS brnk FROM sc),
+       |bt AS (SELECT query_id, vec_id, brnk FROM br WHERE brnk <= 5),
+       |idcg AS (SELECT CAST(sum(${cents("(6 - p) * ln(2) / ln(p + 1)", "1000000.0")})
+       |  AS BIGINT) AS idcg_e6 FROM generate_series(1, 5) AS g(p)),
+       |t AS (SELECT atop.query_id,
+       |  ${cents("coalesce(6 - bt.brnk, 0) * ln(2) / ln(atop.pos + 1)", "1000000.0")} AS term_e6,
+       |  CASE WHEN bt.brnk IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM atop LEFT JOIN bt ON atop.query_id = bt.query_id AND atop.vec_id = bt.vec_id)
+       |SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hit,
+       |  ${r6("sum(term_e6) / (1.0 * idcg_e6)")} AS ndcg
+       |FROM t CROSS JOIN idcg GROUP BY query_id, idcg_e6""".stripMargin
+
   private val qVec0 = "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
   private val scoredAll =
     s"s AS (SELECT vec_id, ${dot("embedding", "qv")} AS sc FROM embeddings, q)"
@@ -2981,6 +3014,7 @@ object OracleSql {
     "q_grouping_sets" -> qGroupingSets,
     "vs_ivf_recall" -> vsIvfRecall,
     "vs_ndcg" -> vsNdcg,
+    "vs_lsh_ndcg" -> vsLshNdcg,
     "vs_pq_recall" -> vsPqRecall,
     "dedup_report" -> dedupReport,
     "dedup_sweep" -> dedupSweep,

@@ -70,6 +70,7 @@ object SparkEntry {
     "vs_ivf_batch" -> ((s, d) => IvfIndex.searchBatch(s, d)),
     "vs_ivf_recall" -> ((s, d) => IvfIndex.recallReport(s, d)),
     "vs_ndcg" -> ((s, d) => IvfIndex.ndcgReport(s, d)),
+    "vs_lsh_ndcg" -> ((s, d) => LshAnn.ndcgReport(s, d)),
     "vs_pq_recall" -> ((s, d) => PqIndex.pqRecallReport(s, d)),
     "dedup_report" -> ((s, d) => Dedup.report(s, d)),
     "dedup_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d)),

@@ -469,7 +469,6 @@ object IvfIndex {
   def ndcgReport(spark: SparkSession, dir: String, nprobe: Int = 3,
       k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorFunctions.cents
     val ivf = searchBatch(spark, dir, nprobe, k)
       .select(col("query_id"), col("vec_id"), col("rnk").as("pos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
@@ -481,19 +480,7 @@ object IvfIndex {
       .withColumn("brnk", row_number().over(w).cast("long"))
       .filter(col("brnk") <= k)
       .select("query_id", "vec_id", "brnk")
-    val rel = coalesce(lit(k.toLong) + 1L - col("brnk"), lit(0L))
-    val idcg = spark.range(1, k + 1).select(
-      sum(cents((lit(k + 1) - col("id")) * log(lit(2.0)) / log(col("id") + lit(1.0)),
-        1e6)).as("idcg_e6"))
-    ivf.join(brute, Seq("query_id", "vec_id"), "left")
-      .select(col("query_id"),
-        cents(rel * log(lit(2.0)) / log(col("pos") + lit(1.0)), 1e6).as("term_e6"),
-        when(col("brnk").isNotNull, 1L).otherwise(0L).as("hit"))
-      .groupBy(col("query_id"))
-      .agg(sum(col("term_e6")).as("dcg_e6"), sum(col("hit")).as("n_hit"))
-      .crossJoin(broadcast(idcg))
-      .select(col("query_id"), col("n_hit"),
-        r6(col("dcg_e6") / (lit(1.0) * col("idcg_e6"))).as("ndcg"))
+    RankMetrics.ndcg(spark, ivf, brute, k)
   }
 
   /** IVF search: rank centroids by distance to the query, scan only the

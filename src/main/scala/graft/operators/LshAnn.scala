@@ -128,6 +128,40 @@ object LshAnn {
         r6(col("n_hit") / lit(k.toDouble)).as("recall"))
   }
 
+  /** nDCG@k of the multi-probe LSH path — [[recallReport]]'s
+    * position-aware companion ([[RankMetrics.ndcg]] contract, the
+    * `vs_ndcg` twin for the second index family). Same probe set and
+    * tiebreaks as the recall surface, so the two metrics are measured
+    * on the identical candidate stream.
+    */
+  def ndcgReport(spark: SparkSession, dir: String, k: Int = 5,
+      probes: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .withColumn("qb", bucketOf(col("qvec")))
+    val probeBuckets = array((col("qb") +: (0 until NumPlanes).map(p =>
+      col("qb").bitwiseXOR(lit(1L << p)))).take(math.max(1, probes)): _*)
+    val probed = queries.select(col("query_id"), col("qvec"),
+      explode(probeBuckets).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val approx = bucketed(spark, dir)
+      .join(broadcast(probed), "bucket")
+      .withColumn("score", dot(col("embedding"), col("qvec")))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= k)
+      .select(col("query_id"), col("vec_id"), col("pos"))
+    val brute = KnnSearch.scored(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+        queries.select(col("query_id"), col("qvec")))
+      .select(col("query_id"), col("vec_id"), col("score"))
+      .withColumn("brnk", row_number().over(w).cast("long"))
+      .filter(col("brnk") <= k)
+      .select("query_id", "vec_id", "brnk")
+    RankMetrics.ndcg(spark, approx, brute, k)
+  }
+
   /** ANN search: hash the query, scan only its bucket, top-k by dot. */
   def search(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
