@@ -1056,6 +1056,11 @@ object EventOps {
     var sE9 = 1000000000L
     val folded = curve.zipWithIndex.map { case (r, i) =>
       val (nTotal, nEvent, nRisk) = (r.getLong(1), r.getLong(2), suffixRisk(i))
+      // sE9 ≤ 1e9, so the product overflows Long once nRisk-nEvent
+      // nears ~9.2e9 customers; enforce the documented bound instead
+      // of wrapping silently (and diverging from DuckDB's HUGEINT)
+      require(nRisk < Long.MaxValue / 1000000000L,
+        s"KM integer fold: n_risk=$nRisk exceeds the Long-safe bound; widen to BigInt")
       sE9 = sE9 * (nRisk - nEvent) / nRisk // trunc-div ≡ SQL DIV on nonnegatives
       (r.getLong(0), nRisk, nEvent, nTotal - nEvent,
         math.floor(sE9 / 1.0e9 * 1.0e6 + 0.5) / 1.0e6)

@@ -652,7 +652,11 @@ object Relational {
           min(col("v")).as("min_v"),
           max(col("v")).as("max_v"),
           max(when(col("v").isNotNull, col("cnt"))).as("mode_cnt"),
-          sum(when(col("v").isNotNull, cents(col("v"), 100.0) * col("cnt"))).as("sum_c"))
+          // decimal(38,0) sum mirrors DuckDB's HUGEINT sum(BIGINT): a
+          // Long sum wraps silently around sf1000 for key columns
+          // (avg grows with SF); exact for <2^53 so hashes unchanged
+          sum(when(col("v").isNotNull,
+            (cents(col("v"), 100.0) * col("cnt")).cast("decimal(38,0)"))).as("sum_c"))
         .select(lit(name).as("col_name"), col("n"), col("n_null"),
           col("n_distinct"), r6(col("min_v")).as("min_v"),
           r6(col("max_v")).as("max_v"),
@@ -693,10 +697,14 @@ object Relational {
       .filter(when(col("rep") % 2 === 0,
         expr("substring(h, (rep div 2) + 1, 1)") <= "7")
         .otherwise(expr("substring(h, (rep div 2) + 1, 1)") >= "8"))
+    // decimal(38,0) sums for HUGEINT-parity headroom (sum_c*100 would
+    // pass 9.2e18 just beyond sf1000); div on decimals yields Long
     val repMeans = fan.groupBy(col("rep"))
-      .agg(count(lit(1)).as("cnt"), sum(col("vc")).as("sum_c"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("vc").cast("decimal(38,0)")).as("sum_c"))
       .select(col("rep"), expr("(sum_c * 100) div cnt").as("m_e4"))
-    val full = o.agg(expr("(sum(vc) * 100) div count(*)").as("mbar_e4"),
+    val full = o.agg(
+      expr("(sum(cast(vc as decimal(38,0))) * 100) div count(*)").as("mbar_e4"),
       count(lit(1)).as("n_orders"))
     val ranked = repMeans.crossJoin(broadcast(full))
       .select(col("m_e4"), col("mbar_e4"), col("n_orders"),

@@ -51,6 +51,9 @@ object DocStream {
     // one MapType literal (not 2·|lut| expression nodes), so the knob
     // scales to the 16^4 regime without blowing up the plan
     require(lut.nonEmpty && lut.length <= 65536, s"dsir LUT has ${lut.length} entries")
+    require(lut.length <= math.pow(16, bucketChars).toLong,
+      s"dsir LUT has ${lut.length} entries but bucketChars=$bucketChars addresses only " +
+        s"${math.pow(16, bucketChars).toLong} buckets — LUT trained at a deeper resolution?")
     val m = typedlit(lut.toMap)
     val perTok = transform(graft.functions.TextFunctions.tokens(text),
       t => coalesce(element_at(m, TextAnalysis.dsirBucket(t, bucketChars)), lit(0L)))
@@ -59,10 +62,13 @@ object DocStream {
 
   /** In-flight domain selection: keep stream docs whose DSIR log weight
     * clears `minScoreE6` (integerized 1e6, matching the LUT).
+    * `bucketChars` must match the resolution the LUT was trained at
+    * (forwarded to dsirScore, whose capacity require catches a LUT
+    * deeper than the depth scored here).
     */
   def dsirFilter(docs: DataFrame, lut: Array[(Long, Long)],
-      minScoreE6: Long): DataFrame =
-    docs.withColumn("dsir_e6", dsirScore(lut)(col("text")))
+      minScoreE6: Long, bucketChars: Int = 2): DataFrame =
+    docs.withColumn("dsir_e6", dsirScore(lut, bucketChars)(col("text")))
       .filter(col("dsir_e6") >= minScoreE6)
 
   /** Stream documents into the corpus: filter in-flight, then append
