@@ -46,6 +46,31 @@ object GraphOps {
     when(n % 2 === 0, concat(lit("c"), shiftright(n, 1)))
       .otherwise(concat(lit("s"), shiftright(n, 1)))
 
+  /** Session-shared materialization of [[edges]]: q_pagerank and
+    * q_bfs_hops each need the deduped trade edge table; under the
+    * session chain cache (DedupChain precedent — Bench/Verify enable
+    * it) the table is built ONCE per SF-dir and every later consumer
+    * reads the materialized parquet. With the cache off, per-query
+    * behavior is unchanged (the r8/r9 Checkpointing.cut).
+    */
+  private[graft] def sharedEdges(spark: SparkSession, dir: String): DataFrame =
+    if (DedupChain.enabled)
+      DedupChain.cached("trade_edges", dir, spark)(edges(spark, dir))
+    else graft.Checkpointing.cut(edges(spark, dir))
+
+  /** Session-shared materialization of [[frequentPairs]] — the stage
+    * q_triangles, q_degree_dist, q_common_neighbors and q_label_prop
+    * all rebuild (r9 verdict: ~60 s of the sf3 window was this one
+    * basket fan-out run four times). Keyed by minSupport so different
+    * prunings never alias. Off-cache behavior unchanged.
+    */
+  private[graft] def sharedFrequentPairs(spark: SparkSession, dir: String,
+      minSupport: Long): DataFrame =
+    if (DedupChain.enabled)
+      DedupChain.cached(s"frequent_pairs_$minSupport", dir, spark)(
+        frequentPairs(spark, dir, minSupport))
+    else graft.Checkpointing.cut(frequentPairs(spark, dir, minSupport))
+
   /** PageRank with damping 0.85, `iters` synchronous iterations from a
     * uniform start, reported as the top-`topK` nodes. No dangling-node
     * term is needed: every node here has outdegree ≥ 1 by construction.
@@ -62,8 +87,9 @@ object GraphOps {
     // instead of re-running the distinct's final aggregation). Default
     // cut is localCheckpoint (lineage-truncation caveat as
     // dedup_components' barrier); spark.graft.reliableCheckpoint=true
-    // writes rounds to the checkpoint FS instead (r9).
-    val ed = graft.Checkpointing.cut(edges(spark, dir))
+    // writes rounds to the checkpoint FS instead (r9). Under the
+    // session chain cache the edge table is shared with bfsHops (r10).
+    val ed = sharedEdges(spark, dir)
     // every node has outdeg ≥ 1, so the outdegree table IS the node
     // set — one groupBy covers nodes + outdeg, and its count (one
     // cheap job over the materialized edge blocks) gives n, which both
@@ -152,7 +178,7 @@ object GraphOps {
     * set; the corpus is only touched by the shared pair stage.
     */
   def degreeDist(spark: SparkSession, dir: String, minSupport: Long = 2): DataFrame =
-    frequentPairs(spark, dir, minSupport)
+    sharedFrequentPairs(spark, dir, minSupport)
       .select(explode(array(col("pa"), col("pb"))).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
@@ -176,7 +202,7 @@ object GraphOps {
   def bfsHops(spark: SparkSession, dir: String, source: Long = 2L,
       maxHops: Int = 4,
       maxBroadcastRows: Long = graft.plans.Hints.DefaultMaxBroadcastRows): DataFrame = {
-    val ed = graft.Checkpointing.cut(edges(spark, dir))
+    val ed = sharedEdges(spark, dir)
     val seed = spark.range(1)
       .select(lit(source).as("node"), lit(0).as("hops"))
     // visited = union of the per-round cut frontiers: each member is
@@ -220,7 +246,7 @@ object GraphOps {
   def commonNeighbors(spark: SparkSession, dir: String, minSupport: Long = 2,
       topK: Int = 30,
       maxBroadcastRows: Long = graft.plans.Hints.DefaultMaxBroadcastRows): DataFrame = {
-    val pairs = graft.Checkpointing.cut(frequentPairs(spark, dir, minSupport))
+    val pairs = sharedFrequentPairs(spark, dir, minSupport)
     val nPairs = pairs.count()
     val und = pairs.select(col("pa").as("x"), col("pb").as("y"))
       .union(pairs.select(col("pb").as("x"), col("pa").as("y")))
@@ -268,7 +294,7 @@ object GraphOps {
       minSupport: Long = 2,
       maxBroadcastRows: Long = graft.plans.Hints.DefaultMaxBroadcastRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = graft.Checkpointing.cut(frequentPairs(spark, dir, minSupport))
+    val pairs = sharedFrequentPairs(spark, dir, minSupport)
     val ed = pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
     // undirected edges, so the src projection IS the node set
@@ -301,7 +327,7 @@ object GraphOps {
     // the basket fan-out (r8 got the same sharing via ReusedExchange;
     // the explicit cut additionally yields the exact pair count, which
     // size-gates the closure-join broadcasts — r9)
-    val pairs = graft.Checkpointing.cut(frequentPairs(spark, dir, minSupport))
+    val pairs = sharedFrequentPairs(spark, dir, minSupport)
     val nPairs = pairs.count()
     val ab = pairs.select(col("pa").as("a"), col("pb").as("b"), col("sup").as("s_ab"))
     val bc = pairs.select(col("pa").as("b"), col("pb").as("c"), col("sup").as("s_bc"))
