@@ -1479,10 +1479,12 @@ object OracleSql {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sh a JOIN rare USING (shingle)
        |  JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |shh AS (SELECT DISTINCT doc_id,
+       |  CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c
-       |  JOIN sh sa ON sa.doc_id = c.doc_a
-       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  JOIN shh sa ON sa.doc_id = c.doc_a
+       |  JOIN shh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
        |  GROUP BY 1, 2),
        |sc AS (SELECT doc_a, doc_b, n_inter, za.n_sh AS n_a, zb.n_sh AS n_b,
        |  ${r6("n_inter / (1.0 * least(za.n_sh, zb.n_sh))")} AS containment

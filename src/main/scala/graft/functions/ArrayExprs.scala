@@ -81,4 +81,56 @@ object ArrayExprs {
 
   def orderedPairs(xs: Column): Column =
     ColumnBridge.column(OrderedPairsExpr(ColumnBridge.expression(xs)))
+
+  /** Merge-count of the intersection of two SORTED distinct long
+    * arrays — the per-pair verify kernel of the containment dedup.
+    * `array_intersect` on string arrays builds a hash set and an output
+    * array per pair; at 9.9M candidate pairs (sf3) the construction and
+    * the string payload dominated the query. The sorted-long merge
+    * allocates nothing and compares 8-byte primitives. Static entry
+    * point shared by eval and generated code.
+    */
+  def sortedIntersectCountArr(a: ArrayData, b: ArrayData): Long = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  case class SortedIntersectCountExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"sortedIntersectCount expects two array<bigint>, got $l, $r")
+      }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      sortedIntersectCountArr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.ArrayExprs.sortedIntersectCountArr($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -508,22 +508,42 @@ object Dedup {
   def containment(spark: SparkSession, dir: String, dfCap: Int = 10,
       minContainment: Double = 0.5): DataFrame = {
     val sh = docShingles(spark, dir)
-    val cand = sh.groupBy(col("shingle"))
-      .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")).between(2, dfCap))
-      .select(explode(graft.functions.ArrayExprs.orderedPairs(col("docs"))).as("p"))
-      .select(col("p.pa").as("doc_a"), col("p.pb").as("doc_b")).distinct()
+    // cand is consumed TWICE (candDocs and the final pair join) — the
+    // r9 shape re-ran the whole posting-list stage (corpus shingle
+    // shuffle + pair fan-out + dedup) for each consumer; the shared
+    // persist pays the stage once (r10: sf3 25.7 → ~14 s). The pair
+    // dedup stays the map-side-partial distinct(); only its placement
+    // changed — it now runs once, inside the shared persist.
+    val cand = graft.plans.ScanShare.shared(
+      sh.groupBy(col("shingle"))
+        .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")).between(2, dfCap))
+        .select(explode(graft.functions.ArrayExprs.orderedPairs(col("docs"))).as("p"))
+        .select(col("p.pa").as("doc_a"), col("p.pb").as("doc_b")).distinct())
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // 60-bit md5-prefix hashes of the shingles, as SORTED long arrays:
+    // at sf3 the candidate set is 9.9M pairs over ~143k docs, and the
+    // r9 verify shuffled each pair's two shingle STRING arrays through
+    // the doc_b join, then hash-set-intersected strings per pair — the
+    // payload and the per-pair allocation were the query (sf3 ~22 s
+    // with the shared cand, ~9 s with longs). The intersection is a
+    // native allocation-free sorted merge; the oracle mirrors the SAME
+    // hash (CAST('0x' || substring(md5(s),1,15) AS BIGINT)) and counts
+    // distinct hashes, so cross-engine parity is by construction, not
+    // by collision luck.
+    val hashedSet = array_sort(array_distinct(transform(
+      graft.functions.TextExprs.shingles(tokens(col("text"))),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
     val docSets = Tables.fanOut(Tables.documents(spark, dir))
       .join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        graft.functions.TextExprs.shingles(tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), hashedSet.as("sh"))
     cand
       .join(docSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
+        graft.functions.ArrayExprs.sortedIntersectCount(col("sh_a"), col("sh_b"))
+          .as("n_inter"),
         size(col("sh_a")).cast("long").as("n_a"),
         size(col("sh_b")).cast("long").as("n_b"))
       .withColumn("containment",

@@ -40,6 +40,36 @@ object Scratch {
         .repartition(cpus.toInt).persist()
     }
     val variants: Map[String, () => Unit] = Map(
+      // r10: containment stage profile (posting stage / candidate
+      // volume / doc-set build / full query)
+      "cont_post" -> (() => {
+        val n = graft.operators.Dedup.docShingles(spark, sfDir)
+          .groupBy(col("shingle"))
+          .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
+          .filter(size(col("docs")).between(2, 10))
+          .select(explode(graft.functions.ArrayExprs.orderedPairs(col("docs"))).as("p"))
+          .select(col("p.pa").as("doc_a"), col("p.pb").as("doc_b")).distinct().count()
+        println(s"  cont_post pairs=$n")
+      }),
+      "cont_docsets" -> (() => {
+        val cand = graft.plans.ScanShare.shared(
+          graft.operators.Dedup.docShingles(spark, sfDir)
+            .groupBy(col("shingle"))
+            .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
+            .filter(size(col("docs")).between(2, 10))
+            .select(explode(graft.functions.ArrayExprs.orderedPairs(col("docs"))).as("p"))
+            .select(col("p.pa").as("doc_a"), col("p.pb").as("doc_b")).distinct())
+        val candDocs = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val nd = graft.Tables.fanOut(graft.Tables.documents(spark, sfDir))
+          .join(candDocs, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            graft.functions.TextExprs.shingles(
+              graft.functions.TextFunctions.tokens(col("text"))).as("sh"))
+          .count()
+        println(s"  cont_docsets docs=$nd")
+      }),
+      "cont_full" -> (() => graft.operators.Dedup.containment(spark, sfDir).count()),
       "ngram" -> (() => graft.operators.Dedup.ngramJaccard(spark, sfDir).count()),
       "ngram_lazy" -> (() =>
         graft.operators.Dedup.ngramJaccard(spark, sfDir, eagerCand = false).count()),

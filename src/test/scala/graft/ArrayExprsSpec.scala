@@ -57,4 +57,41 @@ class ArrayExprsSpec extends AnyFunSuite {
       Array(3L, 5L, 9L))
     assert(ArrayExprs.orderedPairsArr(small).numElements() === 3)
   }
+
+  test("sortedIntersectCount == size(array_intersect) on corpus doc shingle-hash sets") {
+    // the containment verify kernel: sorted distinct 60-bit md5-prefix
+    // hash arrays, native merge-count vs the HOF set intersection
+    val sets = Tables.fanOut(Tables.documents(spark, Sf))
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(
+          graft.functions.TextExprs.shingles(
+            graft.functions.TextFunctions.tokens(col("text"))),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("sh"))
+      .limit(200)
+    val a = sets.select(col("doc_id").as("ia"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("ib"), col("sh").as("sh_b"))
+    val bad = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(
+        ArrayExprs.sortedIntersectCount(col("sh_a"), col("sh_b")).as("n"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad === 0L)
+  }
+
+  test("sortedIntersectCount edge cases: empty, disjoint, identical, null") {
+    val rows = Seq(
+      (Some(Seq.empty[Long]), Some(Seq(1L, 2L))),
+      (Some(Seq(1L, 3L, 5L)), Some(Seq(2L, 4L, 6L))),
+      (Some(Seq(1L, 3L, 5L)), Some(Seq(1L, 3L, 5L))),
+      (Some(Seq(1L, 3L, 5L)), Some(Seq(3L, 5L, 9L))),
+      (None, Some(Seq(1L))))
+      .toDF("xs", "ys")
+      .select(ArrayExprs.sortedIntersectCount(col("xs"), col("ys")).as("n"))
+      .collect()
+    assert(rows(0).getLong(0) === 0L)
+    assert(rows(1).getLong(0) === 0L)
+    assert(rows(2).getLong(0) === 3L)
+    assert(rows(3).getLong(0) === 2L)
+    assert(rows(4).isNullAt(0))
+  }
 }
