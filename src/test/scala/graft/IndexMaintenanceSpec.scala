@@ -136,6 +136,66 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq === servedFull)
   }
 
+  test("residual layout: full compact/rotate cycle, serving equal, prunings intact (r10)") {
+    // the fourth persisted layout — the one a 100 TB deployment runs —
+    // gets the same stop→compact→refuse-stale-resume→rotate→serve-equal
+    // →re-compact contract the IVF/PQ/LSH cycles pin
+    val idx = tmp("graft-rotate-res")
+    val staging = tmp("graft-rotate-res-staging")
+    val ckpt = tmp("graft-rotate-res-ckpt")
+    val seed = tmp("graft-rotate-res-seed")
+    PqIndex.writeResidualIndex(spark, Sf, seed) // full-corpus reference build
+    spark.read.parquet(s"$seed/centroids").write.parquet(s"$idx/centroids")
+    spark.read.parquet(s"$seed/codebooks").write.parquet(s"$idx/codebooks")
+    val vecs = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    (0 until 2).foreach(w =>
+      vecs.filter(pmod(col("vec_id"), lit(3)) === w).write.parquet(s"$staging/wave$w"))
+    def mkStream() = spark.readStream.schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$staging/wave*")
+    val q1 = IndexStream.appendToResidualIndex(spark, idx, mkStream(), ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+
+    val before = IndexMaintenance.parquetFileCount(spark, s"$idx/vectors")
+    IndexMaintenance.compactIndex(spark, idx)
+    val after = IndexMaintenance.parquetFileCount(spark, s"$idx/vectors")
+    assert(after < before, s"files: $before -> $after")
+
+    // resume into the compacted base must fail fast
+    intercept[IllegalStateException] {
+      IndexStream.appendToResidualIndex(spark, idx, mkStream(), ckpt)
+    }
+
+    // rotate: same source checkpoint, fresh epoch dir, only the unseen wave
+    vecs.filter(pmod(col("vec_id"), lit(3)) === 2).write.parquet(s"$staging/wave2")
+    val epochDir = IndexMaintenance.nextEpochDir(spark, idx)
+    val q2 = IndexStream.appendToResidualIndex(spark, idx, mkStream(), ckpt,
+      sinkDir = epochDir)
+    try q2.processAllAvailable() finally q2.stop()
+    val wave2n = vecs.filter(pmod(col("vec_id"), lit(3)) === 2).count()
+    assert(spark.read.parquet(epochDir).count() === wave2n,
+      "epoch must hold exactly the post-compaction wave (no replay, no loss)")
+
+    // serving (base + epoch) equals the batch-built full index
+    val servedFull = PqIndex.searchResidualIndex(spark, seed, query, nprobe = 3)
+      .collect().map(_.toString).toSeq
+    val servedLive = PqIndex.searchResidualIndex(spark, idx, query, nprobe = 3)
+      .collect().map(_.toString).toSeq
+    assert(servedLive === servedFull)
+
+    // re-compact folds the epoch; serving and row count unchanged, and
+    // both prunings survive the rewrite (PartitionFilters + codes-only
+    // candidate scan)
+    IndexMaintenance.compactIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/vectors").count() === vecs.count())
+    val df = PqIndex.searchResidualIndex(spark, idx, query, nprobe = 3)
+    assert(df.collect().map(_.toString).toSeq === servedFull)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster_id"), "pruning lost after compaction")
+    val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(scans.exists(s => s.contains("rcode_0") && !s.contains("embedding")),
+      scans.mkString("\n"))
+  }
+
   test("folded-epoch leftovers (crash between swap and delete) never double-serve") {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val idx = tmp("graft-crash-ivf")
