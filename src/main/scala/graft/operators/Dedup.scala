@@ -76,13 +76,21 @@ object Dedup {
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     DedupChain.cached("minhash_sigs", dir, spark) {
-      Tables.fanOut(Tables.documents(spark, dir))
-        .select(col("doc_id"),
-          graft.functions.MinHashExpr.minhashSig(
-            graft.functions.TextExprs.shingles(tokens(col("text"))), NumPerms).as("mh"))
-        .select(col("doc_id") +: (0 until NumPerms).map(j =>
-          element_at(col("mh"), j + 1).as(s"m$j")): _*)
+      minhashSignaturesOf(Tables.fanOut(Tables.documents(spark, dir)))
     }
+
+  /** The signature projection for an arbitrary (doc_id, text) frame —
+    * ONE code path shared by the batch chain and the incremental band
+    * index ([[DedupIndex]]), so appended signatures are byte-identical
+    * to batch-built ones (the IndexStream `indexRows` pattern). Pure
+    * map-side column math: runs unchanged on streaming frames.
+    */
+  private[graft] def minhashSignaturesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.MinHashExpr.minhashSig(
+        graft.functions.TextExprs.shingles(tokens(col("text"))), NumPerms).as("mh"))
+      .select(col("doc_id") +: (0 until NumPerms).map(j =>
+        element_at(col("mh"), j + 1).as(s"m$j")): _*)
 
   /** HOF twin of the native minhash (the numeric spec the oracle
     * mirrors; MinHashSpec asserts equality).
@@ -95,14 +103,24 @@ object Dedup {
           md5(concat(lit(j.toString), lit(":"), s)))).as(s"m$j")): _*)
 
   /** (doc_id, band, sig): LSH band signatures (2 minhashes per band). */
-  def bandSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def bandSignatures(spark: SparkSession, dir: String): DataFrame =
+    bandsFromSigs(minhashSignatures(spark, dir))
+
+  private def bandsFromSigs(sigs: DataFrame): DataFrame = {
     val bandStructs = array((0 until NumBands).map(b =>
       struct(lit(b).as("band"),
         md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("sig"))): _*)
-    minhashSignatures(spark, dir)
+    sigs
       .select(col("doc_id"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
+
+  /** Band signatures of an arbitrary (doc_id, text) frame — the
+    * incremental/streaming twin of [[bandSignatures]] (same projection,
+    * so [[DedupIndex]] appends are byte-identical to batch builds).
+    */
+  private[graft] def bandSignaturesOf(docs: DataFrame): DataFrame =
+    bandsFromSigs(minhashSignaturesOf(docs))
 
   /** MinHash-LSH candidate pairs: docs sharing ≥1 band signature, with
     * the shared-band count. The join key is (band, sig) — candidate

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental near-duplicate detection against a PERSISTED band
+  * index — the fifth maintained index layout (after IVF, LSH, PQ and
+  * residual-IVFPQ). A 100 TB pipeline ingests incrementally; the batch
+  * MinHash→LSH chain ([[Dedup.minhashLsh]]) re-signs and self-joins
+  * the whole corpus per corpus state, which is the one dedup operation
+  * that could not be run per-ingest-batch. This layout persists the
+  * banded signature table once, and each ingest batch then:
+  *
+  *  1. signs ONLY its own documents (map-side, the exact projection the
+  *     batch chain uses — [[Dedup.bandSignaturesOf]], so the persisted
+  *     rows are byte-identical to a from-scratch build),
+  *  2. equi-joins its bands against the persisted table (candidate
+  *     generation touches the index, never the corpus), and
+  *  3. exact-verifies candidates only, with the same sorted 60-bit
+  *     hashed-shingle merge kernel the containment dedup uses
+  *     ([[graft.functions.ArrayExprs.sortedIntersectCount]]).
+  *
+  * Layout: `indexPath/vectors/band=<b>/…` parquet rows (doc_id, sig) —
+  * the `vectors` name + a recognized partition column is the whole
+  * contract [[IndexMaintenance]] needs, so compaction, the
+  * `_graft_compacted` marker, epoch rotation and the crash-reconcile
+  * path apply to this layout unchanged, and
+  * [[graft.streaming.IndexStream.appendToBandIndex]] gives exactly-once
+  * streaming growth (reference store_assets.py:40-77 is the in-memory
+  * rebuild being replaced).
+  *
+  * Contract: `incoming` must NOT yet be in the index (the natural
+  * ingest order — decide near-dups first, then append the keepers);
+  * docs already appended would double-count their own bands.
+  */
+object DedupIndex {
+
+  /** Build/rebuild the band index from a (doc_id, text) frame. */
+  def writeBandIndex(docs: DataFrame, indexPath: String): Unit =
+    Dedup.bandSignaturesOf(docs)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$indexPath/vectors")
+
+  /** Convenience: build from a testdata corpus dir. */
+  def writeBandIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+    writeBandIndex(graft.Tables.fanOut(graft.Tables.documents(spark, dir)), indexPath)
+
+  /** All live band rows (base + resume epochs, folded leftovers
+    * skipped) — the serving read, same as every other layout.
+    */
+  def bandsDf(spark: SparkSession, indexPath: String): DataFrame =
+    IndexMaintenance.vectorsDf(spark, indexPath)
+      .select(col("doc_id"), col("band"), col("sig"))
+
+  /** LSH candidate pairs of `incoming` against the indexed corpus AND
+    * among the incoming docs themselves, with shared-band counts —
+    * exactly the pairs [[Dedup.minhashLsh]] on the grown corpus would
+    * emit minus the known–known pairs (which previous ingests already
+    * adjudicated). Orientation doc_a < doc_b matches the batch chain.
+    *
+    * Scale shape: the incoming side is one map-side signing of the
+    * ingest batch (8 short rows per doc); the index side is a
+    * partition-pruned parquet scan. Both joins key on (band, sig) —
+    * candidate generation is proportional to matching signatures,
+    * never a corpus self-join, and the corpus text is never touched.
+    */
+  def newNearDupCandidates(spark: SparkSession, indexPath: String,
+      incoming: DataFrame): DataFrame = {
+    val nb = graft.plans.ScanShare.shared(Dedup.bandSignaturesOf(incoming))
+    val known = bandsDf(spark, indexPath)
+    // new–known pairs may orient either way by id; new–new pairs are
+    // their own a<b self-join (disjoint cases, so the union holds one
+    // row per matching band per pair and the count is n_bands)
+    val newKnown = nb.select(col("doc_id").as("doc_n"), col("band"), col("sig"))
+      .join(known.select(col("doc_id").as("doc_k"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("doc_n") =!= col("doc_k"))
+      .select(least(col("doc_n"), col("doc_k")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_k")).as("doc_b"))
+    val newNew = nb.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      .join(nb.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    newKnown.union(newNew)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Candidates + exact n-gram Jaccard verify, on candidates only.
+    * `corpusDocs` supplies (doc_id, text) for the already-indexed side
+    * (the index stores signatures, not text); incoming docs verify
+    * from their own frame. Same verify contract as
+    * [[Dedup.ngramJaccard]]: distinct-shingle sets, jaccard r6-rounded,
+    * computed on the sorted hashed-shingle arrays (collision-free in
+    * practice; the containment precedent).
+    */
+  def newNearDups(spark: SparkSession, indexPath: String, incoming: DataFrame,
+      corpusDocs: DataFrame, minJaccard: Double = 0.0): DataFrame = {
+    import graft.functions.{ArrayExprs, TextExprs, TextFunctions}
+    val cand = graft.plans.ScanShare.shared(
+      newNearDupCandidates(spark, indexPath, incoming))
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val hashedSet = array_sort(array_distinct(transform(
+      TextExprs.shingles(TextFunctions.tokens(col("text"))),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
+    // one union scan over (corpus ∪ incoming) text, pruned to candidate
+    // docs; incoming ids are disjoint from corpus ids by the contract
+    val docSets = corpusDocs.select(col("doc_id"), col("text"))
+      .unionByName(incoming.select(col("doc_id"), col("text")))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), hashedSet.as("sh"))
+    cand
+      .join(docSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_bands"),
+        ArrayExprs.sortedIntersectCount(col("sh_a"), col("sh_b")).as("n_inter"),
+        (size(col("sh_a")).cast("long") + size(col("sh_b"))).as("n_sets"))
+      .withColumn("jaccard",
+        graft.functions.VectorFunctions.r6(
+          col("n_inter") / (lit(1.0) * (col("n_sets") - col("n_inter")))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_bands"), col("n_inter"), col("jaccard"))
+  }
+}

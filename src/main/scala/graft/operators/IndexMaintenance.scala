@@ -167,9 +167,10 @@ object IndexMaintenance {
       .foreach(d => fs.delete(new Path(d), true))
     val epochs = epochDirs(spark, indexPath)
     val df = vectorsDf(spark, indexPath)
-    val partCol = df.schema.fieldNames.find(n => n == "cluster_id" || n == "bucket")
+    val partCol = df.schema.fieldNames
+      .find(n => n == "cluster_id" || n == "bucket" || n == "band")
       .getOrElse(throw new IllegalArgumentException(
-        s"$vecDir is not a recognized index layout (no cluster_id/bucket column)"))
+        s"$vecDir is not a recognized index layout (no cluster_id/bucket/band column)"))
     val epoch = nextEpoch(spark, indexPath)
     val tmp = vecDir + "_compacting"
     // one shuffle task per partition value (hash-sharing tasks is fine:

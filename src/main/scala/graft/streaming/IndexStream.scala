@@ -53,6 +53,24 @@ object IndexStream {
           "stream into it would shadow every compacted row for batch readers. " +
           "Resume into IndexMaintenance.nextEpochDir(spark, indexPath) instead " +
           "(keep the same source checkpoint).")
+    // same shadowing hazard, pre-compaction flavor (r10, found by the
+    // band-index spec): a BATCH-built base dir has data files but no
+    // `_spark_metadata`; pointing the parquet sink at it starts a fresh
+    // log covering only streamed files, and batch readers honor the log
+    // — every batch-built row silently disappears from serving. Only a
+    // dir the sink itself created (or an empty/absent one) is safe.
+    if (isBase) {
+      val basePath = qualified(resolved)
+      val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasSinkLog = fs.exists(
+        new org.apache.hadoop.fs.Path(basePath, "_spark_metadata"))
+      if (!hasSinkLog && IndexMaintenance.parquetFileCount(spark, resolved) > 0)
+        throw new IllegalStateException(
+          s"$resolved holds batch-built data with no streaming sink log; a " +
+            "parquet-sink append would shadow every existing row for batch " +
+            "readers. Append into IndexMaintenance.nextEpochDir(spark, " +
+            "indexPath) instead (serving unions base + epochs).")
+    }
     (resolved, isBase)
   }
 
@@ -162,6 +180,20 @@ object IndexStream {
     startAppend(spark, indexPath,
       assignWithResidualIndexMeta(spark, indexPath, newVecs),
       checkpoint, sinkDir, "cluster_id")
+
+  /** Band-index twin (r10): stream (doc_id, text) documents into the
+    * persisted near-dup band index ([[graft.operators.DedupIndex]]).
+    * Signing is the same map-side projection the batch build uses
+    * (Dedup.bandSignaturesOf — byte-identical rows), stateless, so the
+    * stream runs at constant memory; same compaction/log-rotation
+    * contract (partition column `band`).
+    */
+  def appendToBandIndex(spark: SparkSession, indexPath: String,
+      newDocs: DataFrame, checkpoint: String,
+      sinkDir: String = null): StreamingQuery =
+    startAppend(spark, indexPath,
+      graft.operators.Dedup.bandSignaturesOf(newDocs),
+      checkpoint, sinkDir, "band")
 
   /** LSH twin: the hyperplanes are derived deterministically (no
     * persisted metadata to read), so streamed vectors bucket exactly
