@@ -1869,6 +1869,36 @@ object OracleSql {
        |  ${r6("sqrt(sum(ss) / (1.0 * sum(n)))")} AS rms
        |FROM w GROUP BY 1""".stripMargin
 
+  // mm_bmp: the Spark side round-trips REAL BMP bytes (bottom-up AND
+  // top-down row order, 4-byte row padding, honored bfOffBits gaps);
+  // the oracle recomputes the closed-form 24-bit channels — the byte
+  // stage must be lossless, including the row-order flip, for the
+  // grid hash to match. Bits decide by integer cross-multiplication
+  // (cell_sum·tot_n vs tot_sum·cell_n) in both engines: no division.
+  val mmBmp: String =
+    s"""WITH m AS (SELECT doc_id,
+       |  CAST(8 + doc_id % 9 AS BIGINT) AS w,
+       |  CAST(6 + doc_id % 5 AS BIGINT) AS h FROM documents),
+       |gx_ AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM m),
+       |gxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM gx_),
+       |px AS (SELECT doc_id, w, h, x, y,
+       |  299 * ((doc_id * 7 + y * 11 + x * 13) % 256)
+       |  + 587 * ((doc_id * 13 + y * 5 + x * 3) % 256)
+       |  + 114 * ((doc_id * 31 + y * 17 + x * 7) % 256) AS lum FROM gxy),
+       |cells AS (SELECT doc_id, w, h, (x * 4) // w AS gx, (y * 4) // h AS gy,
+       |  sum(lum) AS cell_sum, count(*) AS cell_n FROM px GROUP BY 1, 2, 3, 4, 5),
+       |tot AS (SELECT doc_id, w, h, CAST(sum(cell_sum) AS BIGINT) AS tot_sum,
+       |  CAST(sum(cell_n) AS BIGINT) AS tot_n FROM cells GROUP BY 1, 2, 3)
+       |SELECT c.doc_id, w AS width, h AS height, tot_n AS n_pixels,
+       |  CAST(floor(w * 128.0 / greatest(w, h)) AS BIGINT) AS rs_width,
+       |  CAST(floor(h * 128.0 / greatest(w, h)) AS BIGINT) AS rs_height,
+       |  ${r6("tot_sum / (1000.0 * tot_n)")} AS mean_lum,
+       |  CAST(sum(CASE WHEN cell_sum * tot_n > tot_sum * cell_n
+       |    THEN CAST(1 AS BIGINT) << CAST(gy * 4 + gx AS INT) ELSE 0 END) AS BIGINT)
+       |    AS phash
+       |FROM cells c JOIN tot USING (doc_id, w, h)
+       |GROUP BY c.doc_id, w, h, tot_sum, tot_n""".stripMargin
+
   val mmResize: String =
     s"""WITH m AS (SELECT doc_id,
        |  CAST((n_chars % 64) * 10 + 10 AS INT) AS width,
@@ -3118,6 +3148,7 @@ object OracleSql {
     "text_js_divergence" -> textJsDivergence,
     "mm_energy" -> mmEnergy,
     "mm_wav" -> mmWav,
+    "mm_bmp" -> mmBmp,
     "text_hapax" -> textHapax,
   )
 }

@@ -285,6 +285,152 @@ object Multimodal {
       .select("doc_id", "sample_rate", "n_samples", "n_windows", "peak_rms", "rms")
   }
 
+  // ---- real BMP codec (r10): the image modality's decoder is genuine ----
+  // The mm_wav pattern applied to images: each doc's closed-form 24-bit
+  // BGR pixel grid is encoded as a genuine Windows BMP (BITMAPFILEHEADER
+  // + BITMAPINFOHEADER) and decoded back through the batched seam. Three
+  // header-seek poisons force a real parser: even docs store rows
+  // BOTTOM-UP (the BMP default — positive biHeight), odd docs TOP-DOWN
+  // (negative biHeight), rows pad to 4-byte boundaries (3·width is not a
+  // multiple of 4 for most widths here), and every third doc inserts a
+  // gap before the pixel array so the bfOffBits field must be honored,
+  // not assumed 54.
+
+  case class BmpRow(doc_id: Long, payload: Array[Byte])
+  /** Decoded image: per-mille luminance (299r+587g+114b) per pixel,
+    * row-major TOP-DOWN regardless of the file's row order.
+    */
+  case class BmpDecoded(doc_id: Long, width: Int, height: Int, lum: Array[Int])
+
+  /** Closed-form image dims + channels (the oracle mirrors these):
+    * width 8..16, height 6..10; b/g/r are independent mod-256 ramps
+    * over (id, x, y) with y in TOP-DOWN image space.
+    */
+  def bmpDims(id: Long): (Int, Int) = ((8 + id % 9).toInt, (6 + id % 5).toInt)
+
+  def bmpChannels(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 31 + y * 17 + x * 7) % 256).toInt,  // b
+    ((id * 13 + y * 5 + x * 3) % 256).toInt,   // g
+    ((id * 7 + y * 11 + x * 13) % 256).toInt)  // r
+
+  /** Real BMP writer: 24-bit uncompressed, rows padded to 4 bytes.
+    * `topDown` writes a negative biHeight (rows in image order);
+    * otherwise the canonical bottom-up layout. `gapBytes` pads between
+    * the headers and the pixel array (bfOffBits honors it).
+    */
+  def encodeBmp(id: Long, topDown: Boolean, gapBytes: Int): Array[Byte] = {
+    val (w, h) = bmpDims(id)
+    val stride = ((3 * w + 3) / 4) * 4
+    val offBits = 54 + gapBytes
+    val buf = java.nio.ByteBuffer.allocate(offBits + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(offBits + stride * h)
+      .putShort(0).putShort(0).putInt(offBits)
+    buf.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+      .putShort(1).putShort(24).putInt(0).putInt(stride * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until gapBytes).foreach(_ => buf.put(0.toByte))
+    val rowOrder = if (topDown) 0 until h else (h - 1) to 0 by -1
+    rowOrder.foreach { y =>
+      (0 until w).foreach { x =>
+        val (b, g, r) = bmpChannels(id, x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+      }
+      (3 * w until stride).foreach(_ => buf.put(0.toByte))
+    }
+    buf.array()
+  }
+
+  /** Real BMP parser: validates the BM magic and the 24-bit
+    * uncompressed flavor, honors bfOffBits, the row padding and the
+    * biHeight sign, and emits per-mille luminance row-major top-down.
+    */
+  def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.get() == 'B'.toByte && buf.get() == 'M'.toByte, "not a BMP file")
+    buf.getInt(); buf.getShort(); buf.getShort()
+    val offBits = buf.getInt()
+    val dibSize = buf.getInt()
+    require(dibSize >= 40, s"unsupported DIB header size $dibSize")
+    val w = buf.getInt()
+    val hRaw = buf.getInt()
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val planes = buf.getShort(); val bpp = buf.getShort()
+    val compression = buf.getInt()
+    require(planes == 1 && bpp == 24 && compression == 0,
+      s"unsupported BMP flavor: planes=$planes bpp=$bpp compression=$compression")
+    require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20),
+      s"corrupt dimensions ${w}x$hRaw")
+    val stride = ((3 * w + 3) / 4) * 4
+    require(offBits >= 54 && offBits.toLong + stride.toLong * h <= bytes.length,
+      s"pixel array out of bounds: offBits=$offBits stride=$stride h=$h len=${bytes.length}")
+    val lum = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val fileRow = if (topDown) y else h - 1 - y
+      var p = offBits + fileRow * stride
+      var x = 0
+      while (x < w) {
+        val b = bytes(p) & 0xff; val g = bytes(p + 1) & 0xff; val r = bytes(p + 2) & 0xff
+        lum(y * w + x) = 299 * r + 587 * g + 114 * b
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    (w, h, lum)
+  }
+
+  /** Graded image query over REAL BMP bytes: encode each doc's pixel
+    * grid as a genuine BMP, decode it back through the batched
+    * partition-wise seam, then the image-pipeline features off the
+    * DECODED dimensions and pixels — aspect-preserving resize targets
+    * (the mm_resize math on real dims), mean per-mille luminance, and
+    * a 4×4 mean-grid perceptual hash (each cell's bit set iff its mean
+    * beats the image mean, compared by integer cross-multiplication so
+    * both engines decide bits exactly). The oracle recomputes the
+    * closed-form channels; the byte stage must be lossless — including
+    * the row order, padding and offset traps — for the hash to match.
+    */
+  def bmpFeaturesQuery(spark: SparkSession, dir: String, maxSide: Int = 128): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[BmpRow] = graft.Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id")).as[Long]
+      .map(id => BmpRow(id, encodeBmp(id, topDown = id % 2 == 1, gapBytes = if (id % 3 == 0) 4 else 0)))
+    val decoded = media.mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+      val (w, h, lum) = decodeBmp(r.payload)
+      BmpDecoded(r.doc_id, w, h, lum)
+    }))
+    val px = decoded.toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        posexplode(col("lum")).as(Seq("pos", "lum")))
+      .select(col("doc_id"), col("width"), col("height"), col("lum"),
+        (col("pos") % col("width")).as("x"), (col("pos") / col("width")).cast("int").as("y"))
+    val cells = px
+      .groupBy(col("doc_id"), col("width"), col("height"),
+        expr("(x * 4) div width").as("gx"), expr("(y * 4) div height").as("gy"))
+      .agg(sum(col("lum").cast("long")).as("cell_sum"), count(lit(1)).as("cell_n"))
+    val totals = cells.groupBy(col("doc_id"), col("width"), col("height"))
+      .agg(sum(col("cell_sum")).as("tot_sum"), sum(col("cell_n")).as("tot_n"))
+    cells.join(totals, Seq("doc_id", "width", "height"))
+      .withColumn("bit",
+        when(col("cell_sum") * col("tot_n") > col("tot_sum") * col("cell_n"), 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"), col("width"), col("height"),
+        col("tot_sum"), col("tot_n"))
+      .agg(sum(expr("bit << (gy * 4 + gx)")).as("phash"))
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("tot_n").as("n_pixels"),
+        floor(col("width") * lit(maxSide) / greatest(col("width"), col("height")))
+          .cast("long").as("rs_width"),
+        floor(col("height") * lit(maxSide) / greatest(col("width"), col("height")))
+          .cast("long").as("rs_height"),
+        graft.functions.VectorFunctions
+          .r6(col("tot_sum") / (lit(1000.0) * col("tot_n"))).as("mean_lum"),
+        col("phash"))
+  }
+
   /** Frame sampling for audio/video-like payloads: split the byte
     * stream into fixed-size frames and keep every `stride`-th one —
     * the Spark-side plumbing (explode with positional index, pruned

@@ -65,4 +65,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.head.getLong(2) === ss.length) // n_samples
     assert(rows.head.getLong(3) === (ss.length + 63) / 64) // n_windows
   }
+
+  test("BMP codec: encode→decode round-trips pixels through every trap variant") {
+    import graft.multimodal.Multimodal._
+    // bottom-up / top-down × gap / no-gap × padded / unpadded widths:
+    // ids 0..44 cover all 9 widths (8..16 — stride padding differs),
+    // both row orders (id parity) and both offsets (id % 3)
+    (0L until 45L).foreach { id =>
+      val (w, h) = bmpDims(id)
+      for (topDown <- Seq(false, true); gap <- Seq(0, 4)) {
+        val (dw, dh, lum) = decodeBmp(encodeBmp(id, topDown, gap))
+        assert((dw, dh) === (w, h), s"id=$id topDown=$topDown gap=$gap")
+        val want = Array.tabulate(h * w) { pos =>
+          val (x, y) = (pos % w, pos / w)
+          val (b, g, r) = bmpChannels(id, x, y)
+          299 * r + 587 * g + 114 * b
+        }
+        assert(lum.toSeq === want.toSeq, s"id=$id topDown=$topDown gap=$gap")
+      }
+    }
+  }
+
+  test("BMP parser rejects corrupt inputs loudly") {
+    import graft.multimodal.Multimodal._
+    val good = encodeBmp(7L, topDown = false, gapBytes = 0)
+    // wrong magic
+    val bad1 = good.clone(); bad1(0) = 'X'.toByte
+    intercept[IllegalArgumentException](decodeBmp(bad1))
+    // unsupported bpp (offset 28 in the DIB header)
+    val bad2 = good.clone(); bad2(28) = 8.toByte
+    intercept[IllegalArgumentException](decodeBmp(bad2))
+    // truncated pixel array
+    intercept[IllegalArgumentException](decodeBmp(good.take(good.length - 8)))
+    // oversized claimed offset
+    val bad3 = good.clone()
+    java.nio.ByteBuffer.wrap(bad3).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, Int.MaxValue)
+    intercept[IllegalArgumentException](decodeBmp(bad3))
+  }
 }
