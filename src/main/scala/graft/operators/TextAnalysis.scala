@@ -285,15 +285,26 @@ object TextAnalysis {
   /** The shared (doc, lang, token, bucket) fan-out — ONE cached scan
     * feeds LUT training and the probe side of the scorer.
     */
-  private def dsirTok(spark: SparkSession, dir: String, bucketChars: Int): DataFrame =
-    graft.Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+  private def dsirTokOf(docs: DataFrame, bucketChars: Int): DataFrame =
+    docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
       .withColumn("b", dsirBucket(col("token"), bucketChars))
+
+  private def dsirTok(spark: SparkSession, dir: String, bucketChars: Int): DataFrame =
+    dsirTokOf(graft.Tables.fanOut(Tables.documents(spark, dir)), bucketChars)
       .transform(graft.plans.ScanShare.shared)
 
   def dsirLut(spark: SparkSession, dir: String, targetLang: String = "en",
       bucketChars: Int = 2): DataFrame =
     dsirLutFrom(dsirTok(spark, dir, bucketChars), targetLang,
+      math.pow(16, bucketChars).toInt)
+
+  /** Train from an arbitrary (doc_id, lang, text) frame — the trainer
+    * behind [[dsirLutArtifact]], public so specs can compare artifact
+    * rows against a fresh training on the same corpus state.
+    */
+  def dsirLutOf(docs: DataFrame, targetLang: String = "en",
+      bucketChars: Int = 2): DataFrame =
+    dsirLutFrom(dsirTokOf(docs, bucketChars), targetLang,
       math.pow(16, bucketChars).toInt)
 
   private def dsirLutFrom(tok: DataFrame, targetLang: String,
@@ -311,6 +322,67 @@ object TextAnalysis {
         log(((coalesce(col("ct"), lit(0L)) + lit(1.0)) * (col("s_tot") + lit(nBuckets.toDouble))) /
           ((col("cs") + lit(1.0)) * (col("t_tot") + lit(nBuckets.toDouble)))), 1e6).as("lr_e6"))
   }
+
+  /** Persisted DSIR LUT artifact (r10): the trained bucket→log-ratio
+    * table, cached on storage keyed by a fingerprint of (corpus data
+    * files, targetLang, bucketChars) — the PqIndex.residualIndexFor
+    * pattern applied to the text "model". dsirLut retrained from
+    * scratch on every call; a production scorer (the streaming filter
+    * especially — DocStream.dsirScore folds the LUT as a literal)
+    * wants train-once-serve-many with automatic DRIFT handling:
+    * any change to the corpus files changes the fingerprint and forces
+    * a retrain, while a no-op append (appendCorpus that writes nothing)
+    * leaves files — and the artifact — untouched. Returns the artifact
+    * dir; [[loadDsirLut]] reads its rows in the streaming scorer's
+    * (bucket, lr_e6) shape.
+    *
+    * `docsPath` is any documents parquet (a corpus dir or a testdata
+    * `documents.parquet`). Build goes to a unique staging dir with the
+    * `_complete` marker inside, then renames atomically — two racing
+    * JVMs can never interleave files; the loser serves the winner's.
+    */
+  def dsirLutArtifact(spark: SparkSession, docsPath: String,
+      targetLang: String = "en", bucketChars: Int = 2): String = synchronized {
+    import org.apache.hadoop.fs.Path
+    val sig = {
+      val p = new Path(docsPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        entries += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+      }
+      entries.sorted.mkString(";")
+    }
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"dsirlut:v1:$targetLang:$bucketChars:$sig".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val base = s"${sys.props("java.io.tmpdir")}/graft_dsirlut_$key"
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$base/_complete")
+    if (!fs.exists(marker)) {
+      val staging = s"${base}_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+      dsirLutOf(spark.read.parquet(docsPath), targetLang, bucketChars)
+        .write.mode("overwrite").parquet(s"$staging/lut")
+      fs.create(new Path(s"$staging/_complete"), true).close()
+      if (fs.exists(new Path(base)) && !fs.exists(marker))
+        fs.delete(new Path(base), true)
+      if (!fs.rename(new Path(staging), new Path(base))) {
+        if (!fs.exists(marker))
+          throw new java.io.IOException(s"could not install $base and no complete LUT present")
+        fs.delete(new Path(staging), true)
+      }
+    }
+    base
+  }
+
+  /** LUT rows of a persisted artifact, in the (bucket, lr_e6) shape
+    * DocStream.dsirScore folds into its literal map.
+    */
+  def loadDsirLut(spark: SparkSession, artifactDir: String): Array[(Long, Long)] =
+    spark.read.parquet(s"$artifactDir/lut")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
 
   def dsirWeights(spark: SparkSession, dir: String, targetLang: String = "en",
       topK: Int = 20, bucketChars: Int = 2): DataFrame = {
