@@ -131,13 +131,26 @@ object Relational {
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     val partCnt = baskets.select(explode(col("parts")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
-    val pairs = baskets
-      .filter(size(col("parts")) >= 2)
-      // native pair fan-out (r8 — see GraphOps.frequentPairs)
-      .select(explode(graft.functions.ArrayExprs.orderedPairs(col("parts"))).as("p"))
-      .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minSupport)
+    // the pair stage IS GraphOps.frequentPairs on the same (orderkey,
+    // partkey) data — under the session chain cache (r10) serve it from
+    // the graph family's materialized support-2 table and filter up to
+    // minSupport, instead of re-running the 36M-pair fan-out (sf3).
+    // Off-cache the inline shape is kept: it reuses the basket exchange
+    // across all three consumers, which a lone materialization would
+    // break even.
+    val pairs =
+      if (DedupChain.enabled && minSupport >= 2)
+        GraphOps.sharedFrequentPairs(spark, dir, 2)
+          .filter(col("sup") >= minSupport)
+          .select(col("pa").as("part_a"), col("pb").as("part_b"),
+            col("sup").as("n_ab"))
+      else baskets
+        .filter(size(col("parts")) >= 2)
+        // native pair fan-out (r8 — see GraphOps.frequentPairs)
+        .select(explode(graft.functions.ArrayExprs.orderedPairs(col("parts"))).as("p"))
+        .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= minSupport)
     pairs
       .join(partCnt.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), "part_a")
       .join(partCnt.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), "part_b")

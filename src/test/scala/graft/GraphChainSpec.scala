@@ -39,6 +39,18 @@ class GraphChainSpec extends AnyFunSuite {
     } finally { DedupChain.disable(); DedupChain.reset() }
   }
 
+  test("q_basket_lift under the cache == off-cache (shared support-2 pair table)") {
+    assert(!DedupChain.enabled)
+    val off = rows(graft.operators.Relational.basketLift(spark, Sf))
+    try {
+      DedupChain.enable()
+      DedupChain.reset()
+      assert(rows(graft.operators.Relational.basketLift(spark, Sf)) === off)
+      // ...and it rode the graph family's table, not a private build
+      assert(DedupChain.builtCount === 1)
+    } finally { DedupChain.disable(); DedupChain.reset() }
+  }
+
   test("edge and frequent-pair tables each materialize once per session") {
     try {
       DedupChain.enable()
