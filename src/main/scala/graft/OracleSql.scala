@@ -613,6 +613,31 @@ object OracleSql {
        |JOIN sizes za ON za.doc_id = c.doc_a
        |JOIN sizes zb ON zb.doc_id = c.doc_b""".stripMargin
 
+  // dedup_incremental: the Spark side serves candidates from the
+  // PERSISTED band index of the known slice (doc_id % 3 != 2) and
+  // verifies only pairs touching the incoming slice; the oracle runs
+  // the batch band chain over the FULL corpus and keeps exactly those
+  // pairs, with the same 60-bit md5-prefix hashed intersection the
+  // containment verify uses — so the incremental path must reproduce
+  // the batch semantics, not approximate them.
+  val dedupIncremental: String =
+    s"""WITH $bandCtes,
+       |candn AS (SELECT doc_a, doc_b, n_bands FROM cand
+       |  WHERE doc_a % 3 = 2 OR doc_b % 3 = 2),
+       |shh AS (SELECT DISTINCT doc_id,
+       |  CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM candn c
+       |  JOIN shh sa ON sa.doc_id = c.doc_a
+       |  JOIN shh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, c.n_bands,
+       |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       |  ${r6("coalesce(i.n_inter, 0) / (1.0 * (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)))")} AS jaccard
+       |FROM candn c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes za ON za.doc_id = c.doc_a
+       |JOIN sizes zb ON zb.doc_id = c.doc_b""".stripMargin
+
   val dedupDrop: String =
     s"""WITH $bandCtes,
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -3113,6 +3138,7 @@ object OracleSql {
     "q_decile_lift" -> qDecileLift,
     "q_survival" -> qSurvival,
     "dedup_containment" -> dedupContainment,
+    "dedup_incremental" -> dedupIncremental,
     "q_profile" -> qProfile,
     "q_bootstrap_ci" -> qBootstrapCi,
     "q_event_ngrams" -> qEventNgrams,
