@@ -703,25 +703,46 @@ object Relational {
     val o = Tables.orders(spark, dir)
       .select(md5(col("o_orderkey").cast("string")).as("h"),
         cents(col("o_totalprice"), 100.0).as("vc"))
-    val fan = o.select(col("h"), col("vc"),
-        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
-      // split r/2 uses hex char r/2+1; even rep keeps the low nibbles,
-      // odd rep the complementary high ones
-      .filter(when(col("rep") % 2 === 0,
-        expr("substring(h, (rep div 2) + 1, 1)") <= "7")
-        .otherwise(expr("substring(h, (rep div 2) + 1, 1)") >= "8"))
-    // decimal(38,0) sums for HUGEINT-parity headroom (sum_c*100 would
-    // pass 9.2e18 just beyond sf1000); div on decimals yields Long
-    val repMeans = fan.groupBy(col("rep"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("vc").cast("decimal(38,0)")).as("sum_c"))
-      .select(col("rep"), expr("(sum_c * 100) div cnt").as("m_e4"))
-    val full = o.agg(
-      expr("(sum(cast(vc as decimal(38,0))) * 100) div count(*)").as("mbar_e4"),
-      count(lit(1)).as("n_orders"))
-    val ranked = repMeans.crossJoin(broadcast(full))
-      .select(col("m_e4"), col("mbar_e4"), col("n_orders"),
-        row_number().over(boundedWindow(col("m_e4"), col("rep"))).as("rk"))
+    // ONE corpus pass, zero fan-out (r10): the old shape exploded every
+    // order 64× (64·|orders| rows map-side — ~288M at sf3) to group by
+    // replicate; replicate membership is a per-row predicate, so all 64
+    // (cnt, sum) pairs fold in a single aggregate over the un-exploded
+    // scan — 128 conditional agg expressions, one row out. Sums are
+    // LONG with an ENFORCED headroom guard (the KM-fold precedent):
+    // decimal(38,0) sums were measured to cost ~28% of the whole query
+    // at sf3, and the wrap boundary (sum·100 ≥ 2^63, just past sf1000)
+    // is precisely checkable from (n_orders, max_vc) — n·max bounds
+    // every split sum, so past the bound the query FAILS LOUDLY instead
+    // of silently diverging from DuckDB's HUGEINT. Split r/2 uses hex
+    // char r/2+1; even rep keeps the low nibbles, odd rep the
+    // complementary high ones.
+    def repCond(r: Int) = {
+      val c = substring(col("h"), r / 2 + 1, 1)
+      if (r % 2 == 0) c <= "7" else c >= "8"
+    }
+    val aggCols =
+      expr("(sum(vc) * 100) div count(*)").as("mbar_raw") +:
+      count(lit(1)).as("n_orders") +:
+      max(col("vc")).as("max_vc") +:
+      (0 until reps).flatMap(r => Seq(
+        count(when(repCond(r), 1)).as(s"cnt_$r"),
+        sum(when(repCond(r), col("vc"))).as(s"sum_$r")))
+    val one = o.agg(aggCols.head, aggCols.tail: _*)
+    // compare by division so the CHECK itself cannot overflow; riding
+    // on mbar_e4 keeps the assert in the surviving plan
+    val hrOk = col("n_orders") <=
+      lit(Long.MaxValue / 100L) / greatest(col("max_vc"), lit(1L))
+    val repArr = array((0 until reps).map(r => struct(
+      lit(r).as("rep"),
+      expr(s"(sum_$r * 100) div cnt_$r").as("m_e4"))): _*)
+    val ranked = one
+      .select(
+        (col("mbar_raw") + coalesce(
+          assert_true(hrOk, lit("bootstrapCi: sum(vc)*100 exceeds Long headroom — " +
+            "widen to decimal at this scale")).cast("long"), lit(0L))).as("mbar_e4"),
+        col("n_orders"), explode(repArr).as("e"))
+      .select(col("e.m_e4").as("m_e4"), col("mbar_e4"), col("n_orders"),
+        row_number().over(boundedWindow(col("e.m_e4"), col("e.rep"))).as("rk"))
     ranked.agg(
         first(col("n_orders")).as("n_orders"),
         count(lit(1)).as("n_reps"),
