@@ -287,13 +287,14 @@ object GraphOps {
     * touched once by the shared support-pruned pair stage
     * ([[frequentPairs]]); per round, one edge⋈labels join (labels
     * O(nodes), size-gated broadcast), one partial-agg shuffle on
-    * (dst, label), and one per-dst window — partitioned by node id,
-    * never global.
+    * (dst, label), and one partial-agg shuffle on dst — the vote
+    * winner is a `max(struct(n, -label))` fold (count desc, label asc
+    * by struct order), so both aggregates map-side combine and no
+    * round ever sorts: partitioned by node id, never global.
     */
   def labelProp(spark: SparkSession, dir: String, iters: Int = 3,
       minSupport: Long = 2,
       maxBroadcastRows: Long = graft.plans.Hints.DefaultMaxBroadcastRows): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = sharedFrequentPairs(spark, dir, minSupport)
     val ed = pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
@@ -307,13 +308,12 @@ object GraphOps {
           graft.plans.Hints.broadcastIfUnder(lb, nNodes, maxBroadcastRows),
           ed("src") === lb("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("dst"))
-        .orderBy(col("n").desc, col("label").asc)
+      // winner = count desc, label asc: max over (n, -label) structs.
+      // Node ids are non-negative Longs, so -label is overflow-safe.
       labels = graft.Checkpointing.cut(
-        votes.select(col("dst").as("node"), col("label"),
-            row_number().over(w).as("rn"))
-          .filter(col("rn") === 1)
-          .select(col("node"), col("label")))
+        votes.groupBy(col("dst"))
+          .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("m"))
+          .select(col("dst").as("node"), (-col("m.neg")).as("label")))
     }
     labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
       .select(col("label").as("community"), col("n_nodes"))
