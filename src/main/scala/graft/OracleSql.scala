@@ -1792,6 +1792,40 @@ object OracleSql {
        |deg AS (SELECT part, count(*) AS degree FROM nodes GROUP BY 1)
        |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** k-core shrink curve (GraphOps.kcore): 6 unrolled synchronous peel
+    * rounds at k=3 over the same support-pruned pair set qDegreeDist
+    * uses — all-integer counts, so no rounding contract at all (`//`
+    * keeps the halved edge count BIGINT per the integer-division rule).
+    * Every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+    * and each round references the previous one ~5×, so the unrolled
+    * inline expansion is ~5^6 pair-stage scans (measured: "too many
+    * open files" at sf0.1) — materialization makes the oracle linear
+    * in rounds, like the Spark side's per-round cut.
+    */
+  val qKcore: String = {
+    def peel(i: Int) =
+      s"""d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+         |  (SELECT a AS node FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 3),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT node FROM k$i) AND b IN (SELECT node FROM k$i)),
+         |s$i AS (SELECT CAST($i AS BIGINT) AS round_no, count(DISTINCT node) AS n_nodes,
+         |  count(*) // 2 AS n_edges FROM
+         |  (SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i))""".stripMargin
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pairs AS MATERIALIZED (SELECT x.p AS pa, y.p AS pb, count(*) AS sup
+       |  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pairs),
+       |s0 AS (SELECT CAST(0 AS BIGINT) AS round_no, count(DISTINCT node) AS n_nodes,
+       |  count(*) // 2 AS n_edges FROM
+       |  (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)),
+       |${(1 to 6).map(peel).mkString(",\n")}
+       |SELECT * FROM s0
+       |${(1 to 6).map(i => s"UNION ALL SELECT * FROM s$i").mkString("\n")}
+       |ORDER BY round_no""".stripMargin
+  }
+
   /** Daily new-vs-returning users (EventOps.newVsReturning). */
   val qNewReturning: String =
     s"""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
@@ -3162,6 +3196,7 @@ object OracleSql {
     "vs_lsh_recall" -> vsLshRecall,
     "q_forecast_holt" -> qForecastHolt,
     "q_degree_dist" -> qDegreeDist,
+    "q_kcore" -> qKcore,
     "q_new_returning" -> qNewReturning,
     "q_ship_delay" -> qShipDelay,
     "q_seasonal_dow" -> qSeasonalDow,

@@ -188,6 +188,7 @@ object SparkEntry {
     "q_mad_outliers" -> ((s, d) => EventOps.madOutliers(s, d)),
     "q_forecast_holt" -> ((s, d) => EventOps.forecastHolt(s, d)),
     "q_degree_dist" -> ((s, d) => GraphOps.degreeDist(s, d)),
+    "q_kcore" -> ((s, d) => GraphOps.kcore(s, d)),
     "q_new_returning" -> ((s, d) => EventOps.newVsReturning(s, d)),
     "q_ship_delay" -> ((s, d) => Relational.shipDelay(s, d)),
     "q_seasonal_dow" -> ((s, d) => EventOps.seasonalDow(s, d)),

@@ -343,4 +343,51 @@ object GraphOps {
       .select(col("a"), col("b"), col("c"),
         least(col("s_ab"), col("s_bc"), col("s_ac")).as("min_sup"))
   }
+
+  /** k-core decomposition of the co-purchase graph by synchronous
+    * peeling: `rounds` rounds of "drop every node with degree < k",
+    * reported as the per-round (n_nodes, n_edges) shrink curve — the
+    * dense-core size/density profile one level above [[degreeDist]]
+    * (round 0 is the unpeeled support-pruned graph; the curve reaching
+    * a fixpoint means the k-core is found).
+    *
+    * Exact-integer semantics end to end (counts only — no floats), so
+    * the oracle unrolls the same rounds with zero rounding contracts.
+    * Scale shape: per round one partial-agg degree shuffle over the
+    * current edge set plus two semi-joins against the O(nodes) keep
+    * set (size-gated broadcasts, like every other loop here); edges
+    * only ever SHRINK, so round cost is bounded by the support-pruned
+    * pair table, which the session chain cache shares with the other
+    * five graph queries. Each round's survivor set is cut, keeping the
+    * plan O(1) deep.
+    */
+  def kcore(spark: SparkSession, dir: String, k: Int = 3, rounds: Int = 6,
+      minSupport: Long = 2,
+      maxBroadcastRows: Long = graft.plans.Hints.DefaultMaxBroadcastRows): DataFrame = {
+    var e = sharedFrequentPairs(spark, dir, minSupport)
+      .select(col("pa").as("a"), col("pb").as("b"))
+    // n_edges directly off the (a<b) edge table; n_nodes off one
+    // exploded distinct — both bounded one-row aggregates over blocks
+    // already materialized by the per-round cut
+    def snap(r: Int, ed: DataFrame): DataFrame =
+      ed.select(explode(array(col("a"), col("b"))).as("node"))
+        .agg(countDistinct(col("node")).as("n_nodes"),
+          (count(lit(1)) / lit(2)).cast("long").as("n_edges"))
+        .select(lit(r).cast("long").as("round_no"), col("n_nodes"), col("n_edges"))
+    val nNodes0 = e.select(col("a")).union(e.select(col("b"))).distinct().count()
+    var snaps = Seq(snap(0, e))
+    for (r <- 1 to rounds) {
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      def kb(as: String) = graft.plans.Hints.broadcastIfUnder(
+        keep.select(col("node").as(as)), nNodes0, maxBroadcastRows)
+      e = graft.Checkpointing.cut(
+        e.join(kb("a"), Seq("a"), "left_semi")
+          .join(kb("b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b")))
+      snaps = snaps :+ snap(r, e)
+    }
+    snaps.reduce(_.union(_)).orderBy(col("round_no"))
+  }
 }

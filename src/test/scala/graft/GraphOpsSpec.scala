@@ -73,6 +73,35 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(counts.sameElements(counts.sortBy(-_)), "not sorted by common_cnt desc")
   }
 
+  test("kcore: peeling shrinks monotonically to a valid k-core fixpoint") {
+    val curve = GraphOps.kcore(spark, Sf, k = 3, rounds = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(curve.map(_._1).toSeq == (0L to 6L), "one row per round, in order")
+    curve.sliding(2).foreach { case Array((_, n0, e0), (r, n1, e1)) =>
+      assert(n1 <= n0 && e1 <= e0, s"round $r grew the graph ($n0,$e0)->($n1,$e1)")
+    }
+    // the curve must reach its fixpoint within the round budget, and
+    // at the fixpoint every surviving node really has degree >= k
+    val Array((_, nLast, eLast), (_, nPrev, ePrev)) = curve.takeRight(2).reverse
+    assert((nLast, eLast) == (nPrev, ePrev), "peeling did not converge in 6 rounds")
+    if (eLast > 0) {
+      // recompute the surviving edge set independently: peel by hand
+      var ed = GraphOps.frequentPairs(spark, Sf, 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      var changed = true
+      while (changed) {
+        val deg = (ed.map(_._1) ++ ed.map(_._2)).groupBy(identity).map { case (k2, v) => k2 -> v.length }
+        val keep = deg.filter(_._2 >= 3).keySet
+        val next = ed.filter(e => keep(e._1) && keep(e._2))
+        changed = next.length != ed.length
+        ed = next
+      }
+      val nodes = (ed.map(_._1) ++ ed.map(_._2)).distinct.length
+      assert((nodes.toLong, ed.length.toLong) == (nLast, eLast),
+        "distributed peel disagrees with the by-hand fixpoint")
+    }
+  }
+
   test("labelProp: community sizes cover the pruned-graph node set") {
     val nNodes = GraphOps.frequentPairs(spark, Sf, 2)
       .select(org.apache.spark.sql.functions.explode(
