@@ -1164,6 +1164,49 @@ object OracleSql {
        |FROM r2 ORDER BY r_e9 DESC, node LIMIT 20""".stripMargin
   }
 
+  /** HITS hubs/authorities (GraphOps.hits): two unrolled rounds on the
+    * DIRECTED customer→supplier graph. Scores are Longs; each round's
+    * vector is rescaled into [2^29, 2^30) by `v >> (bitlen(max)-30)`
+    * with the INTEGER bit length (length(printf('%b',·)) — no float
+    * log), mirroring the Spark side's numberOfLeadingZeros shift, so
+    * every distributed sum is an order-independent BIGINT sum. Round
+    * CTEs are MATERIALIZED (the qKcore lesson: plain CTEs inline and
+    * the unrolled expansion re-scans the edge build exponentially).
+    */
+  val qHits: String = {
+    def rescale(v: String, c: String) =
+      s"""${v}s AS (SELECT greatest(0, length(printf('%b', max($c))) - 30) AS s FROM ${v}r),
+         |$v AS MATERIALIZED (SELECT node, $c >> s AS $c FROM ${v}r, ${v}s)""".stripMargin
+    val nm = "CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR) " +
+      "ELSE 's' || CAST(node // 2 AS VARCHAR) END"
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS (SELECT DISTINCT src AS node, CAST(1073741824 AS BIGINT) AS h FROM e),
+       |a1r AS MATERIALIZED (SELECT dst AS node, CAST(sum(h) AS BIGINT) AS a
+       |  FROM e JOIN h0 ON e.src = h0.node GROUP BY 1),
+       |${rescale("a1", "a")},
+       |h1r AS MATERIALIZED (SELECT src AS node, CAST(sum(a) AS BIGINT) AS h
+       |  FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1),
+       |${rescale("h1", "h")},
+       |a2r AS MATERIALIZED (SELECT dst AS node, CAST(sum(h) AS BIGINT) AS a
+       |  FROM e JOIN h1 ON e.src = h1.node GROUP BY 1),
+       |${rescale("a2", "a")},
+       |h2r AS MATERIALIZED (SELECT src AS node, CAST(sum(a) AS BIGINT) AS h
+       |  FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1),
+       |${rescale("h2", "h")},
+       |hm AS (SELECT max(h) AS mx FROM h2),
+       |am AS (SELECT max(a) AS mx FROM a2),
+       |th AS (SELECT 'hub' AS role, $nm AS node, h AS raw FROM h2
+       |  ORDER BY raw DESC, node LIMIT 20),
+       |ta AS (SELECT 'authority' AS role, $nm AS node, a AS raw FROM a2
+       |  ORDER BY raw DESC, node LIMIT 20),
+       |u AS (SELECT role, node, raw, mx FROM th, hm
+       |  UNION ALL SELECT role, node, raw, mx FROM ta, am)
+       |SELECT role, node, ${r6("raw / (1.0 * mx)")} AS score
+       |FROM u ORDER BY role, raw DESC, node""".stripMargin
+  }
+
   val vsRocchio: String =
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |t5 AS (SELECT e.vec_id, e.embedding FROM embeddings e CROSS JOIN q
@@ -3122,6 +3165,7 @@ object OracleSql {
     "q_events_path" -> qEventsPath,
     "vs_ivf_pq" -> vsIvfPq,
     "q_pagerank" -> qPagerank,
+    "q_hits" -> qHits,
     "vs_mmr" -> vsMmr,
     "vs_multivec" -> vsMultivec,
     "q_range_join" -> qRangeJoin,

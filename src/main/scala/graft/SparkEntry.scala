@@ -108,6 +108,7 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
     "q_minhash_est" -> ((s, d) => Dedup.minhashEstimate(s, d)),
     "q_pagerank" -> ((s, d) => GraphOps.pagerank(s, d)),
+    "q_hits" -> ((s, d) => GraphOps.hits(s, d)),
     // D+. corpus scoring / hygiene
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
     "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),

@@ -390,4 +390,71 @@ object GraphOps {
     }
     snaps.reduce(_.union(_)).orderBy(col("round_no"))
   }
+
+  /** HITS hubs & authorities on the DIRECTED customer→supplier trade
+    * graph (`iters` synchronous rounds): customers score as hubs of
+    * the suppliers they buy from, suppliers as authorities of the
+    * customers that buy from them — the who-aggregates-whom reading
+    * PageRank's single random-walk score flattens. Output is the
+    * top-`topK` of each role with scores normalized to the role max.
+    *
+    * Exact cross-engine parity without float sums: scores live as
+    * Longs, each round's vector is re-scaled into [2^29, 2^30) by a
+    * RIGHT SHIFT of s = bitlen(max) − 30 bits, where bitlen is the
+    * INTEGER bit length (= floor(log2)+1 — Long.numberOfLeadingZeros
+    * here, length(printf('%b',·)) in the oracle; no float log whose
+    * ulp at a power-of-2 boundary could flip the floor), so the
+    * distributed Σ over in-/out-neighbors is an order-independent
+    * Long sum bounded by deg_max·2^30 — safe while deg_max < 2^33,
+    * far past any real degree. The final score is one scalar double
+    * divide of two Longs, rounded r6.
+    *
+    * Scale shape: identical to [[pagerank]] — per half-round one
+    * size-gated broadcast join of the O(nodes) score vector against
+    * the materialized (session-shared) edge table plus one partial-agg
+    * shuffle on the receiving side; the two maxes are one-row
+    * aggregates off the just-built vector. No sorts inside the loop;
+    * the top-k is TakeOrdered on the final vectors.
+    */
+  def hits(spark: SparkSession, dir: String, iters: Int = 2, topK: Int = 20,
+      maxBroadcastRows: Long = graft.plans.Hints.DefaultMaxBroadcastRows): DataFrame = {
+    val ed = sharedEdges(spark, dir).filter(col("src") % 2 === 0)
+    val nNodes = ed.select(col("src")).union(ed.select(col("dst"))).distinct().count()
+    // rescale a score vector into [2^29, 2^30): shift by
+    // bitlen(max) - 30 (never negative: vectors start at 2^30 and
+    // sums only grow)
+    def rescaled(v: DataFrame, scoreCol: String): DataFrame = {
+      val mx = v.agg(max(col(scoreCol))).head().getLong(0)
+      val s = math.max(0, (64 - java.lang.Long.numberOfLeadingZeros(mx)) - 30)
+      v.select(col("node"), shiftright(col(scoreCol), s).as(scoreCol))
+    }
+    var hubs = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1L << 30).as("h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val hb = graft.plans.Hints.broadcastIfUnder(hubs, nNodes, maxBroadcastRows)
+      auths = rescaled(
+        graft.Checkpointing.cut(
+          ed.join(hb, ed("src") === hb("node"))
+            .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+            .select(col("dst").as("node"), col("a"))), "a")
+      val ab = graft.plans.Hints.broadcastIfUnder(auths, nNodes, maxBroadcastRows)
+      hubs = rescaled(
+        graft.Checkpointing.cut(
+          ed.join(ab, ed("dst") === ab("node"))
+            .groupBy(col("src")).agg(sum(col("a")).as("h"))
+            .select(col("src").as("node"), col("h"))), "h")
+    }
+    def top(v: DataFrame, scoreCol: String, role: String): DataFrame = {
+      val mx = v.agg(max(col(scoreCol))).head().getLong(0)
+      v.select(lit(role).as("role"), nodeName(col("node")).as("node"),
+          col(scoreCol).as("raw"))
+        .orderBy(col("raw").desc, col("node").asc)
+        .limit(topK)
+        .select(col("role"), col("node"),
+          r6(col("raw") / lit(mx.toDouble)).as("score"))
+    }
+    top(hubs, "h", "hub").union(top(auths, "a", "authority"))
+      .orderBy(col("role"), col("score").desc, col("node"))
+  }
 }

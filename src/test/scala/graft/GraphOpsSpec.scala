@@ -73,6 +73,25 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(counts.sameElements(counts.sortBy(-_)), "not sorted by common_cnt desc")
   }
 
+  test("hits: roles split the bipartite sides; scores normalized; loop iterates") {
+    val rows = GraphOps.hits(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val (hubs, auths) = rows.partition(_._1 == "hub")
+    // top-20 per role, capped by the role's population (sf0.001 has
+    // only 10 suppliers)
+    assert(hubs.length == 20 && (auths.length == 20 || auths.nonEmpty),
+      "expected topK (or the whole role) per role")
+    // directed customer->supplier: hubs must all be customers,
+    // authorities all suppliers
+    hubs.foreach { case (_, n, _) => assert(n.startsWith("c"), s"hub $n not a customer") }
+    auths.foreach { case (_, n, _) => assert(n.startsWith("s"), s"authority $n not a supplier") }
+    rows.foreach { case (_, n, sc) => assert(sc > 0 && sc <= 1.0, s"$n score $sc out of range") }
+    assert(hubs.map(_._3).max == 1.0 && auths.map(_._3).max == 1.0,
+      "each role's top score must normalize to 1")
+    val r1 = GraphOps.hits(spark, Sf, iters = 1).collect().map(r => (r.getString(1), r.getDouble(2)))
+    assert(!r1.sameElements(rows.map(r => (r._2, r._3))), "iterating had no effect")
+  }
+
   test("kcore: peeling shrinks monotonically to a valid k-core fixpoint") {
     val curve = GraphOps.kcore(spark, Sf, k = 3, rounds = 6).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
