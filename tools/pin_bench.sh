@@ -22,6 +22,17 @@ try_record() { # $1 sfdir  $2 outfile
   fi
   SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_CPUS=32 sbt -batch 'runMain graft.Bench' >/dev/null 2>&1
   steal=$(python3 -c "import json;print(json.load(open('BENCH_DETAIL.json'))['cpu_steal_sec'])")
+  # keep the lowest-steal attempt per SF regardless: if no window ever
+  # clears the bar, the best polluted record is the honest upper bound
+  python3 - "$1" "$steal" <<'PY'
+import json, os, sys
+sf, steal = sys.argv[1], float(sys.argv[2])
+name = os.path.basename(sf.rstrip('/')).replace('.', '')
+best = f"/tmp/best_attempt_{name}.json"
+prev = json.load(open(best))["cpu_steal_sec"] if os.path.exists(best) else 1e18
+if steal < prev:
+    open(best, "w").write(open("BENCH_DETAIL.json").read())
+PY
   if python3 -c "import sys; sys.exit(0 if $steal <= $BAR else 1)"; then
     cp BENCH_DETAIL.json "$2"
     echo "$(date +%T) RECORDED $2 steal=$steal"
