@@ -8,11 +8,19 @@ records (the r9 verdict re-derived these by hand).
 """
 import json, sys, statistics
 
-tag = sys.argv[1] if len(sys.argv) > 1 else "r10final"
+tag = sys.argv[1] if len(sys.argv) > 1 else "best_r10"
 recs = {}
 for sf, name in [("sf0.1", "01"), ("sf1", "1"), ("sf3", "3")]:
-    with open(f"tools/bench_sf{name}_checksum_{tag}.json") as f:
-        recs[sf] = json.load(f)
+    for pattern in (f"tools/bench_sf{name}_checksum_{tag}.json",
+                    f"tools/bench_sf{name}_{tag}.json"):
+        try:
+            with open(pattern) as f:
+                recs[sf] = json.load(f)
+            break
+        except FileNotFoundError:
+            continue
+    else:
+        sys.exit(f"no record for {sf} under tag {tag}")
 
 q01, q1, q3 = (recs[s]["queries"] for s in ("sf0.1", "sf1", "sf3"))
 shared = sorted(set(q01) & set(q1) & set(q3))
