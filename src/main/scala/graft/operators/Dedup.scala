@@ -40,6 +40,11 @@ object Dedup {
   val NumPerms = 16
   val NumBands = 8 // 8 bands × 2 rows over the 16 permutations
   val SimhashBlocks = 4 // 64-bit signature split into 4 16-bit blocks (r8)
+  /** Shingle width of the whole minhash family — named so persisted
+    * index fingerprints ([[DedupIndex.bandIndexFor]]) can fold it and
+    * a width change invalidates cached indexes automatically (r11).
+    */
+  val ShingleK = 3
 
   /** (doc_id, shingle) — distinct 3-word shingles, exploded (native
     * one-pass shingler; TextFunctions.shingles is the HOF spec twin).
@@ -88,7 +93,8 @@ object Dedup {
   private[graft] def minhashSignaturesOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.MinHashExpr.minhashSig(
-        graft.functions.TextExprs.shingles(tokens(col("text"))), NumPerms).as("mh"))
+        graft.functions.TextExprs.shingles(tokens(col("text")), ShingleK),
+        NumPerms).as("mh"))
       .select(col("doc_id") +: (0 until NumPerms).map(j =>
         element_at(col("mh"), j + 1).as(s"m$j")): _*)
 

@@ -113,8 +113,13 @@ object DedupIndex {
       }
       entries.sorted.mkString(";")
     }
+    // signing parameters ride in the fingerprint (r11, ADVICE): a
+    // NumPerms/NumBands/shingle-width change invalidates cached
+    // indexes automatically instead of silently serving stale rows
+    val params =
+      s"np=${Dedup.NumPerms}:nb=${Dedup.NumBands}:shk=${Dedup.ShingleK}"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"bandidx:v1:known3:$sig".getBytes("UTF-8"))
+      .digest(s"bandidx:v1:known3:$params:$sig".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val base = s"${sys.props("java.io.tmpdir")}/graft_bandidx_$key"
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -169,10 +174,15 @@ object DedupIndex {
       s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
     // one union scan over (corpus ∪ incoming) text, pruned to candidate
     // docs; incoming ids are disjoint from corpus ids by the contract
+    // docs that tokenize to ZERO shingles drop out here (r11, ADVICE):
+    // the batch oracle inner-joins per-doc shingle-set sizes, so a
+    // zero-shingle doc contributes no verified pair — the inner joins
+    // below then drop its candidates on both engines identically
     val docSets = corpusDocs.select(col("doc_id"), col("text"))
       .unionByName(incoming.select(col("doc_id"), col("text")))
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), hashedSet.as("sh"))
+      .filter(size(col("sh")) > 0)
     cand
       .join(docSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

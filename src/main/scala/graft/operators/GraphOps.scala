@@ -412,9 +412,10 @@ object GraphOps {
     * Scale shape: identical to [[pagerank]] — per half-round one
     * size-gated broadcast join of the O(nodes) score vector against
     * the materialized (session-shared) edge table plus one partial-agg
-    * shuffle on the receiving side; the two maxes are one-row
-    * aggregates off the just-built vector. No sorts inside the loop;
-    * the top-k is TakeOrdered on the final vectors.
+    * shuffle on the receiving side; the rescale max rides as a
+    * broadcast one-row aggregate over the just-cut vector (r11 — zero
+    * driver reads inside the loop, pagerank's hygiene). No sorts
+    * inside the loop; the top-k is TakeOrdered on the final vectors.
     */
   def hits(spark: SparkSession, dir: String, iters: Int = 2, topK: Int = 20,
       maxBroadcastRows: Long = graft.plans.Hints.DefaultMaxBroadcastRows): DataFrame = {
@@ -422,12 +423,15 @@ object GraphOps {
     val nNodes = ed.select(col("src")).union(ed.select(col("dst"))).distinct().count()
     // rescale a score vector into [2^29, 2^30): shift by
     // bitlen(max) - 30 (never negative: vectors start at 2^30 and
-    // sums only grow)
-    def rescaled(v: DataFrame, scoreCol: String): DataFrame = {
-      val mx = v.agg(max(col(scoreCol))).head().getLong(0)
-      val s = math.max(0, (64 - java.lang.Long.numberOfLeadingZeros(mx)) - 30)
-      v.select(col("node"), shiftright(col(scoreCol), s).as(scoreCol))
-    }
+    // sums only grow). The max rides CLUSTER-SIDE as a broadcast
+    // one-row aggregate (r11 — no per-half-round driver head();
+    // length(bin(x)) is the same integer bit length as the old
+    // numberOfLeadingZeros and the oracle's length(printf('%b',·)))
+    def rescaled(v: DataFrame, scoreCol: String): DataFrame =
+      v.crossJoin(broadcast(v.agg(max(col(scoreCol)).as("_mx"))))
+        .select(col("node"),
+          expr(s"shiftright($scoreCol, greatest(0, length(bin(_mx)) - 30))")
+            .as(scoreCol))
     var hubs = ed.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1L << 30).as("h"))
     var auths: DataFrame = null
@@ -445,16 +449,21 @@ object GraphOps {
             .groupBy(col("src")).agg(sum(col("a")).as("h"))
             .select(col("src").as("node"), col("h"))), "h")
     }
-    def top(v: DataFrame, scoreCol: String, role: String): DataFrame = {
-      val mx = v.agg(max(col(scoreCol))).head().getLong(0)
-      v.select(lit(role).as("role"), nodeName(col("node")).as("node"),
-          col(scoreCol).as("raw"))
+    // output normalization maxes also fold cluster-side (r11): one
+    // broadcast one-row aggregate per vector instead of driver head()s
+    def top(v: DataFrame, scoreCol: String, role: String): DataFrame =
+      v.crossJoin(broadcast(v.agg(max(col(scoreCol)).as("_mx"))))
+        .select(lit(role).as("role"), nodeName(col("node")).as("node"),
+          col(scoreCol).as("raw"), col("_mx"))
         .orderBy(col("raw").desc, col("node").asc)
         .limit(topK)
-        .select(col("role"), col("node"),
-          r6(col("raw") / lit(mx.toDouble)).as("score"))
-    }
+        .select(col("role"), col("node"), col("raw"),
+          r6(col("raw") / col("_mx").cast("double")).as("score"))
+    // final ordering ties break on RAW (r11, ADVICE): the r6-rounded
+    // score can tie across distinct raw values, and the oracle orders
+    // by raw DESC — raw rides through the union and drops after sorting
     top(hubs, "h", "hub").union(top(auths, "a", "authority"))
-      .orderBy(col("role"), col("score").desc, col("node"))
+      .orderBy(col("role"), col("raw").desc, col("node"))
+      .select(col("role"), col("node"), col("score"))
   }
 }

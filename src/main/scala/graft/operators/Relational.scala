@@ -741,6 +741,11 @@ object Relational {
           assert_true(hrOk, lit("bootstrapCi: sum(vc)*100 exceeds Long headroom — " +
             "widen to decimal at this scale")).cast("long"), lit(0L))).as("mbar_e4"),
         col("n_orders"), explode(repArr).as("e"))
+      // an EMPTY replicate (cnt_r = 0 on a tiny corpus) yields a null
+      // m_e4 — the oracle's groupBy shape simply has no such row, so
+      // drop it BEFORE ranking to keep n_reps and percentile picks
+      // aligned (r11, ADVICE)
+      .filter(col("e.m_e4").isNotNull)
       .select(col("e.m_e4").as("m_e4"), col("mbar_e4"), col("n_orders"),
         row_number().over(boundedWindow(col("e.m_e4"), col("e.rep"))).as("rk"))
     ranked.agg(

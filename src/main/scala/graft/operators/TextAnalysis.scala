@@ -355,8 +355,14 @@ object TextAnalysis {
       }
       entries.sorted.mkString(";")
     }
+    // the tokenizer/LUT-math identity rides in the fingerprint (r11,
+    // ADVICE): nBuckets is derived from bucketChars and the Laplace
+    // +1 / e6 scaling are named so a math change here must change this
+    // token (and thereby invalidate cached artifacts) to stay honest
+    val mathId = s"tok=hexbucket:smooth=laplace1:scale=e6:" +
+      s"nb=${math.pow(16, bucketChars).toInt}"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"dsirlut:v1:$targetLang:$bucketChars:$sig".getBytes("UTF-8"))
+      .digest(s"dsirlut:v1:$targetLang:$bucketChars:$mathId:$sig".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val base = s"${sys.props("java.io.tmpdir")}/graft_dsirlut_$key"
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
