@@ -71,6 +71,29 @@ object GraphOps {
         frequentPairs(spark, dir, minSupport))
     else graft.Checkpointing.cut(frequentPairs(spark, dir, minSupport))
 
+  /** The per-order sorted part basket — ONE corpus shuffle that
+    * [[frequentPairs]] (and through it four graph queries) AND
+    * [[Relational.basketLift]]'s support/order counts all consume
+    * (r11: the lift query rebuilt this exact groupBy while the pair
+    * stage built it again internally — the last duplicated corpus
+    * stage in the family, and the suite's sf3 ceiling). collect_set
+    * dedups (orderkey, partkey), so no distinct pre-pass.
+    */
+  private[graft] def baskets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+
+  /** Session-shared materialization of [[baskets]] — same contract as
+    * [[sharedEdges]]: cache-on builds once per SF-dir, cache-off is the
+    * plain plan (consumers inside ONE query still share its exchange).
+    */
+  private[graft] def sharedBaskets(spark: SparkSession, dir: String): DataFrame =
+    if (DedupChain.enabled)
+      DedupChain.cached("baskets", dir, spark)(baskets(spark, dir))
+    else baskets(spark, dir)
+
   /** PageRank with damping 0.85, `iters` synchronous iterations from a
     * uniform start, reported as the top-`topK` nodes. No dangling-node
     * term is needed: every node here has outdegree ≥ 1 by construction.
@@ -154,13 +177,9 @@ object GraphOps {
     */
   private[graft] def frequentPairs(spark: SparkSession, dir: String,
       minSupport: Long): DataFrame =
-    Tables.lineitem(spark, dir)
-      // collect_set dedups per order, so no distinct pre-pass: the old
-      // (l_orderkey, l_partkey) distinct paid a full extra shuffle of
-      // the lineitem projection before the basket groupBy (r8)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+    // basket stage shared with basketLift (r11); under the chain cache
+    // the nested cached() call materializes it once for the session
+    sharedBaskets(spark, dir)
       .filter(size(col("parts")) >= 2)
       // native in-basket pair fan-out (r8): the nested-transform HOF
       // evaluated an interpreted lambda per produced pair — pair

@@ -120,14 +120,12 @@ object Relational {
     // ONE corpus shuffle (r8): the basket groupBy's collect_set already
     // dedups (orderkey, partkey), so the order count, the per-part
     // order counts AND the pair fan-out all derive from the basket
-    // table — the old shape paid a separate 6M-row distinct shuffle
-    // before re-shuffling the same rows into baskets (the same
-    // redundancy frequentPairs dropped). The basket exchange is reused
-    // across all three consumers.
-    val baskets = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+    // table. r11: the stage is SESSION-SHARED with the graph family
+    // (GraphOps.sharedBaskets) — under the chain cache it materializes
+    // once per SF-dir and both this query's counts and the pair stage
+    // read the same parquet; off-cache the plain plan's exchange is
+    // still reused across all three consumers, as before.
+    val baskets = GraphOps.sharedBaskets(spark, dir)
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     val partCnt = baskets.select(explode(col("parts")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))

@@ -46,8 +46,9 @@ class GraphChainSpec extends AnyFunSuite {
       DedupChain.enable()
       DedupChain.reset()
       assert(rows(graft.operators.Relational.basketLift(spark, Sf)) === off)
-      // ...and it rode the graph family's table, not a private build
-      assert(DedupChain.builtCount === 1)
+      // ...and it rode the shared basket + graph pair tables, not a
+      // private build (r11: the basket stage is session-shared too)
+      assert(DedupChain.builtCount === 2)
     } finally { DedupChain.disable(); DedupChain.reset() }
   }
 
@@ -56,10 +57,12 @@ class GraphChainSpec extends AnyFunSuite {
       DedupChain.enable()
       DedupChain.reset()
       family().values.foreach(_.count())
-      // one trade_edges + one frequent_pairs_2, regardless of the six consumers
-      assert(DedupChain.builtCount === 2)
+      // one trade_edges + one baskets + one frequent_pairs_2,
+      // regardless of the six consumers (r11: the basket stage under
+      // the pair fan-out is itself a shared cached table)
+      assert(DedupChain.builtCount === 3)
       family().values.foreach(_.count())
-      assert(DedupChain.builtCount === 2)
+      assert(DedupChain.builtCount === 3)
     } finally { DedupChain.disable(); DedupChain.reset() }
   }
 }
