@@ -212,6 +212,191 @@ object IndexMaintenance {
     parquetFileCount(spark, vecDir)
   }
 
+  /** Outcome of [[rebalanceIndex]] — index metadata counters, for
+    * operator telemetry and the spec's strict-reduction assertion.
+    */
+  case class RebalanceReport(nSplit: Int, nMerge: Int,
+      nClustersBefore: Long, nClustersAfter: Long,
+      maxRowsBefore: Long, maxRowsAfter: Long)
+
+  /** EXECUTE the rebalance plan on a persisted IVF layout (r11 — the
+    * consumer [[IvfIndex.rebalancePlan]]'s action table never had): at
+    * 100 TB an IVF index skews as data drifts, and probe cost follows
+    * the hottest partition. Applies the same integer-exact size rule
+    * (n·k > 2·total → split; n·k·2 < total → merge):
+    *
+    *  - **split**: a hot cluster's rows divide via ONE local Lloyd
+    *    step on the cluster's OWN rows — two deterministic seeds (the
+    *    2 smallest md5(vec_id), the [[IvfIndex.centroids]] seed rule),
+    *    a map-side nearest-of-two assignment (the seed PAIR table is
+    *    one broadcast row per split cluster, so no per-vector
+    *    shuffle), and each half's centroid is its integerized mean
+    *    ([[IvfIndex.meanVectors]]). Half ids are fresh (> max id —
+    *    never reused, the epoch-number discipline).
+    *  - **merge**: a cold cluster's rows reassign map-side to their
+    *    nearest SURVIVING centroid (keeps + new halves — the standard
+    *    remove-centroid-and-rehome step); the target keeps its
+    *    centroid. Centroids with zero rows are dropped the same way.
+    *  - **keep**: rows and centroid pass through untouched.
+    *
+    * The rewrite preserves the whole maintenance contract: epoch dirs
+    * fold in (vectorsDf is the input), the `_graft_compacted` marker —
+    * with accumulated folded set and monotone next-epoch — travels
+    * INSIDE the staged dir so it lands atomically with the swap, the
+    * old dirs go aside-first (crash ⇒ every row still on disk), and
+    * the layout keeps `partitionBy(cluster_id)` so both prunings
+    * survive. Vectors swap before centroids; a crash between the two
+    * leaves stale centroids next to the new layout — RERUNNING heals
+    * it, because keep-centroids missing from the stored table are
+    * recomputed as their cluster means (on an object store the two
+    * renames collapse into one manifest pointer update, the
+    * compactIndex note). Serving at equal nprobe-coverage is
+    * row-identical before/after (RebalanceSpec pins it), and the
+    * hottest partition strictly shrinks.
+    *
+    * Driver-side state is index METADATA only: per-cluster sizes
+    * (≤ nlist rows), seed pairs (2 per split cluster) and centroid
+    * vectors (nlist × dim) — the same reach the coarse quantizer
+    * already needs. The corpus moves once, partition-locally.
+    */
+  def rebalanceIndex(spark: SparkSession, indexPath: String,
+      rowsPerFile: Long = 1L << 20): RebalanceReport = {
+    import graft.functions.VectorFunctions.dist2
+    import org.apache.spark.sql.expressions.Window
+    val fs = fsOf(spark, indexPath)
+    val vecDir = s"$indexPath/vectors"
+    // crash reconcile, as compactIndex: folded leftovers' rows already
+    // live in the base — delete before reading
+    val prevFolded = readMarker(spark, indexPath).map(_.folded).getOrElse(Set.empty[Int])
+    allEpochDirs(spark, indexPath)
+      .filter(d => prevFolded.contains(epochOf(d)))
+      .foreach(d => fs.delete(new Path(d), true))
+    val epochs = epochDirs(spark, indexPath)
+    val df = vectorsDf(spark, indexPath)
+      .select(col("vec_id"), col("embedding"), col("cluster_id").cast("long").as("cluster_id"))
+    // per-cluster sizes: ≤ nlist rows — index metadata
+    val sizes = df.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum
+    val k = sizes.size.toLong
+    def act(n: Long): String =
+      if (n * k > total * 2 && n >= 2) "split"
+      else if (n * k * 2 < total) "merge" else "keep"
+    val splitIds = sizes.filter { case (_, n) => act(n) == "split" }.keys.toSeq.sorted
+    val mergeIds = sizes.filter { case (_, n) => act(n) == "merge" }.keys.toSet
+    val keepIds = sizes.keySet -- splitIds -- mergeIds
+    val maxBefore = if (sizes.isEmpty) 0L else sizes.values.max
+    if (splitIds.isEmpty && mergeIds.isEmpty)
+      return RebalanceReport(0, 0, k, k, maxBefore, maxBefore)
+
+    val storedCents = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        transform(col("cvec"), _.cast("double")).as("cvec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val maxId = (sizes.keySet ++ storedCents.keySet).max
+
+    // ---- split: one local Lloyd step per hot cluster ----
+    val splitSet = splitIds.toSet
+    val halfIdOf: Map[Long, (Long, Long)] = splitIds.zipWithIndex.map {
+      case (c, i) => c -> (maxId + 2L * i + 1, maxId + 2L * i + 2)
+    }.toMap
+    val splitRows =
+      if (splitIds.isEmpty) df.limit(0).select("vec_id", "embedding", "cluster_id")
+      else {
+        val seedW = Window.partitionBy(col("cluster_id"))
+          .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+        val seeds = df.filter(col("cluster_id").isin(splitIds: _*))
+          .withColumn("rn", row_number().over(seedW)).filter(col("rn") <= 2)
+          .select(col("cluster_id"), col("rn"),
+            transform(col("embedding"), _.cast("double")).as("sv"))
+          .collect().groupBy(_.getLong(0))
+        val pairRows = splitIds.map { c =>
+          val byRn = seeds(c).sortBy(_.getInt(1))
+          val v1 = byRn.head.getSeq[Double](2).toArray
+          val v2 = if (byRn.length > 1) byRn(1).getSeq[Double](2).toArray else v1
+          (c, halfIdOf(c)._1, v1, halfIdOf(c)._2, v2)
+        }
+        val pairDf = spark.createDataFrame(pairRows.toIndexedSeq)
+          .toDF("cluster_id", "id1", "v1", "id2", "v2")
+        df.filter(col("cluster_id").isin(splitIds: _*))
+          .join(broadcast(pairDf), Seq("cluster_id"))
+          .select(col("vec_id"), col("embedding"),
+            when(dist2(col("embedding"), col("v1")) <= dist2(col("embedding"), col("v2")),
+              col("id1")).otherwise(col("id2")).as("cluster_id"))
+      }
+    // half centroids: integerized means of the halves (2·nsplit rows)
+    val halfCents =
+      if (splitIds.isEmpty) Map.empty[Long, Array[Double]]
+      else IvfIndex.meanVectors(splitRows.select(col("cluster_id"), col("embedding")))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+    // surviving centroids: keeps (stored, or recomputed as the cluster
+    // mean when the stored table predates a crash-interrupted run) +
+    // the new halves
+    val keepMissing = keepIds.filterNot(storedCents.contains)
+    val recomputed =
+      if (keepMissing.isEmpty) Map.empty[Long, Array[Double]]
+      else IvfIndex.meanVectors(
+          df.filter(col("cluster_id").isin(keepMissing.toSeq: _*))
+            .select(col("cluster_id"), col("embedding")))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val surviving: Seq[(Long, Array[Double])] =
+      (keepIds.toSeq.sorted.map(c =>
+        c -> storedCents.getOrElse(c, recomputed(c))) ++
+        halfCents.toSeq.sortBy(_._1))
+    val survivingDf = spark.createDataFrame(
+        surviving.map { case (c, v) => (c, v.toSeq) }.toIndexedSeq)
+      .toDF("cluster_id", "cvec")
+
+    // ---- merge: rehome cold clusters' rows map-side ----
+    val mergedRows =
+      if (mergeIds.isEmpty) df.limit(0).select("vec_id", "embedding", "cluster_id")
+      else df.filter(col("cluster_id").isin(mergeIds.toSeq: _*))
+        .withColumn("best", IvfIndex.nearest(col("embedding"), survivingDf))
+        .select(col("vec_id"), col("embedding"),
+          col("best").getField("cluster_id").as("cluster_id"))
+
+    val keepRows = df.filter(col("cluster_id").isin(keepIds.toSeq: _*))
+      .select("vec_id", "embedding", "cluster_id")
+    val finalRows = keepRows.unionByName(splitRows).unionByName(mergedRows)
+
+    // ---- staged rewrite + aside-first swap (compactIndex contract) ----
+    val epoch = nextEpoch(spark, indexPath)
+    val tmp = vecDir + "_rebalancing"
+    finalRows.repartition(col("cluster_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+      .partitionBy("cluster_id").parquet(tmp)
+    val preMarker = fs.create(new Path(tmp, "_graft_compacted"), true)
+    try preMarker.write(markerBytes(epoch, (prevFolded ++ epochs.map(epochOf)).toSeq))
+    finally preMarker.close()
+    val newSizes = spark.read.parquet(tmp)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val dst = new Path(vecDir)
+    val aside = new Path(vecDir + "_old")
+    fs.delete(aside, true)
+    if (fs.exists(dst) && !fs.rename(dst, aside))
+      throw new java.io.IOException(s"could not move $dst aside")
+    if (!fs.rename(new Path(tmp), dst))
+      throw new java.io.IOException(s"could not move $tmp into place")
+    fs.delete(aside, true)
+    epochs.foreach(e => fs.delete(new Path(e), true))
+    // centroids swap second (rerun heals the window — scaladoc)
+    val cTmp = s"$indexPath/centroids_rebalancing"
+    survivingDf.write.mode("overwrite").parquet(cTmp)
+    val cDst = new Path(s"$indexPath/centroids")
+    val cAside = new Path(s"$indexPath/centroids_old")
+    fs.delete(cAside, true)
+    if (fs.exists(cDst) && !fs.rename(cDst, cAside))
+      throw new java.io.IOException(s"could not move $cDst aside")
+    if (!fs.rename(new Path(cTmp), cDst))
+      throw new java.io.IOException(s"could not move $cTmp into place")
+    fs.delete(cAside, true)
+    RebalanceReport(splitIds.size, mergeIds.size, k, newSizes.length.toLong,
+      maxBefore, if (newSizes.isEmpty) 0L else newSizes.max)
+  }
+
   /** Recursive .parquet part-file count under a directory. */
   def parquetFileCount(spark: SparkSession, dir: String): Long = {
     val fs = fsOf(spark, dir)
