@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Persisted LEXICAL (BM25) index — the SIXTH maintained layout
+  * (after IVF, LSH, PQ, residual-IVFPQ and the dedup band index), and
+  * the serving story [[LexicalSearch.bm25]] never had: the brute
+  * operator recomputes corpus stats and scores the WHOLE corpus per
+  * query, which is fine as a batch pass but not as the retrieval arm
+  * a deployment runs hybrid search on (reference mcp_server.py:80-215
+  * is that serving surface).
+  *
+  * Layout: `indexPath/vectors/bucket=<b>/…` posting rows
+  * (doc_id, term, tf, dl) where `bucket = md5(term) mod NumBuckets` —
+  * the `vectors` name + the recognized `bucket` partition column is
+  * the whole [[IndexMaintenance]] contract, so compaction, the
+  * `_graft_compacted` marker, epoch rotation and the crash-reconcile
+  * path apply unchanged, and
+  * [[graft.streaming.IndexStream.appendToLexIndex]] gives exactly-once
+  * streaming growth. Corpus-level stats (n_docs, Σdl) live as a
+  * one-row metadata table under `indexPath/stats`, updated
+  * incrementally per ingest batch ([[addToStats]]) the way centroids
+  * stay fixed between retrainings.
+  *
+  * A query's terms hash to ≤ |terms| buckets, so retrieval scans
+  * `|terms|/NumBuckets` of the index at the parquet-partition level
+  * (PartitionFilters — LexIndexSpec pins it) instead of the corpus:
+  * the same persist → prune → scan-less trajectory the four vector
+  * layouts took. Scoring is EXACTLY [[LexicalSearch.contributionE6]]
+  * on exactly the brute operator's statistics (a posting row exists
+  * iff tf > 0, so the pruned-scan document frequencies equal the
+  * corpus-scan ones), so indexed BM25 is row-identical to the brute
+  * scorer — spec-enforced, the searchIndexed precedent.
+  */
+object LexIndex {
+
+  /** Token-hash partition count. 100 TB note: buckets bound the number
+    * of partitions a query touches, not their size — a hot bucket
+    * splits into many part-files via compaction's maxRecordsPerFile,
+    * and posting rows are ~40 bytes.
+    */
+  val NumBuckets = 64
+
+  /** Column-side bucket: first 8 md5 nibbles of the term, mod
+    * [[NumBuckets]] (md5 keeps it engine-portable, the repo hashing
+    * convention).
+    */
+  def bucketOf(term: Column): Column =
+    pmod(conv(substring(md5(term), 1, 8), 16, 10).cast("long"),
+      lit(NumBuckets.toLong))
+
+  /** Driver twin of [[bucketOf]] — query planning needs the bucket set
+    * before any scan (the probed-centroid analogue).
+    */
+  def bucketOfTerm(term: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16) % NumBuckets
+  }
+
+  /** Map-side posting projection — ONE code path for the batch build
+    * and streaming append (byte-identical rows, the indexRows
+    * pattern): one row per DISTINCT term per doc, with its in-doc
+    * frequency and the doc length, via the native one-pass
+    * term-counter (gramCounts k=1). Stateless, so it runs unchanged on
+    * streaming frames at constant memory.
+    */
+  def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(graft.functions.TextExprs.gramCounts(col("toks"), 1)).as("tc"))
+      .select(col("doc_id"), col("tc.g").as("term"), col("tc.c").as("tf"),
+        col("dl"), bucketOf(col("tc.g")).as("bucket"))
+
+  /** Build/rebuild the index from a (doc_id, text) frame: postings +
+    * the one-row corpus stats (counted over ALL docs — zero-token docs
+    * produce no postings but DO count toward n_docs, exactly as the
+    * brute scorer's corpus aggregate does).
+    */
+  def writeIndexOf(docs: DataFrame, indexPath: String): Unit = {
+    postingsOf(docs).write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexPath/vectors")
+    docs.select(size(tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$indexPath/stats")
+  }
+
+  /** Convenience: build from a testdata corpus dir. */
+  def writeIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+    writeIndexOf(Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text")), indexPath)
+
+  /** Fold an ingest batch's corpus stats into the persisted one-row
+    * stats table — the metadata half of a streaming append (postings
+    * grow via the stream; n_docs/Σdl grow here). Staged + atomic
+    * rename, the artifact discipline. O(batch), never a corpus scan.
+    */
+  def addToStats(spark: SparkSession, indexPath: String,
+      newDocs: DataFrame): Unit = {
+    val inc = newDocs.select(size(tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(coalesce(col("dl"), lit(0L))).as("sum_dl"))
+      .head()
+    val cur = spark.read.parquet(s"$indexPath/stats").head()
+    val merged = Seq((
+      cur.getAs[Long]("n_docs") + inc.getAs[Long]("n_docs"),
+      cur.getAs[Long]("sum_dl") + (if (inc.isNullAt(1)) 0L else inc.getAs[Long]("sum_dl"))))
+    import spark.implicits._
+    val staged = s"$indexPath/stats_staging"
+    merged.toDF("n_docs", "sum_dl").write.mode("overwrite").parquet(staged)
+    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(s"$indexPath/stats")
+    val aside = new Path(s"$indexPath/stats_old")
+    fs.delete(aside, true)
+    if (fs.exists(dst) && !fs.rename(dst, aside))
+      throw new java.io.IOException(s"could not move $dst aside")
+    if (!fs.rename(new Path(staged), dst))
+      throw new java.io.IOException(s"could not move $staged into place")
+    fs.delete(aside, true)
+  }
+
+  /** (doc_id, tf_0.., score_e6) for `terms`, scored over the
+    * partition-pruned posting scan — the shared core of
+    * [[searchTerms]] and the hybrid facade. Per-term document
+    * frequencies come from the SAME pruned scan (one tiny aggregate);
+    * corpus stats from the metadata row.
+    */
+  private[operators] def scoredDocsE6(spark: SparkSession, indexPath: String,
+      terms: Seq[String]): DataFrame = {
+    val qterms = terms.distinct
+    val buckets = qterms.map(bucketOfTerm).distinct
+    val p = IndexMaintenance.vectorsDf(spark, indexPath)
+      .withColumn("bucket", col("bucket").cast("long"))
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(qterms: _*))
+    val dfAggs = qterms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"df_$i") }
+    val dfs = p.agg(dfAggs.head, dfAggs.tail: _*)
+    val stats = spark.read.parquet(s"$indexPath/stats").crossJoin(broadcast(dfs))
+    val pivotAggs = first(col("dl")).as("dl") +:
+      qterms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i") }
+    p.groupBy(col("doc_id")).agg(pivotAggs.head, pivotAggs.tail: _*)
+      .crossJoin(broadcast(stats))
+      .withColumn("score_e6", qterms.indices.map(i =>
+        LexicalSearch.contributionE6(col(s"tf_$i"), col(s"df_$i"), col("dl"),
+          col("n_docs"), col("sum_dl"))).reduce(_ + _))
+  }
+
+  /** BM25 top-k over the persisted index — row-identical to the brute
+    * [[LexicalSearch.bm25]]-style scorer for the same terms
+    * (LexIndexSpec), scanning only the query's token buckets.
+    */
+  def searchTerms(spark: SparkSession, indexPath: String, terms: Seq[String],
+      k: Int = 10): DataFrame = {
+    val qterms = terms.distinct
+    scoredDocsE6(spark, indexPath, qterms)
+      .filter(col("score_e6") > 0)
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id") +:
+        qterms.zipWithIndex.map { case (t, i) => col(s"tf_$i").as(s"tf_$t") } :+
+        (col("score_e6") / 1000000.0).as("score"): _*)
+  }
+
+  /** The fixed-query twin of [[LexicalSearch.bm25]], served from the
+    * index.
+    */
+  def bm25Indexed(spark: SparkSession, indexPath: String, k: Int = 10): DataFrame =
+    searchTerms(spark, indexPath, LexicalSearch.QueryTerms, k)
+}

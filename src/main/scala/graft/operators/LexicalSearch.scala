@@ -57,21 +57,25 @@ object LexicalSearch {
     withTf.drop("toks").crossJoin(broadcast(stats))
   }
 
-  /** One term's BM25 contribution — written in exactly the operator
-    * order the oracle SQL uses, so the doubles agree bitwise.
+  /** One term's INTEGERIZED BM25 contribution from explicit stat
+    * columns — the ONE formula the brute scorer, the hybrid facade and
+    * the persisted posting index ([[LexIndex]]) all share. Written in
+    * exactly the operator order the oracle SQL uses, so the doubles
+    * agree bitwise across every caller.
     */
-  private def contribution(i: Int): Column = {
-    val tf = col(s"tf_$i"); val df = col(s"df_$i")
-    val idf = log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+  private[operators] def contributionE6(tf: Column, df: Column, dl: Column,
+      nDocs: Column, sumDl: Column): Column = {
+    val idf = log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5)))
     val denom = tf + lit(K1) * (lit(1.0) - lit(B) +
-      lit(B) * col("dl") * col("n_docs") / col("sum_dl"))
-    idf * (tf * lit(K1Plus1)) / denom
+      lit(B) * dl * nDocs / sumDl)
+    cents(idf * (tf * lit(K1Plus1)) / denom, 1e6)
   }
 
   /** (doc_id, tf_.., dl, score_e6): integerized BM25 score per doc. */
   private def scoredDocs(spark: SparkSession, dir: String): DataFrame =
     tfStats(spark, dir).withColumn("score_e6",
-      QueryTerms.indices.map(i => cents(contribution(i), 1e6)).reduce(_ + _))
+      QueryTerms.indices.map(i => contributionE6(col(s"tf_$i"), col(s"df_$i"),
+        col("dl"), col("n_docs"), col("sum_dl"))).reduce(_ + _))
 
   /** BM25 top-k for the fixed query: Okapi BM25 (k1=1.2, b=0.75,
     * idf = ln(1 + (N-df+0.5)/(df+0.5))) over whitespace tokens.

@@ -224,15 +224,47 @@ object SearchApi {
     val statAggs = sum(col("dl")).as("sum_dl") +:
       terms.indices.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
     val stats = withTf.agg(count(lit(1)).as("n_docs"), statAggs: _*)
-    val contribs = terms.indices.map { i =>
-      val tf = col(s"tf_$i"); val df = col(s"df_$i")
-      val idf = log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
-      val denom = tf + lit(LexicalSearch.K1) * (lit(1.0) - lit(LexicalSearch.B) +
-        lit(LexicalSearch.B) * col("dl") * col("n_docs") / col("sum_dl"))
-      cents(idf * (tf * lit(LexicalSearch.K1Plus1)) / denom, 1e6)
-    }
+    val contribs = terms.indices.map(i =>
+      LexicalSearch.contributionE6(col(s"tf_$i"), col(s"df_$i"), col("dl"),
+        col("n_docs"), col("sum_dl")))
     val lexTop = withTf.drop("toks").crossJoin(broadcast(stats))
       .withColumn("score_e6", contribs.reduce(_ + _))
+      .filter(col("score_e6") > 0)
+      .orderBy(col("score_e6").desc, col("doc_id").asc).limit(perList)
+      .select(col("doc_id"), col("score_e6"))
+      .withColumn("rank_lex",
+        row_number().over(graft.functions.VectorFunctions.boundedWindow(col("score_e6").desc, col("doc_id").asc)).cast("long"))
+    vecTop.join(lexTop.select("doc_id", "rank_lex"), Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The serving-scale variant of [[searchHybrid]] (r11): BOTH
+    * retrieval arms run over persisted, partition-pruned indexes — the
+    * vector arm over the cluster-partitioned IVF layout
+    * ([[IvfIndex.searchIndex]], nprobe nearest clusters), the lexical
+    * arm over the token-bucket posting index
+    * ([[LexIndex.scoredDocsE6]], only the query terms' buckets) — then
+    * the same reciprocal-rank fusion. With every cluster probed this
+    * is row-identical to the brute [[searchHybrid]] (LexIndexSpec);
+    * production tightens nprobe and trades recall for the pruned scan,
+    * exactly the searchIndexed trajectory.
+    */
+  def searchHybridIndexed(spark: SparkSession, dir: String,
+      vecIndexPath: String, lexIndexPath: String, queryText: String,
+      nprobe: Int = 3, perList: Int = 20, k: Int = 10): DataFrame = {
+    val q = spark.range(1).select(embedText(lit(queryText)).as("qvec"))
+    val vecTop = IvfIndex.searchIndex(spark, vecIndexPath, q, nprobe, perList,
+        roundScore = false)
+      .select(col("vec_id").as("doc_id"), col("score"))
+      .withColumn("rank_vec",
+        row_number().over(graft.functions.VectorFunctions.boundedWindow(col("score").desc, col("doc_id").asc)).cast("long"))
+      .drop("score")
+    val terms = queryText.trim.split("\\s+").toSeq.distinct.take(8)
+    val lexTop = LexIndex.scoredDocsE6(spark, lexIndexPath, terms)
       .filter(col("score_e6") > 0)
       .orderBy(col("score_e6").desc, col("doc_id").asc).limit(perList)
       .select(col("doc_id"), col("score_e6"))

@@ -207,4 +207,19 @@ object IndexStream {
       newVecs.select(col("vec_id"), col("embedding"))
         .withColumn("bucket", graft.operators.LshAnn.bucketOf(col("embedding"))),
       checkpoint, sinkDir, "bucket")
+
+  /** Lexical posting-index twin (r11): stream (doc_id, text) documents
+    * into the persisted BM25 index ([[graft.operators.LexIndex]]). The
+    * posting projection is the same stateless map-side pass the batch
+    * build uses (byte-identical rows); corpus stats are metadata the
+    * caller folds per ingest batch via `LexIndex.addToStats` (the
+    * centroids-between-retrainings model). Same compaction/log-rotation
+    * contract (partition column `bucket`).
+    */
+  def appendToLexIndex(spark: SparkSession, indexPath: String,
+      newDocs: DataFrame, checkpoint: String,
+      sinkDir: String = null): StreamingQuery =
+    startAppend(spark, indexPath,
+      graft.operators.LexIndex.postingsOf(newDocs),
+      checkpoint, sinkDir, "bucket")
 }
