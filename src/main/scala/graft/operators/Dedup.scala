@@ -292,19 +292,35 @@ object Dedup {
     * drop rules get wrong (A~B, B~C but A!~C).
     */
   def components(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      checkpointDir: Option[String] = None): DataFrame =
+    componentsOfPairs(
+      // ONE eager barrier for the whole chain: the verify runs lazily
+      // (eagerCand=false — its cand cache still fills during this job)
+      ngramJaccard(spark, dir, eagerCand = false)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b")),
+      checkpointDir)
+      .withColumn("comp_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("component")))
+          .cast("long"))
+
+  /** The min-label propagation loop of [[components]] over an ARBITRARY
+    * verified-pair frame (doc_a, doc_b) → (doc_id, component) — exposed
+    * (r11) so the incremental group maintenance
+    * ([[graft.operators.DedupGroups]]) can run it on the TINY quotient
+    * graph of touched group labels instead of the whole corpus chain.
+    */
+  private[graft] def componentsOfPairs(pairs0: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
-    // ONE eager barrier for the whole chain: the verify runs lazily
-    // (eagerCand=false — its cand cache still fills during this job),
-    // and the filtered pair table is materialized by persist + count,
-    // NOT by an eager localCheckpoint: the count action goes through
-    // AQE (the RDD materialization path re-plans the LSH chain without
+    val spark = pairs0.sparkSession
+    // the filtered pair table is materialized by persist + count, NOT
+    // by an eager localCheckpoint: the count action goes through AQE
+    // (the RDD materialization path re-plans the LSH chain without
     // runtime stats), keeps lineage, and leaves the cache's exact row
     // count for the loop's join planning. The round-5 shape had TWO
     // sequential barriers here (cand.count then pairs.count) and the
     // driver bench regressed 52% — r6 collapses them.
-    val pairs = ngramJaccard(spark, dir, eagerCand = false)
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"))
+    val pairs = pairs0.select(col("doc_a"), col("doc_b"))
       .transform(graft.plans.ScanShare.shared)
     val nPairs = pairs.count()
     // edges are two-column projections of the cached pairs — shallow
@@ -360,9 +376,6 @@ object Dedup {
       done = viol == 0L
     }
     labels.select(col("doc").as("doc_id"), col("lbl").as("component"))
-      .withColumn("comp_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("component")))
-          .cast("long"))
   }
 
   /** The one-row duplication summary a corpus owner asks for: how many

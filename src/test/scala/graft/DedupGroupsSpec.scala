@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, DedupGroups, DedupIndex}
+
+/** r11 (r10 verdict #4): duplicate GROUPS maintained across ingests.
+  * After every append, the incrementally-folded groups table must equal
+  * the batch dedup_components labeling on the grown corpus, and
+  * re-delivering a batch's pairs must be a no-op (exactly-once without
+  * a log — the DedupIndexSpec pattern).
+  */
+class DedupGroupsSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def docs: DataFrame =
+    Tables.fanOut(Tables.documents(spark, Sf)).select(col("doc_id"), col("text"))
+
+  private val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+  private val wave1 = docs.filter(pmod(col("doc_id"), lit(3)) === 2 &&
+    pmod(col("doc_id"), lit(2)) === 0)
+  private val wave2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2 &&
+    pmod(col("doc_id"), lit(2)) === 1)
+
+  /** Batch-chain verified pairs of an arbitrary frame — the exact
+    * Dedup.ngramJaccard semantics (LSH candidates, string-shingle
+    * jaccard, r6-rounded threshold), frame-parameterized.
+    */
+  private def batchVerifiedPairs(d: DataFrame, thr: Double = 0.5): DataFrame = {
+    val bands = Dedup.bandSignaturesOf(d)
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = d.select(col("doc_id"),
+      graft.functions.TextExprs.shingles(
+        graft.functions.TextFunctions.tokens(col("text"))).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", graft.functions.VectorFunctions.r6(
+        col("ni") / (lit(1.0) *
+          (size(col("sh_a")).cast("long") + size(col("sh_b")) - col("ni")))))
+      .filter(col("jaccard") >= thr)
+      .select("doc_a", "doc_b")
+  }
+
+  private def refGroups(d: DataFrame): Seq[(Long, Long)] =
+    Dedup.componentsOfPairs(batchVerifiedPairs(d))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  private def gotGroups(idx: String): Seq[(Long, Long)] =
+    DedupGroups.groupsDf(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  private def verifiedIncoming(idx: String, incoming: DataFrame,
+      corpus: DataFrame): DataFrame =
+    DedupIndex.newNearDups(spark, idx, incoming, corpus)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+
+  test("incremental groups == batch components on the grown corpus after every append") {
+    val idx = tmp("graft-groups")
+    DedupIndex.writeBandIndex(base, idx)
+    DedupGroups.initGroups(spark, idx, batchVerifiedPairs(base))
+    assert(gotGroups(idx) === refGroups(base))
+
+    // wave 1: adjudicate against the index, fold, append signatures
+    DedupGroups.foldPairs(spark, idx, verifiedIncoming(idx, wave1, base))
+    val grown1 = base.unionByName(wave1)
+    assert(gotGroups(idx) === refGroups(grown1), "diverged after wave 1")
+    Dedup.bandSignaturesOf(wave1).write.mode("append")
+      .partitionBy("band").parquet(s"$idx/vectors")
+
+    // wave 2 against the GROWN index
+    val v2 = verifiedIncoming(idx, wave2, grown1)
+    DedupGroups.foldPairs(spark, idx, v2)
+    assert(gotGroups(idx) === refGroups(docs), "diverged after wave 2")
+    assert(gotGroups(idx).nonEmpty, "no duplicate groups — spec is vacuous")
+
+    // exactly-once: re-delivering wave 2's pairs is a no-op
+    val beforeRedeliver = gotGroups(idx)
+    DedupGroups.foldPairs(spark, idx, v2)
+    assert(gotGroups(idx) === beforeRedeliver)
+
+    // merges actually happened across ingests (a fold that only ever
+    // appended singleton labels would pass a weaker check)
+    val nGroups = beforeRedeliver.map(_._2).distinct.size
+    assert(nGroups < beforeRedeliver.size, "no group has more than one doc")
+  }
+
+  test("final incremental state == the graded batch components labeling") {
+    val idx = tmp("graft-groups-graded")
+    DedupIndex.writeBandIndex(base, idx)
+    DedupGroups.initGroups(spark, idx, batchVerifiedPairs(base))
+    DedupGroups.foldPairs(spark, idx, verifiedIncoming(idx, wave1, base))
+    Dedup.bandSignaturesOf(wave1).write.mode("append")
+      .partitionBy("band").parquet(s"$idx/vectors")
+    DedupGroups.foldPairs(spark, idx,
+      verifiedIncoming(idx, wave2, base.unionByName(wave1)))
+    val graded = Dedup.components(spark, Sf)
+      .select(col("doc_id"), col("component"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotGroups(idx) === graded)
+  }
+}
