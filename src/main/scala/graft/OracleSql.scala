@@ -2001,6 +2001,37 @@ object OracleSql {
        |FROM cells c JOIN tot USING (doc_id, w, h)
        |GROUP BY c.doc_id, w, h, tot_sum, tot_n""".stripMargin
 
+  // mm_bmp_resample (r11): box-filter resample of the DECODED pixel
+  // grid to a fixed 8×6 target — each source pixel lands in one target
+  // cell ((x·8)//w, (y·6)//h), the resampled pixel is the integer mean
+  // cell_sum // cell_n, and the dHash bit compares neighbor cells by
+  // integer cross-multiplication. The oracle recomputes the closed-form
+  // channels; the Spark side must round-trip real BMP bytes losslessly
+  // (row order, stride padding, bfOffBits) for the checksum to match.
+  val mmBmpResample: String =
+    s"""WITH m AS (SELECT doc_id,
+       |  CAST(8 + doc_id % 9 AS BIGINT) AS w,
+       |  CAST(6 + doc_id % 5 AS BIGINT) AS h FROM documents),
+       |gx_ AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM m),
+       |gxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM gx_),
+       |px AS (SELECT doc_id, w, h, x, y,
+       |  299 * ((doc_id * 7 + y * 11 + x * 13) % 256)
+       |  + 587 * ((doc_id * 13 + y * 5 + x * 3) % 256)
+       |  + 114 * ((doc_id * 31 + y * 17 + x * 7) % 256) AS lum FROM gxy),
+       |cells AS (SELECT doc_id, w, h, (x * 8) // w AS gx, (y * 6) // h AS gy,
+       |  sum(lum) AS cell_sum, count(*) AS cell_n FROM px GROUP BY 1, 2, 3, 4, 5),
+       |rs AS (SELECT doc_id, w, h, gx, gy, cell_sum, cell_n,
+       |  cell_sum // cell_n AS rpx,
+       |  lead(cell_sum) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS nsum,
+       |  lead(cell_n) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS nn
+       |  FROM cells)
+       |SELECT doc_id, w AS width, h AS height, count(*) AS n_cells,
+       |  CAST(sum(rpx * (gy * 8 + gx + 1)) AS BIGINT) AS rs_checksum,
+       |  CAST(sum(CASE WHEN nsum * cell_n > cell_sum * nn
+       |    THEN CAST(1 AS BIGINT) << CAST(gy * 7 + gx AS INT) ELSE 0 END) AS BIGINT)
+       |    AS dhash
+       |FROM rs GROUP BY 1, 2, 3""".stripMargin
+
   val mmResize: String =
     s"""WITH m AS (SELECT doc_id,
        |  CAST((n_chars % 64) * 10 + 10 AS INT) AS width,
@@ -3254,6 +3285,7 @@ object OracleSql {
     "mm_energy" -> mmEnergy,
     "mm_wav" -> mmWav,
     "mm_bmp" -> mmBmp,
+    "mm_bmp_resample" -> mmBmpResample,
     "text_hapax" -> textHapax,
   )
 }

@@ -148,6 +148,7 @@ object SparkEntry {
     // real RIFF/WAVE round trip through the batched decode seam (r9)
     "mm_wav" -> ((s, d) => Multimodal.wavEnergyQuery(s, d)),
     "mm_bmp" -> ((s, d) => Multimodal.bmpFeaturesQuery(s, d)),
+    "mm_bmp_resample" -> ((s, d) => Multimodal.bmpResampleQuery(s, d)),
     "vs_ivfpq_residual" -> ((s, d) => PqIndex.searchIvfPqResidual(s, d)),
     // persisted-path twin: same oracle, served from the partition-pruned
     // codes-only residual index (built once per corpus fingerprint)

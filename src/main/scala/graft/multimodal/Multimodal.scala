@@ -431,6 +431,70 @@ object Multimodal {
         col("phash"))
   }
 
+  /** Graded RESAMPLE query over REAL BMP bytes (r11, r10 verdict #5 —
+    * the operation users actually run on decoded images): encode each
+    * doc's pixel grid as a genuine BMP, decode it back through the
+    * batched seam, then box-filter resample the decoded luminance grid
+    * to a fixed `gridW`×`gridH` target — each source pixel lands in
+    * exactly one target cell via the integer bucket map
+    * `gx = (x·gridW) div w` (the mm_bmp precedent; gridW ≤ min width
+    * and gridH ≤ min height, so no cell is empty), and the resampled
+    * pixel is the integer mean `cell_sum div cell_n` of its box.
+    * Features off the RESAMPLED pixels: a position-weighted integer
+    * checksum of the resampled values (pins the resample math itself,
+    * not just a bit pattern) and a difference-hash — bit (gy,gx) set
+    * iff the right-neighbor cell is strictly brighter, decided by
+    * integer cross-multiplication (nsum·n > sum·nn, no division) —
+    * the classic dHash a production image-dedup pipeline computes on
+    * the resized image. The oracle recomputes the closed-form channels
+    * and the same bucket sums; the byte stage (row order, stride
+    * padding, bfOffBits) must be lossless for the checksum to match.
+    *
+    * Scale shape: decode is the batched map-side seam; the pixel
+    * explode + cell aggregate is one partial-agg shuffle keyed by
+    * (doc, cell); the neighbor compare is a lead() window over the
+    * gridW·gridH cells of each doc — bounded per doc, never corpus-
+    * wide.
+    */
+  def bmpResampleQuery(spark: SparkSession, dir: String, gridW: Int = 8,
+      gridH: Int = 6): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val media: Dataset[BmpRow] = graft.Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id")).as[Long]
+      .map(id => BmpRow(id, encodeBmp(id, topDown = id % 2 == 1, gapBytes = if (id % 3 == 0) 4 else 0)))
+    val decoded = media.mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+      val (w, h, lum) = decodeBmp(r.payload)
+      BmpDecoded(r.doc_id, w, h, lum)
+    }))
+    val px = decoded.toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        posexplode(col("lum")).as(Seq("pos", "lum")))
+      .select(col("doc_id"), col("width"), col("height"), col("lum"),
+        (col("pos") % col("width")).as("x"), (col("pos") / col("width")).cast("int").as("y"))
+    val cells = px
+      .groupBy(col("doc_id"), col("width"), col("height"),
+        expr(s"(x * $gridW) div width").as("gx"), expr(s"(y * $gridH) div height").as("gy"))
+      .agg(sum(col("lum").cast("long")).as("cell_sum"), count(lit(1)).as("cell_n"))
+      .withColumn("rpx", expr("cell_sum div cell_n"))
+    val w = Window.partitionBy(col("doc_id"), col("gy")).orderBy(col("gx"))
+    cells
+      .withColumn("nsum", lead(col("cell_sum"), 1).over(w))
+      .withColumn("nn", lead(col("cell_n"), 1).over(w))
+      // a null neighbor (the row's last cell) decides to 0 via the
+      // when's otherwise — no bit, matching the oracle's CASE
+      .withColumn("bit",
+        when(col("nsum") * col("cell_n") > col("cell_sum") * col("nn"), 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"), col("width"), col("height"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("rpx") * (col("gy") * gridW + col("gx") + lit(1))).as("rs_checksum"),
+        sum(expr(s"bit << cast(gy * ${gridW - 1} + gx as int)")).as("dhash"))
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("n_cells"), col("rs_checksum"), col("dhash"))
+  }
+
   /** Frame sampling for audio/video-like payloads: split the byte
     * stream into fixed-size frames and keep every `stride`-th one —
     * the Spark-side plumbing (explode with positional index, pruned
