@@ -2001,6 +2001,46 @@ object OracleSql {
        |FROM cells c JOIN tot USING (doc_id, w, h)
        |GROUP BY c.doc_id, w, h, tot_sum, tot_n""".stripMargin
 
+  // text_bpe_tokens (r11): the committed BPE artifact's merges table is
+  // INLINED here (rank-ordered VALUES) and the apply loop runs as a
+  // recursive CTE over the same separator-string semantics the Scala
+  // tokenizer uses — state = chr(1)-joined-and-bounded codepoints, each
+  // step replaces the lowest-rank boundary-delimited pair left-to-right
+  // non-overlapping, recursion per word ends when no merge applies.
+  // Distinct words fold once and join back to per-doc counts.
+  val textBpeTokens: String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val values = graft.operators.BpeTokenizer.default.merges.zipWithIndex
+      .map { case ((a, b), i) =>
+        s"(${i + 1}, chr(1)||${q(a)}||chr(1)||${q(b)}||chr(1), chr(1)||${q(a + b)}||chr(1))"
+      }.mkString(", ")
+    s"""WITH RECURSIVE
+       |merges(rank, pat, rep) AS (SELECT * FROM (VALUES $values) t(rank, pat, rep)),
+       |w1 AS (SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest($toks) AS w FROM documents) WHERE w <> ''),
+       |dw AS (SELECT DISTINCT w FROM w1),
+       |init AS (SELECT w,
+       |  chr(1) || array_to_string(regexp_split_to_array(w, ''), chr(1)) || chr(1) AS state
+       |  FROM dw),
+       |it AS (SELECT w, state FROM init
+       |  UNION ALL
+       |  SELECT i.w, replace(i.state, m.pat, m.rep)
+       |  FROM it i JOIN LATERAL (SELECT pat, rep FROM merges WHERE contains(i.state, pat)
+       |    ORDER BY rank LIMIT 1) m ON true),
+       |fin AS (SELECT w, length(w) AS n_chars_w,
+       |    length(state) - length(replace(state, chr(1), '')) - 1 AS n_bpe_w
+       |  FROM it i
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(i.state, m.pat))),
+       |agg AS (SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(n_chars_w) AS BIGINT) AS n_chars_tok,
+       |    CAST(sum(n_bpe_w) AS BIGINT) AS n_bpe
+       |  FROM w1 JOIN fin USING (w) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+       |  coalesce(n_chars_tok, 0) AS n_chars_tok, coalesce(n_bpe, 0) AS n_bpe,
+       |  CASE WHEN n_bpe > 0 THEN ${r6("n_chars_tok / (1.0 * n_bpe)")} END AS compression
+       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
   // mm_bmp_resample (r11): box-filter resample of the DECODED pixel
   // grid to a fixed 8×6 target — each source pixel lands in one target
   // cell ((x·8)//w, (y·6)//h), the resampled pixel is the integer mean
@@ -3286,6 +3326,7 @@ object OracleSql {
     "mm_wav" -> mmWav,
     "mm_bmp" -> mmBmp,
     "mm_bmp_resample" -> mmBmpResample,
+    "text_bpe_tokens" -> textBpeTokens,
     "text_hapax" -> textHapax,
   )
 }

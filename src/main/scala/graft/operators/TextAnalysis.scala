@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -1177,5 +1177,52 @@ object TextAnalysis {
       .select(col("bkt"), col("cum_tokens"), col("cum_types"),
         col("heaps_beta"), col("heaps_lnk"))
       .orderBy(col("bkt"))
+  }
+
+  /** Per-doc token counts under the COMMITTED BPE tokenizer artifact
+    * (r11, r10 verdict #6 — text_tokens counts regex tokens; every
+    * real pipeline budgets under ITS tokenizer): words → merges-table
+    * fold ([[BpeTokenizer]]) → per-doc word/codepoint/BPE-token counts
+    * and the chars-per-token compression ratio. The artifact is bytes
+    * on the classpath (CRC-guarded); the oracle INLINES the same
+    * merges table and reproduces the fold as a DuckDB recursive CTE
+    * over the identical separator-string semantics — so the counts are
+    * hash-checked, not spec-asserted.
+    *
+    * Scale shape: the tokenizer is broadcast metadata (the centroid
+    * pattern); counting is a stateless batched mapPartitions pass with
+    * a per-partition word memo (text is Zipf — the fold amortizes to a
+    * hash lookup per token), zero shuffles, zero driver reads.
+    */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(BpeTokenizer.default)
+    val docs: Dataset[(Long, Seq[String])] =
+      Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .as[(Long, Seq[String])]
+    docs.mapPartitions { it =>
+      val t = bc.value
+      val memo = new java.util.HashMap[String, java.lang.Long]()
+      it.map { case (id, ws) =>
+        var nWords = 0L; var nChars = 0L; var nBpe = 0L
+        ws.foreach { w =>
+          if (w.nonEmpty) {
+            nWords += 1
+            nChars += w.codePointCount(0, w.length).toLong
+            var c = memo.get(w)
+            if (c == null) {
+              c = java.lang.Long.valueOf(t.countWord(w))
+              if (memo.size < (1 << 16)) memo.put(w, c)
+            }
+            nBpe += c.longValue()
+          }
+        }
+        (id, nWords, nChars, nBpe)
+      }
+    }.toDF("doc_id", "n_words", "n_chars_tok", "n_bpe")
+      .withColumn("compression",
+        when(col("n_bpe") > 0,
+          r6(col("n_chars_tok") / (lit(1.0) * col("n_bpe")))))
   }
 }

@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.BpeTokenizer
+
+/** r11 (r10 verdict #6): the committed BPE tokenizer artifact. The
+  * separator-string apply (what the DuckDB oracle mirrors as a
+  * recursive CTE) must equal an INDEPENDENT textbook list-based BPE
+  * apply on every corpus word; the committed bytes must load, be
+  * byte-flip sensitive (CRC), and round-trip; training must be
+  * deterministic; the graded query must be partitioning-invariant.
+  */
+class BpeSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  /** Textbook reference apply: repeatedly find the LOWEST-RANK merge
+    * with an adjacent occurrence in the token list and merge its
+    * occurrences left-to-right non-overlapping — no separator-string
+    * tricks, so agreement is evidence, not tautology.
+    */
+  private def referenceEncode(merges: Array[(String, String)], word: String): Seq[String] = {
+    def codepoints(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+    var toks = codepoints(word)
+    var progressed = true
+    while (progressed) {
+      progressed = false
+      val applicable = merges.indexWhere { case (a, b) =>
+        toks.indices.dropRight(1).exists(i => toks(i) == a && toks(i + 1) == b)
+      }
+      if (applicable >= 0) {
+        val (a, b) = merges(applicable)
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+        progressed = true
+      }
+    }
+    toks
+  }
+
+  private lazy val corpusWords: Seq[String] =
+    Tables.documents(spark, Sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  test("committed artifact loads and its merges are non-trivial") {
+    val t = BpeTokenizer.default
+    assert(t.merges.length >= 16)
+    // merged tokens must be reachable: every merge's parts are either
+    // single codepoints or earlier merge outputs
+    val known = collection.mutable.Set.empty[String]
+    t.merges.foreach { case (a, b) =>
+      assert(a.codePointCount(0, a.length) == 1 || known.contains(a), s"orphan left part '$a'")
+      assert(b.codePointCount(0, b.length) == 1 || known.contains(b), s"orphan right part '$b'")
+      known += a + b
+    }
+  }
+
+  test("separator-string apply == textbook list-based apply on every corpus word") {
+    val t = BpeTokenizer.default
+    assert(corpusWords.nonEmpty)
+    corpusWords.foreach { w =>
+      assert(t.encodeWord(w) === referenceEncode(t.merges, w), s"word '$w'")
+      assert(t.countWord(w) === referenceEncode(t.merges, w).size.toLong, s"count '$w'")
+    }
+    // at least one corpus word actually splits into >1 token and at
+    // least one fully merges — otherwise the artifact is degenerate
+    val counts = corpusWords.map(t.countWord)
+    assert(counts.exists(_ > 1L), "no word has subword structure")
+    assert(counts.exists(_ == 1L), "no word fully merged")
+  }
+
+  test("adversarial words: empty, single char, unseen chars, overlap chains") {
+    val t = BpeTokenizer.default
+    val words = Seq("", "a", "zzzzqqqq", "ÜñïÇødé", "aaaa", "ererer",
+      corpusWords.headOption.map(_ * 3).getOrElse("xxx"))
+    words.foreach { w =>
+      assert(t.encodeWord(w) === referenceEncode(t.merges, w), s"word '$w'")
+    }
+    assert(t.countWord("") === 0L)
+  }
+
+  test("bytes round-trip; every byte flip fails the CRC load") {
+    val t = BpeTokenizer.default
+    val bytes = BpeTokenizer.toBytes(t)
+    val again = BpeTokenizer.fromBytes(bytes)
+    assert(again.merges.toSeq === t.merges.toSeq)
+    // flip a byte in the merges body and in the CRC itself
+    Seq(13, bytes.length / 2, bytes.length - 3).foreach { pos =>
+      val bad = bytes.clone()
+      bad(pos) = (bad(pos) ^ 0x40).toByte
+      assertThrows[IllegalArgumentException](BpeTokenizer.fromBytes(bad))
+    }
+  }
+
+  test("training is deterministic and rank-monotone") {
+    val freqs = corpusWords.zipWithIndex.map { case (w, i) => (w, (i % 7 + 1).toLong) }
+    val t1 = BpeTokenizer.train(freqs, 24)
+    val t2 = BpeTokenizer.train(freqs, 24)
+    assert(BpeTokenizer.toBytes(t1).toSeq === BpeTokenizer.toBytes(t2).toSeq)
+  }
+
+  test("graded query is partitioning-invariant") {
+    val a = graft.operators.TextAnalysis.bpeTokens(spark, Sf)
+      .collect().map(_.toString).sorted.toSeq
+    // a different partitioning must not change any count (the memo is
+    // per-partition state — this pins it as semantics-free)
+    val sc = spark.sparkContext
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val b = graft.operators.TextAnalysis.bpeTokens(spark, Sf)
+        .repartition(3).collect().map(_.toString).sorted.toSeq
+      assert(b === a)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}
