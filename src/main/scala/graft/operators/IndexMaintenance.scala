@@ -296,7 +296,6 @@ object IndexMaintenance {
     val maxId = (sizes.keySet ++ storedCents.keySet).max
 
     // ---- split: one local Lloyd step per hot cluster ----
-    val splitSet = splitIds.toSet
     val halfIdOf: Map[Long, (Long, Long)] = splitIds.zipWithIndex.map {
       case (c, i) => c -> (maxId + 2L * i + 1, maxId + 2L * i + 2)
     }.toMap
