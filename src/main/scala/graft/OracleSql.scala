@@ -3207,6 +3207,10 @@ object OracleSql {
     "dedup_components" -> dedupComponents,
     "dedup_embed" -> dedupEmbed,
     "vs_bm25" -> vsBm25,
+    // the persisted posting-index serving path must reproduce the brute
+    // scorer exactly (r12, the vs_ivfpq_residual_idx shared-oracle
+    // precedent) — same SQL, hash-enforced per round
+    "vs_bm25_idx" -> vsBm25,
     "vs_hybrid_rrf" -> vsHybridRrf,
     "text_pii" -> textPii,
     "q_pack_sequences" -> qPackSequences,

@@ -89,6 +89,9 @@ object SparkEntry {
     "dedup_embed" -> ((s, d) => Dedup.embedCosine(s, d)),
     // A+. lexical / hybrid search
     "vs_bm25" -> ((s, d) => LexicalSearch.bm25(s, d)),
+    // persisted-path twin: same oracle, served from the bucket-pruned
+    // posting index (built once per corpus fingerprint) — r12
+    "vs_bm25_idx" -> ((s, d) => LexIndex.bm25IndexedQuery(s, d)),
     "vs_hybrid_rrf" -> ((s, d) => LexicalSearch.hybridRrf(s, d)),
     // C+. training-set assembly
     "text_pii" -> ((s, d) => TextAnalysis.piiScrub(s, d)),

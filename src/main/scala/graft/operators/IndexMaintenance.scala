@@ -396,6 +396,24 @@ object IndexMaintenance {
       maxBefore, if (newSizes.isEmpty) 0L else newSizes.max)
   }
 
+  /** Aside-first atomic swap of a fully-staged directory into place —
+    * the ONE rename discipline every layout/table rewrite here uses
+    * (compactIndex, rebalanceIndex, LexIndex stats, DedupGroups): the
+    * old dir moves aside before the staged dir moves in, so a crash at
+    * any step leaves every row on disk and the destination is never a
+    * half-deleted serving dir. On an object store the two renames
+    * collapse into one manifest pointer update.
+    */
+  private[graft] def atomicSwap(fs: FileSystem, staged: Path, dst: Path): Unit = {
+    val aside = new Path(dst.toString + "_old")
+    fs.delete(aside, true)
+    if (fs.exists(dst) && !fs.rename(dst, aside))
+      throw new java.io.IOException(s"could not move $dst aside")
+    if (!fs.rename(staged, dst))
+      throw new java.io.IOException(s"could not move $staged into place")
+    fs.delete(aside, true)
+  }
+
   /** Recursive .parquet part-file count under a directory. */
   def parquetFileCount(spark: SparkSession, dir: String): Long = {
     val fs = fsOf(spark, dir)
