@@ -214,50 +214,76 @@ object IndexMaintenance {
 
   /** Outcome of [[rebalanceIndex]] — index metadata counters, for
     * operator telemetry and the spec's strict-reduction assertion.
+    * `stagedBytes` counts what the rebalance actually WROTE (touched
+    * partitions only); `movedBytes` counts keep-partition files that
+    * crossed by metadata rename, byte-identical — the two numbers the
+    * 100 TB cost model reads (SURVEY measures their ratio).
     */
   case class RebalanceReport(nSplit: Int, nMerge: Int,
       nClustersBefore: Long, nClustersAfter: Long,
-      maxRowsBefore: Long, maxRowsAfter: Long)
+      maxRowsBefore: Long, maxRowsAfter: Long,
+      stagedBytes: Long, movedBytes: Long)
 
-  /** EXECUTE the rebalance plan on a persisted IVF layout (r11 — the
-    * consumer [[IvfIndex.rebalancePlan]]'s action table never had): at
-    * 100 TB an IVF index skews as data drifts, and probe cost follows
-    * the hottest partition. Applies the same integer-exact size rule
-    * (n·k > 2·total → split; n·k·2 < total → merge):
+  /** EXECUTE the rebalance plan on a persisted IVF layout — and do it
+    * PARTITION-SELECTIVELY (r12; the r11 shape staged the whole
+    * layout, keep partitions included, so splitting 3 hot clusters out
+    * of 10k moved the entire corpus). At 100 TB an IVF index skews as
+    * data drifts, and probe cost follows the hottest partition.
+    * Applies the same integer-exact size rule (n·k > 2·total → split;
+    * n·k·2 < total → merge):
     *
     *  - **split**: a hot cluster's rows divide via ONE local Lloyd
-    *    step on the cluster's OWN rows — two deterministic seeds (the
-    *    2 smallest md5(vec_id), the [[IvfIndex.centroids]] seed rule),
-    *    a map-side nearest-of-two assignment (the seed PAIR table is
-    *    one broadcast row per split cluster, so no per-vector
-    *    shuffle), and each half's centroid is its integerized mean
-    *    ([[IvfIndex.meanVectors]]). Half ids are fresh (> max id —
-    *    never reused, the epoch-number discipline).
+    *    step on the cluster's OWN rows into ⌈n/mean⌉ parts (r12 — the
+    *    r11 pass split exactly 2-way, so a 100× hot spot stayed hot):
+    *    ⌈n/mean⌉ deterministic seeds (the smallest md5(vec_id) rows,
+    *    the [[IvfIndex.centroids]] seed rule), a map-side
+    *    nearest-of-seeds assignment (the seed table is one broadcast
+    *    row per split cluster, so no per-vector shuffle), and each
+    *    part's centroid is its integerized mean
+    *    ([[IvfIndex.meanVectors]]). Part ids are fresh (> max id —
+    *    never reused, the epoch-number discipline). An extreme spot a
+    *    single Lloyd step leaves uneven re-splits on the next run
+    *    (rebalance is idempotent-converging; RebalanceSpec pins a 100×
+    *    spot reaching ≤ 2× mean within a 3-round budget).
     *  - **merge**: a cold cluster's rows reassign map-side to their
-    *    nearest SURVIVING centroid (keeps + new halves — the standard
+    *    nearest SURVIVING centroid (keeps + new parts — the standard
     *    remove-centroid-and-rehome step); the target keeps its
     *    centroid. Centroids with zero rows are dropped the same way.
-    *  - **keep**: rows and centroid pass through untouched.
+    *  - **keep**: rows AND FILES pass through untouched — keep
+    *    partition dirs cross into the staged layout by metadata
+    *    RENAME, byte-identical (spec-pinned by name+size), so bytes
+    *    written ∝ touched partitions (split sources + rehomed rows +
+    *    merged-in arrivals + epoch folds), never the corpus.
     *
     * The rewrite preserves the whole maintenance contract: epoch dirs
-    * fold in (vectorsDf is the input), the `_graft_compacted` marker —
-    * with accumulated folded set and monotone next-epoch — travels
-    * INSIDE the staged dir so it lands atomically with the swap, the
-    * old dirs go aside-first (crash ⇒ every row still on disk), and
-    * the layout keeps `partitionBy(cluster_id)` so both prunings
-    * survive. Vectors swap before centroids; a crash between the two
-    * leaves stale centroids next to the new layout — RERUNNING heals
-    * it, because keep-centroids missing from the stored table are
-    * recomputed as their cluster means (on an object store the two
-    * renames collapse into one manifest pointer update, the
-    * compactIndex note). Serving at equal nprobe-coverage is
-    * row-identical before/after (RebalanceSpec pins it), and the
-    * hottest partition strictly shrinks.
+    * fold in (vectorsDf is the input; keep clusters' epoch rows land
+    * as extra part-files next to the renamed base files), the
+    * `_graft_compacted` marker — with accumulated folded set and
+    * monotone next-epoch — travels INSIDE the staged dir so it lands
+    * atomically with the swap, and the old dir goes aside-first
+    * (crash ⇒ every row still on disk). The serving gap widens from 2
+    * renames to O(keep-partition) metadata renames — on an object
+    * store the whole sequence is one manifest pointer update, the
+    * compactIndex note. Vectors swap before centroids; a crash
+    * between the two leaves stale centroids next to the new layout —
+    * RERUNNING heals it even when the rerun has nothing to split or
+    * merge: the no-op path compares stored centroid ids against the
+    * layout's cluster ids and rewrites the table on any drift
+    * (missing ids recomputed as cluster means from their partitions
+    * alone, ids absent from the layout dropped — ADVICE r11).
+    * Serving at equal nprobe-coverage is row-identical before/after
+    * (RebalanceSpec pins it), and the hottest partition strictly
+    * shrinks.
     *
     * Driver-side state is index METADATA only: per-cluster sizes
-    * (≤ nlist rows), seed pairs (2 per split cluster) and centroid
+    * (≤ nlist rows), seeds (⌈n/mean⌉ per split cluster) and centroid
     * vectors (nlist × dim) — the same reach the coarse quantizer
-    * already needs. The corpus moves once, partition-locally.
+    * already needs. Scan economy (ADVICE r11): sizes read the
+    * partition column only; the split subset is persisted across its
+    * three uses (seeds, part means, staged write); keep partitions
+    * are never scanned; after-sizes come from the staged files'
+    * parquet FOOTER record counts plus the size metadata — the staged
+    * output's data pages are never re-read.
     */
   def rebalanceIndex(spark: SparkSession, indexPath: String,
       rowsPerFile: Long = 1L << 20): RebalanceReport = {
@@ -274,9 +300,21 @@ object IndexMaintenance {
     val epochs = epochDirs(spark, indexPath)
     val df = vectorsDf(spark, indexPath)
       .select(col("vec_id"), col("embedding"), col("cluster_id").cast("long").as("cluster_id"))
-    // per-cluster sizes: ≤ nlist rows — index metadata
-    val sizes = df.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-cluster sizes: ≤ nlist rows — index metadata. Split into the
+    // base contribution (whose keep partitions move by rename) and the
+    // epoch contribution (whose keep rows are staged), so after-sizes
+    // derive without re-reading anything.
+    def sizesOf(frame: DataFrame): Map[Long, Long] =
+      frame.groupBy(col("cluster_id").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseSizes = sizesOf(spark.read.parquet(vecDir).select("cluster_id"))
+    val epochSizes =
+      if (epochs.isEmpty) Map.empty[Long, Long]
+      else sizesOf(epochs.map(d => spark.read.parquet(d).select("cluster_id"))
+        .reduce(_ unionByName _))
+    val sizes = (baseSizes.keySet ++ epochSizes.keySet).iterator
+      .map(c => c -> (baseSizes.getOrElse(c, 0L) + epochSizes.getOrElse(c, 0L))).toMap
     val total = sizes.values.sum
     val k = sizes.size.toLong
     def act(n: Long): String =
@@ -286,44 +324,95 @@ object IndexMaintenance {
     val mergeIds = sizes.filter { case (_, n) => act(n) == "merge" }.keys.toSet
     val keepIds = sizes.keySet -- splitIds -- mergeIds
     val maxBefore = if (sizes.isEmpty) 0L else sizes.values.max
-    if (splitIds.isEmpty && mergeIds.isEmpty)
-      return RebalanceReport(0, 0, k, k, maxBefore, maxBefore)
-
     val storedCents = spark.read.parquet(s"$indexPath/centroids")
       .select(col("cluster_id").cast("long").as("cluster_id"),
         transform(col("cvec"), _.cast("double")).as("cvec"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    val maxId = (sizes.keySet ++ storedCents.keySet).max
 
-    // ---- split: one local Lloyd step per hot cluster ----
-    val halfIdOf: Map[Long, (Long, Long)] = splitIds.zipWithIndex.map {
-      case (c, i) => c -> (maxId + 2L * i + 1, maxId + 2L * i + 2)
+    // helper: rewrite the centroids table via staged + aside-first swap
+    def swapCentroids(cents: Seq[(Long, Array[Double])]): Unit = {
+      val cTmp = s"$indexPath/centroids_rebalancing"
+      spark.createDataFrame(cents.map { case (c, v) => (c, v.toSeq) }.toIndexedSeq)
+        .toDF("cluster_id", "cvec")
+        .write.mode("overwrite").parquet(cTmp)
+      atomicSwap(fs, new Path(cTmp), new Path(s"$indexPath/centroids"))
+    }
+    // recompute centroids as integerized cluster means, reading ONLY
+    // the named clusters' partitions
+    def meansOf(ids: Seq[Long]): Map[Long, Array[Double]] =
+      if (ids.isEmpty) Map.empty
+      else IvfIndex.meanVectors(
+          df.filter(col("cluster_id").isin(ids: _*))
+            .select(col("cluster_id"), col("embedding")))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+    if (splitIds.isEmpty && mergeIds.isEmpty) {
+      // nothing to move — but a crash between a PRIOR run's vectors
+      // and centroids swaps leaves the stored table naming clusters
+      // the layout no longer has (and missing the new ones), which
+      // silently starves searchIndex of probes (ADVICE r11). Heal on
+      // any id drift before declaring the no-op.
+      if (storedCents.keySet != sizes.keySet) {
+        val missing = (sizes.keySet -- storedCents.keySet).toSeq.sorted
+        val recomputed = meansOf(missing)
+        swapCentroids(sizes.keySet.toSeq.sorted.map(c =>
+          c -> storedCents.getOrElse(c, recomputed(c))))
+      }
+      return RebalanceReport(0, 0, k, k, maxBefore, maxBefore, 0L, 0L)
+    }
+
+    val maxId = (sizes.keySet ++ storedCents.keySet).max
+    val mean = total.toDouble / k
+
+    // ---- split: one local Lloyd step per hot cluster, ⌈n/mean⌉-way ----
+    val nPartsOf: Map[Long, Int] = splitIds.map { c =>
+      c -> math.min(sizes(c), math.ceil(sizes(c) / mean).toLong).toInt
     }.toMap
+    val partIdsOf: Map[Long, Seq[Long]] = {
+      var next = maxId
+      splitIds.map { c =>
+        val ids = (1 to nPartsOf(c)).map(i => next + i)
+        next += nPartsOf(c)
+        c -> ids
+      }.toMap
+    }
+    val splitSrc = df.filter(col("cluster_id").isin(splitIds: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val splitRows =
       if (splitIds.isEmpty) df.limit(0).select("vec_id", "embedding", "cluster_id")
       else {
         val seedW = Window.partitionBy(col("cluster_id"))
           .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
-        val seeds = df.filter(col("cluster_id").isin(splitIds: _*))
-          .withColumn("rn", row_number().over(seedW)).filter(col("rn") <= 2)
+        val nPartsDf = spark.createDataFrame(
+            splitIds.map(c => (c, nPartsOf(c))).toIndexedSeq)
+          .toDF("cluster_id", "nparts")
+        val seeds = splitSrc
+          .join(broadcast(nPartsDf), Seq("cluster_id"))
+          .withColumn("rn", row_number().over(seedW))
+          .filter(col("rn") <= col("nparts"))
           .select(col("cluster_id"), col("rn"),
             transform(col("embedding"), _.cast("double")).as("sv"))
           .collect().groupBy(_.getLong(0))
-        val pairRows = splitIds.map { c =>
+        val seedRows = splitIds.map { c =>
           val byRn = seeds(c).sortBy(_.getInt(1))
-          val v1 = byRn.head.getSeq[Double](2).toArray
-          val v2 = if (byRn.length > 1) byRn(1).getSeq[Double](2).toArray else v1
-          (c, halfIdOf(c)._1, v1, halfIdOf(c)._2, v2)
+          val ids = partIdsOf(c).take(byRn.length)
+          (c, ids, byRn.toSeq.map(_.getSeq[Double](2)))
         }
-        val pairDf = spark.createDataFrame(pairRows.toIndexedSeq)
-          .toDF("cluster_id", "id1", "v1", "id2", "v2")
-        df.filter(col("cluster_id").isin(splitIds: _*))
-          .join(broadcast(pairDf), Seq("cluster_id"))
+        val seedDf = spark.createDataFrame(seedRows.toIndexedSeq)
+          .toDF("cluster_id", "part_ids", "part_vs")
+        // nearest-of-seeds, map-side: fold the (id, vec) pairs with the
+        // same (d2, id) struct-min argmin nearestHof uses — ties go to
+        // the smaller part id
+        splitSrc
+          .join(broadcast(seedDf), Seq("cluster_id"))
           .select(col("vec_id"), col("embedding"),
-            when(dist2(col("embedding"), col("v1")) <= dist2(col("embedding"), col("v2")),
-              col("id1")).otherwise(col("id2")).as("cluster_id"))
+            array_min(zip_with(col("part_vs"), col("part_ids"),
+              (v, i) => struct(dist2(col("embedding"), v).as("d2"), i.as("id"))))
+              .getField("id").as("cluster_id"))
       }
-    // half centroids: integerized means of the halves (2·nsplit rows)
+    // part centroids: integerized means of the parts (Σ⌈n/mean⌉ rows);
+    // a seed whose embedding duplicates another's can end up rowless —
+    // it then has no mean, no centroid, and no partition: consistent
     val halfCents =
       if (splitIds.isEmpty) Map.empty[Long, Array[Double]]
       else IvfIndex.meanVectors(splitRows.select(col("cluster_id"), col("embedding")))
@@ -331,14 +420,9 @@ object IndexMaintenance {
 
     // surviving centroids: keeps (stored, or recomputed as the cluster
     // mean when the stored table predates a crash-interrupted run) +
-    // the new halves
+    // the new parts
     val keepMissing = keepIds.filterNot(storedCents.contains)
-    val recomputed =
-      if (keepMissing.isEmpty) Map.empty[Long, Array[Double]]
-      else IvfIndex.meanVectors(
-          df.filter(col("cluster_id").isin(keepMissing.toSeq: _*))
-            .select(col("cluster_id"), col("embedding")))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val recomputed = meansOf(keepMissing.toSeq.sorted)
     val surviving: Seq[(Long, Array[Double])] =
       (keepIds.toSeq.sorted.map(c =>
         c -> storedCents.getOrElse(c, recomputed(c))) ++
@@ -355,45 +439,113 @@ object IndexMaintenance {
         .select(col("vec_id"), col("embedding"),
           col("best").getField("cluster_id").as("cluster_id"))
 
-    val keepRows = df.filter(col("cluster_id").isin(keepIds.toSeq: _*))
-      .select("vec_id", "embedding", "cluster_id")
-    val finalRows = keepRows.unionByName(splitRows).unionByName(mergedRows)
+    // keep clusters' EPOCH rows fold into the staged layout (their base
+    // files cross by rename below); split/merge clusters' epoch rows
+    // already ride splitRows/mergedRows via df
+    val epochKeepRows =
+      if (epochs.isEmpty || keepIds.isEmpty)
+        df.limit(0).select("vec_id", "embedding", "cluster_id")
+      else {
+        val base = spark.read.parquet(vecDir)
+        val cols = base.columns.toIndexedSeq.map(col)
+        epochs.map(d => spark.read.parquet(d).select(cols: _*))
+          .reduce(_ unionByName _)
+          .select(col("vec_id"), col("embedding"),
+            col("cluster_id").cast("long").as("cluster_id"))
+          .filter(col("cluster_id").isin(keepIds.toSeq: _*))
+      }
+    val stagedRows = splitRows.unionByName(mergedRows).unionByName(epochKeepRows)
 
-    // ---- staged rewrite + aside-first swap (compactIndex contract) ----
+    // ---- stage TOUCHED partitions only + keep-dirs cross by rename ----
     val epoch = nextEpoch(spark, indexPath)
     val tmp = vecDir + "_rebalancing"
-    finalRows.repartition(col("cluster_id"))
+    fs.delete(new Path(tmp), true)
+    stagedRows.repartition(col("cluster_id"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)
       .partitionBy("cluster_id").parquet(tmp)
+    splitSrc.unpersist(false)
     val preMarker = fs.create(new Path(tmp, "_graft_compacted"), true)
     try preMarker.write(markerBytes(epoch, (prevFolded ++ epochs.map(epochOf)).toSeq))
     finally preMarker.close()
-    val newSizes = spark.read.parquet(tmp)
-      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
-      .collect().map(_.getLong(1))
+    // after-sizes from the staged files' parquet FOOTERS + the size
+    // metadata above — no data pages are re-read (ADVICE r11)
+    val stagedCounts = partitionRowCounts(spark, tmp)
+    val stagedBytes = bytesUnder(fs, new Path(tmp))
+    val movedBytes = keepIds.toSeq.map(c =>
+      bytesUnder(fs, new Path(vecDir, s"cluster_id=$c"))).sum
+    val afterSizes: Map[Long, Long] =
+      (keepIds.iterator.map(c =>
+        c -> (baseSizes.getOrElse(c, 0L) + stagedCounts.getOrElse(c, 0L))) ++
+       (stagedCounts.keySet -- keepIds).iterator.map(c => c -> stagedCounts(c))).toMap
     val dst = new Path(vecDir)
     val aside = new Path(vecDir + "_old")
     fs.delete(aside, true)
     if (fs.exists(dst) && !fs.rename(dst, aside))
       throw new java.io.IOException(s"could not move $dst aside")
+    // keep partitions cross untouched: dir rename when the staged side
+    // has no such partition (the common case), per-file moves when
+    // epoch folds or merged-in arrivals created one (part-file names
+    // carry a per-job UUID, so they cannot collide)
+    keepIds.toSeq.sorted.foreach { c =>
+      val from = new Path(aside, s"cluster_id=$c")
+      if (fs.exists(from)) {
+        val to = new Path(tmp, s"cluster_id=$c")
+        if (!fs.exists(to)) {
+          if (!fs.rename(from, to))
+            throw new java.io.IOException(s"could not move keep partition $from")
+        } else fs.listStatus(from).foreach { st =>
+          if (!fs.rename(st.getPath, new Path(to, st.getPath.getName)))
+            throw new java.io.IOException(s"could not move keep file ${st.getPath}")
+        }
+      }
+    }
     if (!fs.rename(new Path(tmp), dst))
       throw new java.io.IOException(s"could not move $tmp into place")
     fs.delete(aside, true)
     epochs.foreach(e => fs.delete(new Path(e), true))
     // centroids swap second (rerun heals the window — scaladoc)
-    val cTmp = s"$indexPath/centroids_rebalancing"
-    survivingDf.write.mode("overwrite").parquet(cTmp)
-    val cDst = new Path(s"$indexPath/centroids")
-    val cAside = new Path(s"$indexPath/centroids_old")
-    fs.delete(cAside, true)
-    if (fs.exists(cDst) && !fs.rename(cDst, cAside))
-      throw new java.io.IOException(s"could not move $cDst aside")
-    if (!fs.rename(new Path(cTmp), cDst))
-      throw new java.io.IOException(s"could not move $cTmp into place")
-    fs.delete(cAside, true)
-    RebalanceReport(splitIds.size, mergeIds.size, k, newSizes.length.toLong,
-      maxBefore, if (newSizes.isEmpty) 0L else newSizes.max)
+    swapCentroids(surviving)
+    RebalanceReport(splitIds.size, mergeIds.size, k, afterSizes.size.toLong,
+      maxBefore, if (afterSizes.isEmpty) 0L else afterSizes.values.max,
+      stagedBytes, movedBytes)
+  }
+
+  /** Per-partition-value row counts of a `cluster_id=<v>`-partitioned
+    * parquet dir, read from the file FOOTERS only — row-group metadata,
+    * never data pages.
+    */
+  private def partitionRowCounts(spark: SparkSession, dir: String): Map[Long, Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(spark, dir)
+    val root = new Path(dir)
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (p.getName.endsWith(".parquet")) {
+        val dirName = p.getParent.getName
+        val c = dirName.substring(dirName.indexOf('=') + 1).toLong
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try counts.update(c, counts.getOrElse(c, 0L) + rd.getRecordCount)
+        finally rd.close()
+      }
+    }
+    counts.toMap
+  }
+
+  /** Total data-file bytes under a directory (file-status metadata). */
+  private def bytesUnder(fs: FileSystem, p: Path): Long = {
+    if (!fs.exists(p)) return 0L
+    var n = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) n += st.getLen
+    }
+    n
   }
 
   /** Aside-first atomic swap of a fully-staged directory into place —

@@ -111,6 +111,108 @@ class RebalanceSpec extends AnyFunSuite {
     assert(!IndexMaintenance.isCompacted(spark, idx))
   }
 
+  /** (name, size) of every parquet part-file under a partition dir —
+    * the byte-identity fingerprint for the keep-partition pin.
+    */
+  private def fileSet(dir: String): Set[(String, Long)] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Set.empty
+    else d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length())).toSet
+  }
+
+  test("r12: keep partitions cross by rename, byte-identical; staged bytes ∝ touched") {
+    val idx = tmp("graft-rebal-keep")
+    writeSkewedIndex(idx)
+    // clusters 1 and 2 are keeps; 2 receives no merged-in arrivals
+    // (cluster 3's points sit next to cluster 1)
+    val keep1Before = fileSet(s"$idx/vectors/cluster_id=1")
+    val keep2Before = fileSet(s"$idx/vectors/cluster_id=2")
+    assert(keep1Before.nonEmpty && keep2Before.nonEmpty)
+    val totalBytesBefore = new java.io.File(s"$idx/vectors").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val rep = IndexMaintenance.rebalanceIndex(spark, idx)
+    assert(rep.nSplit === 1 && rep.nMerge === 1, rep.toString)
+    // the keep partitions' ORIGINAL files are still there, same name
+    // and size (cluster 1 may gain merged-in part-files alongside)
+    assert(keep1Before.subsetOf(fileSet(s"$idx/vectors/cluster_id=1")),
+      "cluster 1's original files were rewritten")
+    assert(fileSet(s"$idx/vectors/cluster_id=2") === keep2Before,
+      "cluster 2 (untouched keep) was rewritten")
+    // bytes written are the touched partitions, not the corpus: the
+    // keep partitions (100/340 rows) crossed by rename
+    assert(rep.movedBytes > 0L)
+    assert(rep.stagedBytes > 0L && rep.stagedBytes < totalBytesBefore,
+      s"staged ${rep.stagedBytes} vs layout $totalBytesBefore — selective staging lost")
+  }
+
+  test("r12: an extreme hot spot splits multi-way and converges within a round budget") {
+    val idx = tmp("graft-rebal-hot")
+    // one 4000-row blob on a wide grid + ten 40-row satellites: the
+    // hot cluster is ~10× the mean, far beyond what a 2-way split
+    // could fix in any number of rounds (2000 > 2×mean still)
+    val hot = (0 until 4000).map(i =>
+      (i.toLong, Array(100f + (i % 63) * 0.1f, (i / 63) * 0.1f), 0L))
+    val sats = (1 to 10).flatMap(c => (0 until 40).map(i =>
+      (c * 100000L + i, Array(c * 40f, 200f + (i % 5) * 0.01f), c.toLong)))
+    (hot ++ sats).toDF("vec_id", "embedding", "cluster_id")
+      .write.partitionBy("cluster_id").parquet(s"$idx/vectors")
+    ((0L, Seq(103.0, 3.0)) +: (1 to 10).map(c => (c.toLong, Seq(c * 40.0, 200.0))))
+      .toDF("cluster_id", "cvec").write.parquet(s"$idx/centroids")
+    val q = Seq(Tuple1(Seq(100.5f, 1.5f))).toDF("qvec")
+    def fullServe(): Seq[String] = {
+      val np = spark.read.parquet(s"$idx/centroids").count().toInt
+      IvfIndex.searchIndex(spark, idx, q, nprobe = np, k = 25)
+        .select("vec_id", "score").collect().map(_.toString).toSeq
+    }
+    val before = fullServe()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 3) {
+      rounds += 1
+      val rep = IndexMaintenance.rebalanceIndex(spark, idx)
+      assert(fullServe() === before, s"serving diverged in round $rounds: $rep")
+      val mean = 4400.0 / rep.nClustersAfter
+      converged = rep.maxRowsAfter <= 2 * mean
+    }
+    assert(converged, s"hot spot still > 2x mean after $rounds rounds")
+    assert(spark.read.parquet(s"$idx/vectors").count() === 4400L)
+    assert(spark.read.parquet(s"$idx/vectors")
+      .select("vec_id").distinct().count() === 4400L)
+  }
+
+  test("r12: a crashed centroids swap heals on the next (otherwise no-op) run") {
+    val idx = tmp("graft-rebal-heal")
+    writeSkewedIndex(idx)
+    // snapshot the PRE-rebalance centroids table
+    val stale = tmp("graft-rebal-heal-stale")
+    val staleDf = spark.read.parquet(s"$idx/centroids")
+    staleDf.write.mode("overwrite").parquet(s"$stale/centroids")
+    val rep = IndexMaintenance.rebalanceIndex(spark, idx)
+    assert(rep.nSplit === 1)
+    val healthy = served(idx, nprobe = rep.nClustersAfter.toInt)
+    // simulate the crash window: vectors swapped, centroids swap lost
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/centroids"), true)
+    spark.read.parquet(s"$stale/centroids")
+      .write.mode("overwrite").parquet(s"$idx/centroids")
+    // the rerun has nothing to split or merge — the layout is already
+    // balanced — but must reconcile the stale table to the layout
+    val rep2 = IndexMaintenance.rebalanceIndex(spark, idx)
+    assert(rep2.nSplit === 0 && rep2.nMerge === 0, rep2.toString)
+    val layoutIds = spark.read.parquet(s"$idx/vectors")
+      .select(col("cluster_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val centIds = spark.read.parquet(s"$idx/centroids")
+      .select(col("cluster_id").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(centIds === layoutIds, "stale centroids not reconciled to the layout")
+    // full-coverage serving is back to the healthy rebalanced result
+    assert(served(idx, nprobe = centIds.length) === healthy)
+  }
+
   test("real-corpus index rebalance keeps full-coverage serving identical") {
     val idx = tmp("graft-rebal-real")
     IvfIndex.writeIndex(spark, Sf, idx)
