@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental duplicate-GROUP maintenance (r11, r10 verdict #4):
@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * canonical keeper / drop) still required the batch chain per corpus
   * state. This maintains the transitive groups ACROSS ingests:
   *
-  *  - `indexPath/groups` persists (doc_id, component) for every doc in
-  *    a verified near-dup pair (component = min doc_id of the group,
-  *    the same canonical-keeper labeling [[Dedup.components]] emits) —
+  *  - `indexPath/groups/gb=<b>/…` persists (doc_id, component) for
+  *    every doc in a verified near-dup pair (component = min doc_id of
+  *    the group, the same canonical-keeper labeling
+  *    [[Dedup.components]] emits), BUCKETED by a doc_id hash
+  *    (`gb = md5(doc_id) mod NumBuckets`, the LexIndex convention) —
   *    pairs-scale metadata next to the band index, never corpus-scale.
   *  - [[foldPairs]] folds one batch's verified pairs in. New pairs can
   *    only MERGE groups, never split, so the fold is: attach current
@@ -21,8 +23,10 @@ import org.apache.spark.sql.functions._
   *    distinct touched labels, run min-label propagation on that tiny
   *    graph only ([[Dedup.componentsOfPairs]] — re-propagation cost is
   *    proportional to touched groups, not the corpus), then rewrite
-  *    the table with the label mapping applied map-side (untouched
-  *    rows pass through; staged + atomic swap).
+  *    ONLY the buckets holding a touched-label row or a batch endpoint
+  *    (r12, r11 verdict #2 — the r11 fold rewrote the full table per
+  *    ingest): untouched buckets cross by metadata rename, byte-
+  *    identical (spec-pinned), via the rebalanceIndex swap helper.
   *
   * The fold is a pure function of (current table ∪ batch pairs), so
   * re-delivering a batch is a no-op: its pairs' endpoints already
@@ -35,44 +39,53 @@ import org.apache.spark.sql.functions._
   */
 object DedupGroups {
 
+  /** Bucket count: bounds the blast radius of a fold (a batch touching
+    * k groups rewrites ≤ min(k·avg-group-size + 2·|pairs|, NumBuckets)
+    * bucket dirs). Buckets bound what a fold REWRITES, not their size —
+    * a hot bucket still splits into many part-files via
+    * maxRecordsPerFile if it ever grows.
+    */
+  val NumBuckets = 32
+
+  /** Column-side doc bucket (md5 keeps it engine-portable, the
+    * [[LexIndex.bucketOf]] convention).
+    */
+  def bucketOf(docId: Column): Column =
+    pmod(conv(substring(md5(docId.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(NumBuckets.toLong))
+
   /** Current group rows (doc_id, component). */
   def groupsDf(spark: SparkSession, indexPath: String): DataFrame =
-    spark.read.parquet(s"$indexPath/groups")
-
-  /** Staged + atomic-swap rewrite of the groups table (the stats-table
-    * discipline: a crash leaves either the old or the new table).
-    */
-  private def writeGroups(spark: SparkSession, indexPath: String,
-      labels: DataFrame): Unit = {
-    val staged = s"$indexPath/groups_staging"
-    labels.select(col("doc_id"), col("component"))
-      .write.mode("overwrite").parquet(staged)
-    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new Path(s"$indexPath/groups")
-    val aside = new Path(s"$indexPath/groups_old")
-    fs.delete(aside, true)
-    if (fs.exists(dst) && !fs.rename(dst, aside))
-      throw new java.io.IOException(s"could not move $dst aside")
-    if (!fs.rename(new Path(staged), dst))
-      throw new java.io.IOException(s"could not move $staged into place")
-    fs.delete(aside, true)
-  }
+    spark.read.parquet(s"$indexPath/groups").select(col("doc_id"), col("component"))
 
   /** Initialize the groups table from the verified pairs of the
     * indexed corpus (one batch components run — the offline build
-    * stage, like the band index itself).
+    * stage, like the band index itself). Staged + atomic swap.
     */
   def initGroups(spark: SparkSession, indexPath: String,
-      verifiedPairs: DataFrame): Unit =
-    writeGroups(spark, indexPath, Dedup.componentsOfPairs(verifiedPairs))
+      verifiedPairs: DataFrame): Unit = {
+    val staged = s"$indexPath/groups_staging"
+    Dedup.componentsOfPairs(verifiedPairs)
+      .select(col("doc_id"), col("component"), bucketOf(col("doc_id")).as("gb"))
+      .write.mode("overwrite").partitionBy("gb").parquet(staged)
+    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexMaintenance.atomicSwap(fs, new Path(staged), new Path(s"$indexPath/groups"))
+    // the swap replaced files UNDER an already-read path: drop the
+    // session's cached file listing, or the next fold reads stale
+    // part-file names and silently loses the swapped buckets' rows
+    spark.catalog.refreshByPath(s"$indexPath/groups")
+  }
 
   /** Fold one ingest batch's verified near-dup pairs (doc_a, doc_b —
     * [[DedupIndex.newNearDups]] output filtered at the drop threshold)
-    * into the persisted groups. See object doc for the shape.
+    * into the persisted groups. See object doc for the shape; the
+    * rewrite is bucket-selective — a fold's I/O is proportional to the
+    * groups it touches, never to the table.
     */
   def foldPairs(spark: SparkSession, indexPath: String,
       verifiedPairs: DataFrame): Unit = {
-    val g = groupsDf(spark, indexPath)
+    val g = spark.read.parquet(s"$indexPath/groups")
+      .select(col("doc_id"), col("component"), col("gb").cast("long").as("gb"))
     // endpoints carry their CURRENT label (or themselves if unseen)
     val p = verifiedPairs.select(col("doc_a"), col("doc_b"))
       .join(g.select(col("doc_id").as("doc_a"), col("component").as("la0")),
@@ -91,13 +104,33 @@ object DedupGroups {
       .select(col("doc_id").as("component"), col("component").as("merged"))
     val endpoints = p.select(col("doc_a").as("doc_id"), col("la").as("component"))
       .union(p.select(col("doc_b").as("doc_id"), col("lb").as("component")))
-    // map-side label rewrite: untouched rows see a null mapping and
-    // pass through; the doc-level min dedups re-delivered endpoints
-    val folded = g.unionByName(endpoints)
+    // blast radius: the buckets holding a row whose label merges, plus
+    // the endpoints' own buckets — ≤ NumBuckets values, index metadata
+    val touched = g.join(broadcast(mapping), Seq("component"), "left_semi")
+      .select(col("gb"))
+      .union(endpoints.select(bucketOf(col("doc_id")).as("gb")))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    if (touched.isEmpty) return
+    // rewrite the touched buckets only: their current rows (label
+    // mapping applied map-side) plus the batch endpoints (which hash
+    // into touched buckets by construction); the doc-level min dedups
+    // re-delivered endpoints
+    val folded = g.filter(col("gb").isin(touched: _*))
+      .select(col("doc_id"), col("component"))
+      .unionByName(endpoints)
       .join(broadcast(mapping), Seq("component"), "left")
       .select(col("doc_id"),
         coalesce(col("merged"), col("component")).as("component"))
       .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
-    writeGroups(spark, indexPath, folded)
+      .withColumn("gb", bucketOf(col("doc_id")))
+    val staged = s"$indexPath/groups_staging"
+    folded.write.mode("overwrite").partitionBy("gb").parquet(staged)
+    val untouchedDirs = (0L until NumBuckets.toLong)
+      .filterNot(touched.contains).map(b => s"gb=$b")
+    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexMaintenance.swapKeepingDirs(fs, new Path(staged),
+      new Path(s"$indexPath/groups"), untouchedDirs)
+    // invalidate the session's cached file listing (see initGroups)
+    spark.catalog.refreshByPath(s"$indexPath/groups")
   }
 }

@@ -209,6 +209,10 @@ object IndexMaintenance {
       throw new java.io.IOException(s"could not move $tmp into place")
     fs.delete(aside, true)
     epochs.foreach(e => fs.delete(new Path(e), true))
+    // the swap replaced files under an already-read path: drop the
+    // session's cached file listing so later reads don't reference
+    // renamed-away part-files
+    spark.catalog.refreshByPath(vecDir)
     parquetFileCount(spark, vecDir)
   }
 
@@ -336,6 +340,7 @@ object IndexMaintenance {
         .toDF("cluster_id", "cvec")
         .write.mode("overwrite").parquet(cTmp)
       atomicSwap(fs, new Path(cTmp), new Path(s"$indexPath/centroids"))
+      spark.catalog.refreshByPath(s"$indexPath/centroids")
     }
     // recompute centroids as integerized cluster means, reading ONLY
     // the named clusters' partitions
@@ -478,32 +483,10 @@ object IndexMaintenance {
       (keepIds.iterator.map(c =>
         c -> (baseSizes.getOrElse(c, 0L) + stagedCounts.getOrElse(c, 0L))) ++
        (stagedCounts.keySet -- keepIds).iterator.map(c => c -> stagedCounts(c))).toMap
-    val dst = new Path(vecDir)
-    val aside = new Path(vecDir + "_old")
-    fs.delete(aside, true)
-    if (fs.exists(dst) && !fs.rename(dst, aside))
-      throw new java.io.IOException(s"could not move $dst aside")
-    // keep partitions cross untouched: dir rename when the staged side
-    // has no such partition (the common case), per-file moves when
-    // epoch folds or merged-in arrivals created one (part-file names
-    // carry a per-job UUID, so they cannot collide)
-    keepIds.toSeq.sorted.foreach { c =>
-      val from = new Path(aside, s"cluster_id=$c")
-      if (fs.exists(from)) {
-        val to = new Path(tmp, s"cluster_id=$c")
-        if (!fs.exists(to)) {
-          if (!fs.rename(from, to))
-            throw new java.io.IOException(s"could not move keep partition $from")
-        } else fs.listStatus(from).foreach { st =>
-          if (!fs.rename(st.getPath, new Path(to, st.getPath.getName)))
-            throw new java.io.IOException(s"could not move keep file ${st.getPath}")
-        }
-      }
-    }
-    if (!fs.rename(new Path(tmp), dst))
-      throw new java.io.IOException(s"could not move $tmp into place")
-    fs.delete(aside, true)
+    swapKeepingDirs(fs, new Path(tmp), new Path(vecDir),
+      keepIds.toSeq.sorted.map(c => s"cluster_id=$c"))
     epochs.foreach(e => fs.delete(new Path(e), true))
+    spark.catalog.refreshByPath(vecDir)
     // centroids swap second (rerun heals the window — scaladoc)
     swapCentroids(surviving)
     RebalanceReport(splitIds.size, mergeIds.size, k, afterSizes.size.toLong,
@@ -561,6 +544,41 @@ object IndexMaintenance {
     fs.delete(aside, true)
     if (fs.exists(dst) && !fs.rename(dst, aside))
       throw new java.io.IOException(s"could not move $dst aside")
+    if (!fs.rename(staged, dst))
+      throw new java.io.IOException(s"could not move $staged into place")
+    fs.delete(aside, true)
+  }
+
+  /** PARTITION-SELECTIVE variant of [[atomicSwap]]: the staged dir
+    * holds only the TOUCHED partition dirs; each `keepDirs` entry
+    * crosses from the old layout into the staged one by metadata
+    * rename — dir-level when the staged side has no such partition
+    * (the common case), per-file moves when staged arrivals created
+    * one (part-file names carry a per-job UUID, so they cannot
+    * collide). The serving gap widens from 2 renames to O(keepDirs)
+    * metadata renames; on an object store the whole sequence is one
+    * manifest pointer update. A crash at any step leaves every row on
+    * disk (aside + staged).
+    */
+  private[graft] def swapKeepingDirs(fs: FileSystem, staged: Path, dst: Path,
+      keepDirs: Seq[String]): Unit = {
+    val aside = new Path(dst.toString + "_old")
+    fs.delete(aside, true)
+    if (fs.exists(dst) && !fs.rename(dst, aside))
+      throw new java.io.IOException(s"could not move $dst aside")
+    keepDirs.foreach { name =>
+      val from = new Path(aside, name)
+      if (fs.exists(from)) {
+        val to = new Path(staged, name)
+        if (!fs.exists(to)) {
+          if (!fs.rename(from, to))
+            throw new java.io.IOException(s"could not move keep partition $from")
+        } else fs.listStatus(from).foreach { st =>
+          if (!fs.rename(st.getPath, new Path(to, st.getPath.getName)))
+            throw new java.io.IOException(s"could not move keep file ${st.getPath}")
+        }
+      }
+    }
     if (!fs.rename(staged, dst))
       throw new java.io.IOException(s"could not move $staged into place")
     fs.delete(aside, true)

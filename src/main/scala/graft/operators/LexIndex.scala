@@ -106,6 +106,10 @@ object LexIndex {
       .write.mode("overwrite").parquet(statsStaged)
     IndexMaintenance.atomicSwap(fs, new Path(vecStaged), new Path(s"$indexPath/vectors"))
     IndexMaintenance.atomicSwap(fs, new Path(statsStaged), new Path(s"$indexPath/stats"))
+    // a rebuild over an already-read path must drop the session's
+    // cached file listings, or the next read serves stale part-files
+    spark.catalog.refreshByPath(s"$indexPath/vectors")
+    spark.catalog.refreshByPath(s"$indexPath/stats")
   }
 
   /** Convenience: build from a testdata corpus dir. */
@@ -132,6 +136,7 @@ object LexIndex {
     merged.toDF("n_docs", "sum_dl").write.mode("overwrite").parquet(staged)
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     IndexMaintenance.atomicSwap(fs, new Path(staged), new Path(s"$indexPath/stats"))
+    spark.catalog.refreshByPath(s"$indexPath/stats")
   }
 
   /** (doc_id, tf_0.., score_e6) for `terms`, scored over the

@@ -96,6 +96,52 @@ class DedupGroupsSpec extends AnyFunSuite {
     assert(nGroups < beforeRedeliver.size, "no group has more than one doc")
   }
 
+  test("r12: a fold rewrites ONLY the buckets holding touched groups or endpoints") {
+    import spark.implicits._
+    val idx = tmp("graft-groups-buckets")
+    // seed groups spread across buckets: {1,2} {1001,1002} {5003,5004}
+    DedupGroups.initGroups(spark, idx,
+      Seq((1L, 2L), (1001L, 1002L), (5003L, 5004L)).toDF("doc_a", "doc_b"))
+    def bucketsOf(ids: Seq[Long]): Set[Long] =
+      ids.toDF("doc_id").select(DedupGroups.bucketOf(col("doc_id")).as("gb"))
+        .collect().map(_.getLong(0)).toSet
+    def fileSets(): Map[String, Set[(String, Long)]] = {
+      val root = new java.io.File(s"$idx/groups")
+      root.listFiles().filter(_.isDirectory).map(d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSet).toMap
+    }
+    val before = fileSets()
+    assert(before.size >= 2, "seed groups landed in one bucket — pin is vacuous")
+
+    // merge {1,2} with {1001,1002} via the pair (2, 1001): the blast
+    // radius is the buckets of docs 1, 2, 1001, 1002 — nothing else
+    DedupGroups.foldPairs(spark, idx, Seq((2L, 1001L)).toDF("doc_a", "doc_b"))
+    val touched = bucketsOf(Seq(1L, 2L, 1001L, 1002L)).map(b => s"gb=$b")
+    val after = fileSets()
+    before.foreach { case (dir, files) =>
+      if (!touched.contains(dir))
+        assert(after(dir) === files, s"untouched bucket $dir was rewritten")
+    }
+    // content merged to the group minimum everywhere
+    val got = DedupGroups.groupsDf(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (1001L, 1L), (1002L, 1L),
+      (5003L, 5003L), (5004L, 5003L)))
+
+    // re-delivery: content is a no-op AND the untouched buckets again
+    // cross by rename (byte-identical)
+    val mid = fileSets()
+    DedupGroups.foldPairs(spark, idx, Seq((2L, 1001L)).toDF("doc_a", "doc_b"))
+    val redelivered = bucketsOf(Seq(2L, 1001L)).map(b => s"gb=$b")
+    mid.foreach { case (dir, files) =>
+      if (!redelivered.contains(dir))
+        assert(fileSets()(dir) === files, s"bucket $dir rewritten on re-delivery")
+    }
+    assert(DedupGroups.groupsDf(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === got)
+  }
+
   test("final incremental state == the graded batch components labeling") {
     val idx = tmp("graft-groups-graded")
     DedupIndex.writeBandIndex(base, idx)
