@@ -638,6 +638,40 @@ object OracleSql {
        |JOIN sizes za ON za.doc_id = c.doc_a
        |JOIN sizes zb ON zb.doc_id = c.doc_b""".stripMargin
 
+  // dedup_drop_incremental: the Spark side serves the drop list from
+  // the incrementally-maintained DedupGroups table (known slice seeded
+  // offline, incoming slice folded per ingest); the oracle is the
+  // BATCH group rule on the grown corpus — connected components over
+  // ALL verified pairs at the drop threshold (hashed-shingle verify,
+  // the dedup_incremental kernel), dropping every non-min member with
+  // the group min as keeper. Incremental ≡ batch is the DedupGroups
+  // fold invariant, here hash-enforced per round.
+  val dedupDropIncremental: String =
+    s"""WITH RECURSIVE $bandCtes,
+       |shh AS (SELECT DISTINCT doc_id,
+       |  CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c
+       |  JOIN shh sa ON sa.doc_id = c.doc_a
+       |  JOIN shh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT c.doc_a, c.doc_b,
+       |  ${r6("coalesce(i.n_inter, 0) / (1.0 * (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)))")} AS jaccard
+       |FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes za ON za.doc_id = c.doc_a
+       |JOIN sizes zb ON zb.doc_id = c.doc_b),
+       |p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+       |n AS (SELECT DISTINCT a AS doc FROM e),
+       |reach(doc, l) AS (
+       |  SELECT doc, doc FROM n
+       |  UNION
+       |  SELECT e.b, reach.l FROM reach JOIN e ON e.a = reach.doc
+       |),
+       |comp AS (SELECT doc AS doc_id, CAST(min(l) AS BIGINT) AS component FROM reach GROUP BY 1)
+       |SELECT doc_id AS drop_doc, component AS kept_doc FROM comp
+       |WHERE doc_id <> component""".stripMargin
+
   val dedupDrop: String =
     s"""WITH $bandCtes,
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -3292,6 +3326,7 @@ object OracleSql {
     "q_survival" -> qSurvival,
     "dedup_containment" -> dedupContainment,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_drop_incremental" -> dedupDropIncremental,
     "q_profile" -> qProfile,
     "q_bootstrap_ci" -> qBootstrapCi,
     "q_event_ngrams" -> qEventNgrams,

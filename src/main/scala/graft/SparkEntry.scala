@@ -177,6 +177,7 @@ object SparkEntry {
     "q_survival" -> ((s, d) => EventOps.survival(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "dedup_incremental" -> ((s, d) => DedupIndex.incrementalQuery(s, d)),
+    "dedup_drop_incremental" -> ((s, d) => DedupIndex.dropIncrementalQuery(s, d)),
     "q_profile" -> ((s, d) => Relational.profile(s, d)),
     "q_bootstrap_ci" -> ((s, d) => Relational.bootstrapCi(s, d)),
     "q_event_ngrams" -> ((s, d) => EventOps.eventNgrams(s, d)),

@@ -65,10 +65,21 @@ object DedupGroups {
   def initGroups(spark: SparkSession, indexPath: String,
       verifiedPairs: DataFrame): Unit = {
     val staged = s"$indexPath/groups_staging"
-    Dedup.componentsOfPairs(verifiedPairs)
+    val rows = Dedup.componentsOfPairs(verifiedPairs)
       .select(col("doc_id"), col("component"), bucketOf(col("doc_id")).as("gb"))
-      .write.mode("overwrite").partitionBy("gb").parquet(staged)
+    rows.write.mode("overwrite").partitionBy("gb").parquet(staged)
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a zero-pair corpus writes no part files (partitionBy emits
+    // nothing for 0 rows) and a later read cannot infer a schema:
+    // leave one empty footer-bearing file so the state stays readable
+    val anyPart = {
+      val it = fs.listFiles(new Path(staged), true)
+      var found = false
+      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (!anyPart)
+      rows.limit(0).coalesce(1).write.mode("append").parquet(staged)
     IndexMaintenance.atomicSwap(fs, new Path(staged), new Path(s"$indexPath/groups"))
     // the swap replaced files UNDER an already-read path: drop the
     // session's cached file listing, or the next fold reads stale
