@@ -41,6 +41,18 @@ trait CrossScorer extends Serializable {
   def score(df: DataFrame, queryText: String, outCol: String,
       textCol: String = "text", scoreCol: String = "score",
       nCharsCol: String = "n_chars"): DataFrame
+
+  /** The query-SET variant (r12, r11 verdict #8): rows carry their OWN
+    * query text in `queryTextCol` — the batch serving facade scores
+    * every (query, doc) pair in one pass instead of a per-query loop.
+    * Default: per-row delegation semantics (the stub ignores the query
+    * text, so the column expression is reused verbatim); the batched
+    * real-model slot overrides with per-query sub-batching.
+    */
+  def scoreMany(df: DataFrame, queryTextCol: String, outCol: String,
+      textCol: String = "text", scoreCol: String = "score",
+      nCharsCol: String = "n_chars"): DataFrame =
+    score(df, "", outCol, textCol, scoreCol, nCharsCol)
 }
 
 /** Column-expression scorer (the graded stub). */
@@ -71,6 +83,35 @@ final class BatchedScorer(
           if (r.isNullAt(ti)) "" else r.getString(ti),
           r.getDouble(si), r.getLong(ni)))
         val logits = m(q, pairs)
+        batch.lazyZip(logits).map((r, l) => Row.fromSeq(r.toSeq :+ l))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Per-row query text: each batch sub-groups by query so the model
+    * is still called once per (query, doc-batch) — a real cross-
+    * encoder's natural call shape — and outputs keep row order.
+    */
+  override def scoreMany(df: DataFrame, queryTextCol: String, outCol: String,
+      textCol: String, scoreCol: String, nCharsCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, DoubleType)
+    val qi = df.schema.fieldIndex(queryTextCol)
+    val ti = df.schema.fieldIndex(textCol)
+    val si = df.schema.fieldIndex(scoreCol)
+    val ni = df.schema.fieldIndex(nCharsCol)
+    val bs = batchSize
+    val m = model
+    df.mapPartitions { it =>
+      it.grouped(bs).flatMap { batch =>
+        val logits = new Array[Double](batch.size)
+        batch.zipWithIndex.groupBy { case (r, _) =>
+          if (r.isNullAt(qi)) "" else r.getString(qi)
+        }.foreach { case (q, rows) =>
+          val pairs = rows.map { case (r, _) => BatchedScorer.Pair(
+            if (r.isNullAt(ti)) "" else r.getString(ti),
+            r.getDouble(si), r.getLong(ni)) }
+          m(q, pairs).lazyZip(rows).foreach((l, ri) => logits(ri._2) = l)
+        }
         batch.lazyZip(logits).map((r, l) => Row.fromSeq(r.toSeq :+ l))
       }
     }(org.apache.spark.sql.Encoders.row(schema))

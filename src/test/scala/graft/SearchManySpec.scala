@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{BatchedEncoder, BatchedScorer, IvfIndex, SearchApi}
+
+/** r12 (r11 verdict #8): the query-SET serving facade. Pins (a) per
+  * query, [[SearchApi.searchManyIndexed]] is row-identical to the
+  * per-query [[SearchApi.searchIndexed]] loop at the same nprobe —
+  * under the default seams AND the batched encoder/scorer pair — and
+  * (b) the batch plan scans the index vectors layout exactly once for
+  * the whole query set (the point of batching: Q pruned scans → 1).
+  */
+class SearchManySpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private lazy val indexPath = {
+    val p = java.nio.file.Files.createTempDirectory("graft-many-idx").toString
+    IvfIndex.writeIndex(spark, Sf, p)
+    p
+  }
+
+  private val queryTexts = Seq(
+    "vector search data pipelines",
+    "distributed joins",
+    "stream window order",
+    "fast hash table scan")
+
+  private def queriesDf = {
+    import spark.implicits._
+    queryTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("query_id", "query_text")
+  }
+
+  private def loopRows(nprobe: Int,
+      encoder: graft.operators.TextEncoder = SearchApi.defaultEncoder,
+      scorer: graft.operators.CrossScorer = SearchApi.defaultScorer) =
+    queryTexts.zipWithIndex.flatMap { case (t, i) =>
+      SearchApi.searchIndexed(spark, Sf, indexPath, t, nprobe = nprobe,
+          minLogit = Some(-5.0), lang = Some("en"),
+          encoder = encoder, scorer = scorer)
+        .withColumn("query_id", lit(i.toLong))
+        .select("query_id", "doc_id", "score", "logit", "prob", "label",
+          "rerank_rank", "lang", "text")
+        .collect().toSeq
+    }.sortBy(r => (r.getLong(0), r.getLong(6)))
+
+  private def batchRows(nprobe: Int,
+      encoder: graft.operators.TextEncoder = SearchApi.defaultEncoder,
+      scorer: graft.operators.CrossScorer = SearchApi.defaultScorer) =
+    SearchApi.searchManyIndexed(spark, Sf, indexPath, queriesDf,
+        nprobe = nprobe, minLogit = Some(-5.0), lang = Some("en"),
+        encoder = encoder, scorer = scorer)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(6)))
+
+  test("batch facade == per-query searchIndexed loop at the same nprobe") {
+    val got = batchRows(nprobe = 2)
+    val want = loopRows(nprobe = 2)
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("both model seams compose on the batch path") {
+    val enc = new BatchedEncoder(batchSize = 3)
+    val sc = new BatchedScorer(batchSize = 3)
+    val got = batchRows(nprobe = 2, encoder = enc, scorer = sc)
+    val want = loopRows(nprobe = 2)
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("one pruned vectors scan serves the whole query set") {
+    val df = SearchApi.searchManyIndexed(spark, Sf, indexPath, queriesDf,
+      nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the vectors layout appears in exactly one scan node; pruning to
+    // the probed partitions is visible as PartitionFilters
+    val vecScans = plan.split("\n").count(l =>
+      l.contains("Scan parquet") && l.contains("vectors"))
+    assert(vecScans === 1, s"expected 1 vectors scan, got $vecScans in:\n$plan")
+    assert(plan.contains("PartitionFilters"), s"no partition pruning in:\n$plan")
+  }
+}
