@@ -2042,19 +2042,26 @@ object OracleSql {
   // step replaces the lowest-rank boundary-delimited pair left-to-right
   // non-overlapping, recursion per word ends when no merge applies.
   // Distinct words fold once and join back to per-doc counts.
-  val textBpeTokens: String = {
+  /** The shared BPE fold CTEs: `merges` (the committed artifact's
+    * rank-ordered table, inlined), and `init/it/fin` folding a `w1`
+    * relation's distinct words to their final separator-states. Both
+    * BPE queries (documents, customer-name slice) assemble around it.
+    */
+  private lazy val bpeFoldCtes: String = {
     def q(s: String) = "'" + s.replace("'", "''") + "'"
+    // r12 double-separator states: each token rides as chr(1)||t||chr(1)
+    // so adjacent pair patterns share no characters and the string
+    // replace equals token-level left-to-right merging on runs of
+    // identical tokens (see BpeTokenizer's scaladoc)
     val values = graft.operators.BpeTokenizer.default.merges.zipWithIndex
       .map { case ((a, b), i) =>
-        s"(${i + 1}, chr(1)||${q(a)}||chr(1)||${q(b)}||chr(1), chr(1)||${q(a + b)}||chr(1))"
+        s"(${i + 1}, chr(1)||${q(a)}||chr(1)||chr(1)||${q(b)}||chr(1), chr(1)||${q(a + b)}||chr(1))"
       }.mkString(", ")
-    s"""WITH RECURSIVE
-       |merges(rank, pat, rep) AS (SELECT * FROM (VALUES $values) t(rank, pat, rep)),
-       |w1 AS (SELECT doc_id, w
-       |  FROM (SELECT doc_id, unnest($toks) AS w FROM documents) WHERE w <> ''),
+    s"""merges(rank, pat, rep) AS (SELECT * FROM (VALUES $values) t(rank, pat, rep)),
        |dw AS (SELECT DISTINCT w FROM w1),
        |init AS (SELECT w,
-       |  chr(1) || array_to_string(regexp_split_to_array(w, ''), chr(1)) || chr(1) AS state
+       |  array_to_string(list_transform(regexp_split_to_array(w, ''),
+       |    c -> chr(1) || c || chr(1)), '') AS state
        |  FROM dw),
        |it AS (SELECT w, state FROM init
        |  UNION ALL
@@ -2062,9 +2069,16 @@ object OracleSql {
        |  FROM it i JOIN LATERAL (SELECT pat, rep FROM merges WHERE contains(i.state, pat)
        |    ORDER BY rank LIMIT 1) m ON true),
        |fin AS (SELECT w, length(w) AS n_chars_w,
-       |    length(state) - length(replace(state, chr(1), '')) - 1 AS n_bpe_w
+       |    (length(state) - length(replace(state, chr(1), ''))) // 2 AS n_bpe_w
        |  FROM it i
-       |  WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(i.state, m.pat))),
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(i.state, m.pat)))""".stripMargin
+  }
+
+  val textBpeTokens: String =
+    s"""WITH RECURSIVE
+       |w1 AS (SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest($toks) AS w FROM documents) WHERE w <> ''),
+       |$bpeFoldCtes,
        |agg AS (SELECT doc_id, count(*) AS n_words,
        |    CAST(sum(n_chars_w) AS BIGINT) AS n_chars_tok,
        |    CAST(sum(n_bpe_w) AS BIGINT) AS n_bpe
@@ -2073,7 +2087,29 @@ object OracleSql {
        |  coalesce(n_chars_tok, 0) AS n_chars_tok, coalesce(n_bpe, 0) AS n_bpe,
        |  CASE WHEN n_bpe > 0 THEN ${r6("n_chars_tok / (1.0 * n_bpe)")} END AS compression
        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
-  }
+
+  // text_bpe_ids (r12): the 2k-merge artifact's subword behavior is
+  // exercised by IDENTIFIER-shaped words (documents' 31-word Zipf head
+  // collapses to single tokens — the realistic outcome for frequent
+  // words). The c_custkey % 11 slice keeps the recursive fold's cost
+  // bounded in DuckDB (distinct-name count × iterations × merge scans);
+  // the Spark side runs the same fold over the memoized broadcast
+  // tokenizer with no such constraint.
+  val textBpeIds: String =
+    s"""WITH RECURSIVE
+       |cs AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 11 = 0),
+       |w1 AS (SELECT c_custkey, w
+       |  FROM (SELECT c_custkey,
+       |    unnest(string_split_regex(trim(c_name), '\\s+')) AS w FROM cs) WHERE w <> ''),
+       |$bpeFoldCtes,
+       |agg AS (SELECT c_custkey, count(*) AS n_words,
+       |    CAST(sum(n_chars_w) AS BIGINT) AS n_chars_tok,
+       |    CAST(sum(n_bpe_w) AS BIGINT) AS n_bpe
+       |  FROM w1 JOIN fin USING (w) GROUP BY 1)
+       |SELECT c.c_custkey, coalesce(n_words, 0) AS n_words,
+       |  coalesce(n_chars_tok, 0) AS n_chars_tok, coalesce(n_bpe, 0) AS n_bpe,
+       |  CASE WHEN n_bpe > 0 THEN ${r6("n_chars_tok / (1.0 * n_bpe)")} END AS compression
+       |FROM cs c LEFT JOIN agg USING (c_custkey)""".stripMargin
 
   // mm_bmp_resample (r11): box-filter resample of the DECODED pixel
   // grid to a fixed 8×6 target — each source pixel lands in one target
@@ -3366,6 +3402,7 @@ object OracleSql {
     "mm_bmp" -> mmBmp,
     "mm_bmp_resample" -> mmBmpResample,
     "text_bpe_tokens" -> textBpeTokens,
+    "text_bpe_ids" -> textBpeIds,
     "text_hapax" -> textHapax,
   )
 }

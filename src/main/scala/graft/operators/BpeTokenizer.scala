@@ -14,38 +14,115 @@ import scala.collection.mutable
   * spec-only sketch.
   *
   * Apply semantics (both engines, pinned by construction): a word's
-  * state is its codepoints joined AND bounded by the U+0001
-  * separator (`␁a␁b␁c␁`); repeatedly, the LOWEST-RANK merge whose
-  * boundary-delimited pattern `␁a␁b␁` occurs in the state replaces
-  * its occurrences left-to-right non-overlapping (`String.replace` ≡
-  * SQL `replace`) with `␁ab␁`, until no merge applies. Because a
-  * merged token's pairs always rank AFTER the merge that created it,
-  * iterating single-pattern replaces reaches the same fixed point as
-  * the textbook merge-all-per-rank formulation — BpeSpec pins this
-  * against an independent list-based reference implementation.
+  * state is the concatenation of each token as `␁t␁` — every token
+  * INDIVIDUALLY bounded by the U+0001 separator (`␁a␁␁b␁␁c␁`).
+  * Repeatedly, the LOWEST-RANK merge whose pattern `␁a␁␁b␁` occurs in
+  * the state replaces its occurrences left-to-right non-overlapping
+  * (`String.replace` ≡ SQL `replace`) with `␁ab␁`, until no merge
+  * applies. The DOUBLE separator is what makes the string fold equal
+  * the textbook token-level merge on runs of identical tokens: with
+  * the r11 single-separator encoding (`␁a␁b␁c␁`), adjacent pair
+  * occurrences in `000000000` SHARE their boundary `␁`, so
+  * `String.replace` skipped every other pair and diverged from
+  * left-to-right token merging the moment the r12 artifact learned
+  * digit-run merges; with `␁0␁␁0␁` patterns, adjacent matches share no
+  * characters and the two formulations coincide for every input
+  * (BpeSpec pins string-replace ≡ fast rank-scan ≡ independent
+  * textbook implementation on corpus + run-heavy fuzz words).
   */
 class BpeTokenizer(val merges: Array[(String, String)]) extends Serializable {
   import BpeTokenizer.Sep
 
   private val pats: Array[String] =
-    merges.map { case (a, b) => s"$Sep$a$Sep$b$Sep" }
+    merges.map { case (a, b) => s"$Sep$a$Sep$Sep$b$Sep" }
   private val reps: Array[String] =
     merges.map { case (a, b) => s"$Sep$a$b$Sep" }
 
-  private def stateOf(word: String): String = {
-    val sb = new java.lang.StringBuilder(word.length * 2 + 1)
-    sb.append(Sep)
+  /** Rank lookup for the fast apply — key `a␁b` is unambiguous because
+    * the fast path only runs on separator-free words, whose tokens can
+    * never contain `␁`. Rebuilt lazily per executor (transient) so a
+    * broadcast ships only the merges array.
+    */
+  @transient private lazy val rankOf: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      m.putIfAbsent(merges(i)._1 + Sep + merges(i)._2, Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+
+  private def codepointTokens(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
     var i = 0
     while (i < word.length) {
       val cp = word.codePointAt(i)
-      sb.appendCodePoint(cp).append(Sep)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** The r12 apply loop: scan the token list's adjacent pairs for the
+    * lowest-rank merge present (hash lookup per pair), merge its
+    * occurrences left-to-right non-overlapping, repeat — O(L²) hash
+    * probes per word, INDEPENDENT of merge-table size. The r11 loop
+    * scanned all M patterns per applied merge (O(M·L) string contains
+    * per step), which at the 1k-32k merges a real tokenizer carries is
+    * the difference between a tokenizer and a corpus pass; semantics
+    * are unchanged ("lowest-rank merge whose pattern occurs" ≡
+    * "lowest-rank adjacent pair present" on separator-free words —
+    * BpeSpec pins fast ≡ string-replace ≡ textbook on every corpus
+    * word plus adversarial and identifier-shaped fuzz words).
+    */
+  private def applyMerges(toks0: Array[String]): Array[String] = {
+    var toks = toks0
+    var done = toks.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i + 1 < toks.length) {
+        val r = rankOf.get(toks(i) + Sep + toks(i + 1))
+        if (r != null && r.intValue() < best) best = r.intValue()
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = merges(best)
+        val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+        var j = 0
+        while (j < toks.length) {
+          if (j + 1 < toks.length && toks(j) == a && toks(j + 1) == b) {
+            out += a + b; j += 2
+          } else { out += toks(j); j += 1 }
+        }
+        toks = out.toArray
+        done = toks.length < 2
+      }
+    }
+    toks
+  }
+
+  private def stateOf(word: String): String = {
+    val sb = new java.lang.StringBuilder(word.length * 3)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      sb.append(Sep).appendCodePoint(cp).append(Sep)
       i += Character.charCount(cp)
     }
     sb.toString
   }
 
-  /** Final separator-state of a word after all applicable merges. */
-  def encodeState(word: String): String = {
+  /** The separator-string reference apply — the EXACT semantics the
+    * DuckDB oracle mirrors (single-pattern `replace` per step). Kept as
+    * the contract definition and the fallback for the degenerate
+    * separator-containing word (where the string encoding is not a
+    * bijection of the token list); BpeSpec pins the fast path against
+    * it.
+    */
+  private[graft] def encodeStateReference(word: String): String = {
     var state = stateOf(word)
     var found = 0
     while (found >= 0) {
@@ -60,20 +137,35 @@ class BpeTokenizer(val merges: Array[(String, String)]) extends Serializable {
     state
   }
 
+  /** Final separator-state of a word after all applicable merges. */
+  def encodeState(word: String): String =
+    if (word.indexOf(Sep.toInt) >= 0) encodeStateReference(word)
+    else {
+      val toks = applyMerges(codepointTokens(word))
+      val sb = new java.lang.StringBuilder(word.length * 3)
+      var i = 0
+      while (i < toks.length) {
+        sb.append(Sep).append(toks(i)).append(Sep); i += 1
+      }
+      sb.toString
+    }
+
   /** The word's BPE tokens. */
   def encodeWord(word: String): Seq[String] =
     if (word.isEmpty) Seq.empty
-    else encodeState(word).split(Sep).filter(_.nonEmpty).toSeq
+    else if (word.indexOf(Sep.toInt) >= 0)
+      encodeStateReference(word).split(Sep).filter(_.nonEmpty).toSeq
+    else applyMerges(codepointTokens(word)).toSeq
 
   /** Token count of one word (0 for the empty word). */
   def countWord(word: String): Long =
     if (word.isEmpty) 0L
-    else {
-      val s = encodeState(word)
+    else if (word.indexOf(Sep.toInt) >= 0) {
+      val s = encodeStateReference(word)
       var seps = 0L; var i = 0
       while (i < s.length) { if (s.charAt(i) == Sep) seps += 1; i += 1 }
-      seps - 1
-    }
+      seps / 2
+    } else applyMerges(codepointTokens(word)).length.toLong
 }
 
 object BpeTokenizer {
@@ -104,37 +196,85 @@ object BpeTokenizer {
       }
       out.toArray
     }
-    var words: Seq[(Array[String], Long)] = wordFreqs
-      .filter { case (w, _) => w.nonEmpty && !w.contains(Sep) }
-      .map { case (w, f) => (codepoints(w), f) }
+    // r12: incrementally-maintained pair counts + a pair→words inverted
+    // index, so each round rewrites ONLY the words containing the
+    // selected pair instead of re-counting the whole vocabulary — the
+    // difference between O(rounds·Σlen) and O(rounds·affected) that
+    // makes a 2k-merge table trainable in seconds. Selection is the
+    // same deterministic (-count, a, b) rule as the r11 full-rescan
+    // trainer (BpeSpec pins byte-stable retraining).
+    val kept = wordFreqs.filter { case (w, _) => w.nonEmpty && !w.contains(Sep) }
+    val words: Array[Array[String]] = kept.map(p => codepoints(p._1)).toArray
+    val freqs: Array[Long] = kept.map(_._2).toArray
+    def key(a: String, b: String): String = a + Sep + b
+    val counts = mutable.HashMap.empty[String, Long]
+    val parts = mutable.HashMap.empty[String, (String, String)]
+    val where = mutable.HashMap.empty[String, mutable.BitSet]
+    def addPair(a: String, b: String, w: Int, f: Long): Unit = {
+      val k = key(a, b)
+      counts.update(k, counts.getOrElse(k, 0L) + f)
+      if (!parts.contains(k)) parts.update(k, (a, b))
+      where.getOrElseUpdate(k, mutable.BitSet.empty) += w
+    }
+    var w = 0
+    while (w < words.length) {
+      val toks = words(w)
+      var i = 0
+      while (i + 1 < toks.length) { addPair(toks(i), toks(i + 1), w, freqs(w)); i += 1 }
+      w += 1
+    }
     val merges = mutable.ArrayBuffer.empty[(String, String)]
-    var rounds = 0
-    while (rounds < numMerges) {
-      val pairCounts = mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (toks, f) =>
-        var i = 0
-        while (i + 1 < toks.length) {
-          val k = (toks(i), toks(i + 1))
-          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + f)
-          i += 1
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      // deterministic argmax over live pairs: highest weighted count,
+      // ties to the lexicographically smallest (a, b)
+      var bestK: String = null
+      var bestC = 0L
+      var bestP: (String, String) = null
+      counts.foreach { case (k, c) =>
+        if (c > 0L) {
+          val p = parts(k)
+          if (bestK == null || c > bestC || (c == bestC &&
+              (p._1 < bestP._1 || (p._1 == bestP._1 && p._2 < bestP._2)))) {
+            bestK = k; bestC = c; bestP = p
+          }
         }
       }
-      if (pairCounts.isEmpty) rounds = numMerges
+      if (bestK == null) exhausted = true
       else {
-        val (a, b) = pairCounts.toSeq
-          .sortBy { case ((pa, pb), c) => (-c, pa, pb) }.head._1
+        val (a, b) = bestP
         merges += ((a, b))
-        words = words.map { case (toks, f) =>
-          val out = mutable.ArrayBuffer.empty[String]
+        // rewrite only the words that (may) contain the pair; the
+        // inverted index can hold stale entries — a word that no
+        // longer has the pair nets zero under remove-all/add-all
+        val affected = where.getOrElse(bestK, mutable.BitSet.empty).toArray
+        affected.foreach { w =>
+          val toks = words(w); val f = freqs(w)
+          var has = false
           var i = 0
-          while (i < toks.length) {
-            if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
-              out += a + b; i += 2
-            } else { out += toks(i); i += 1 }
+          while (!has && i + 1 < toks.length) {
+            has = toks(i) == a && toks(i + 1) == b; i += 1
           }
-          (out.toArray, f)
+          if (has) {
+            i = 0
+            while (i + 1 < toks.length) {
+              counts.update(key(toks(i), toks(i + 1)),
+                counts(key(toks(i), toks(i + 1))) - f)
+              i += 1
+            }
+            val out = mutable.ArrayBuffer.empty[String]
+            i = 0
+            while (i < toks.length) {
+              if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += toks(i); i += 1 }
+            }
+            val nw = out.toArray
+            words(w) = nw
+            i = 0
+            while (i + 1 < nw.length) { addPair(nw(i), nw(i + 1), w, f); i += 1 }
+          }
         }
-        rounds += 1
       }
     }
     new BpeTokenizer(merges.toArray)

@@ -25,32 +25,46 @@ object MakeModel {
       Array(-2.0f, 0.7f, 3.0f, 0.15f, 1.5f)))
     println(s"wrote $glsc (${new java.io.File(glsc).length()} bytes)")
 
-    // r11: the committed BPE tokenizer vocab — deterministic greedy
-    // byte-pair training over the sf0.001 corpus word frequencies
-    // (tie-broken lexicographically, so retraining on the same corpus
-    // is byte-stable). Goes into main resources: the tokenizer ships
-    // with the library like a real vocab file.
-    val corpusDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    // r11/r12: the committed BPE tokenizer vocab — deterministic greedy
+    // byte-pair training (tie-broken lexicographically, so retraining
+    // on the same corpus is byte-stable). Goes into main resources: the
+    // tokenizer ships with the library like a real vocab file.
+    //
+    // r12 (r11 verdict #4): a REALISTIC merge-table size. The synthetic
+    // documents corpus has only 31 distinct words (pair slots saturate
+    // near 105 merges), so training draws on EVERY text-bearing column
+    // of the SF dataset — the identifier-shaped names
+    // (Customer#000000123, Supplier#…) and JSON props supply the
+    // digit-run / shared-prefix / punctuation pair diversity a real
+    // tokenizer's 1k-32k merge table carries. 2048 merges by default.
+    val corpusDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val bpeOut = "src/main/resources/graft/bpe_merges.gbpe"
     if (new java.io.File(corpusDir).exists()) {
       val spark = org.apache.spark.sql.SparkSession.builder()
         .master("local[8]").config("spark.ui.enabled", "false").getOrCreate()
       import org.apache.spark.sql.functions._
-      val freqs = spark.read.parquet(s"$corpusDir/documents.parquet")
-        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      def toksOf(table: String, c: String) =
+        spark.read.parquet(s"$corpusDir/$table.parquet")
+          .select(explode(graft.functions.TextFunctions.tokens(col(c))).as("w"))
+      val freqs = Seq(
+          toksOf("documents", "text"),
+          toksOf("customer", "c_name"), toksOf("supplier", "s_name"),
+          toksOf("part", "p_name"), toksOf("part", "p_brand"),
+          toksOf("part", "p_type"), toksOf("orders", "o_orderpriority"),
+          toksOf("nation", "n_name"), toksOf("region", "r_name"),
+          toksOf("events", "event_type"), toksOf("events", "props"))
+        .reduce(_ unionByName _)
         .filter(col("w") =!= "")
         .groupBy(col("w")).agg(count(lit(1)).as("f"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
         .sortBy { case (w, f) => (-f, w) }
       new java.io.File(bpeOut).getParentFile.mkdirs()
-      // 48 merges: the synthetic corpus vocabulary is small (~31
-      // words, Σ(len−1) ≈ 124 pair slots), so training to exhaustion
-      // would collapse every word to one token — the cap leaves real
-      // subword structure for the apply loop to exercise
-      graft.operators.BpeTokenizer.save(bpeOut,
-        graft.operators.BpeTokenizer.train(freqs, numMerges = 48))
+      val t0 = System.nanoTime()
+      val tok = graft.operators.BpeTokenizer.train(freqs, numMerges = 2048)
+      graft.operators.BpeTokenizer.save(bpeOut, tok)
       println(s"wrote $bpeOut (${new java.io.File(bpeOut).length()} bytes, " +
-        s"${freqs.size} distinct words)")
+        s"${tok.merges.length} merges, ${freqs.size} distinct words, " +
+        f"trained in ${(System.nanoTime() - t0) / 1e9}%.1f s)")
       spark.stop()
     } else println(s"skipping BPE artifact: no corpus at $corpusDir")
   }
