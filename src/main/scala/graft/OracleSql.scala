@@ -3282,6 +3282,7 @@ object OracleSql {
     // precedent) — same SQL, hash-enforced per round
     "vs_bm25_idx" -> vsBm25,
     "vs_hybrid_rrf" -> vsHybridRrf,
+    "vs_hybrid_idx" -> vsHybridRrf,
     "text_pii" -> textPii,
     "q_pack_sequences" -> qPackSequences,
     "q_mix_weighted" -> qMixWeighted,

@@ -94,6 +94,8 @@ object SparkEntry {
     // posting index (built once per corpus fingerprint) — r12
     "vs_bm25_idx" -> ((s, d) => LexIndex.bm25IndexedQuery(s, d)),
     "vs_hybrid_rrf" -> ((s, d) => LexicalSearch.hybridRrf(s, d)),
+    // fully-indexed twin: both arms off persisted layouts, same oracle
+    "vs_hybrid_idx" -> ((s, d) => LexIndex.hybridIndexedQuery(s, d)),
     // C+. training-set assembly
     "text_pii" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "q_pack_sequences" -> ((s, d) => TrainingMix.packSequences(s, d)),

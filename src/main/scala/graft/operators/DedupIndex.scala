@@ -86,22 +86,6 @@ object DedupIndex {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** The corpus data-file fingerprint the cached layouts key on: a
-    * refresh of any documents part-file invalidates automatically.
-    */
-  private def corpusSig(spark: SparkSession, dir: String): String = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(s"$dir/documents.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      entries += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
-    }
-    entries.sorted.mkString(";")
-  }
-
   /** The graded split of a testdata corpus: docs with doc_id % 3 == 2
     * play the INCOMING ingest batch; the rest are the already-indexed
     * corpus (deterministic, so the oracle mirrors the same rule).
@@ -117,32 +101,14 @@ object DedupIndex {
     * files, so a corpus refresh invalidates automatically.
     */
   def bandIndexFor(spark: SparkSession, dir: String): String = synchronized {
-    import org.apache.hadoop.fs.Path
-    val sig = corpusSig(spark, dir)
     // signing parameters ride in the fingerprint (r11, ADVICE): a
     // NumPerms/NumBands/shingle-width change invalidates cached
     // indexes automatically instead of silently serving stale rows
     val params =
       s"np=${Dedup.NumPerms}:nb=${Dedup.NumBands}:shk=${Dedup.ShingleK}"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"bandidx:v1:known3:$params:$sig".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val base = s"${sys.props("java.io.tmpdir")}/graft_bandidx_$key"
-    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$base/_complete")
-    if (!fs.exists(marker)) {
-      val staging = s"${base}_staging_${java.util.UUID.randomUUID().toString.take(8)}"
-      writeBandIndex(knownDocs(spark, dir), staging)
-      fs.create(new Path(s"$staging/_complete"), true).close()
-      if (fs.exists(new Path(base)) && !fs.exists(marker))
-        fs.delete(new Path(base), true)
-      if (!fs.rename(new Path(staging), new Path(base))) {
-        if (!fs.exists(marker))
-          throw new java.io.IOException(s"could not install $base and no complete index present")
-        fs.delete(new Path(staging), true)
-      }
-    }
-    base
+    IndexMaintenance.cachedLayout(spark, "bandidx",
+      s"bandidx:v1:known3:$params:${IndexMaintenance.corpusSig(spark, dir)}")(
+      staging => writeBandIndex(knownDocs(spark, dir), staging))
   }
 
   /** Graded incremental-dedup query (dedup_incremental): the ingest
@@ -254,31 +220,14 @@ object DedupIndex {
     * served.
     */
   def dropStateFor(spark: SparkSession, dir: String): String = synchronized {
-    import org.apache.hadoop.fs.Path
     val params =
       s"np=${Dedup.NumPerms}:nb=${Dedup.NumBands}:shk=${Dedup.ShingleK}:thr=$DropThreshold"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"dropgroups:v1:$params:${corpusSig(spark, dir)}".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val base = s"${sys.props("java.io.tmpdir")}/graft_dropgroups_$key"
-    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$base/_complete")
-    if (!fs.exists(marker)) {
-      val staging = s"${base}_staging_${java.util.UUID.randomUUID().toString.take(8)}"
-      DedupGroups.initGroups(spark, staging,
+    IndexMaintenance.cachedLayout(spark, "dropgroups",
+      s"dropgroups:v1:$params:${IndexMaintenance.corpusSig(spark, dir)}")(
+      staging => DedupGroups.initGroups(spark, staging,
         indexedNearDups(spark, bandIndexFor(spark, dir),
             knownDocs(spark, dir), DropThreshold)
-          .select(col("doc_a"), col("doc_b")))
-      fs.create(new Path(s"$staging/_complete"), true).close()
-      if (fs.exists(new Path(base)) && !fs.exists(marker))
-        fs.delete(new Path(base), true)
-      if (!fs.rename(new Path(staging), new Path(base))) {
-        if (!fs.exists(marker))
-          throw new java.io.IOException(s"could not install $base and no complete state present")
-        fs.delete(new Path(staging), true)
-      }
-    }
-    base
+          .select(col("doc_a"), col("doc_b"))))
   }
 
   /** Graded incremental drop ledger (dedup_drop_incremental, r12 —

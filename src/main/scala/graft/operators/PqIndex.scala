@@ -530,25 +530,9 @@ object PqIndex {
     * pattern).
     */
   def residualIndexFor(spark: SparkSession, dir: String): String = synchronized {
-    import org.apache.hadoop.fs.Path
-    val base = s"${sys.props("java.io.tmpdir")}/graft_residx_${corpusFingerprint(spark, dir)}"
-    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$base/_complete")
-    if (!fs.exists(marker)) {
-      val staging = s"${base}_staging_${java.util.UUID.randomUUID().toString.take(8)}"
-      writeResidualIndex(spark, dir, staging)
-      fs.create(new Path(s"$staging/_complete"), true).close()
-      // a marker-less base is a crashed partial: clear it before racing
-      // for the rename; losing the race means a complete index is there
-      if (fs.exists(new Path(base)) && !fs.exists(marker))
-        fs.delete(new Path(base), true)
-      if (!fs.rename(new Path(staging), new Path(base))) {
-        if (!fs.exists(marker))
-          throw new java.io.IOException(s"could not install $base and no complete index present")
-        fs.delete(new Path(staging), true) // another JVM won with a complete build
-      }
-    }
-    base
+    IndexMaintenance.cachedLayout(spark, "residx",
+      s"residx:v1:${corpusFingerprint(spark, dir)}")(
+      staging => writeResidualIndex(spark, dir, staging))
   }
 
   /** Graded persisted-path twin of [[searchIvfPqResidual]]: identical
