@@ -56,27 +56,18 @@ object SearchApi {
     */
   val defaultScorer: CrossScorer = new ColumnScorer
 
-  /** Full search pipeline over the corpus embeddings + documents:
-    * returns (doc_id, retrieve_score, logit, prob, label, rerank_rank).
+  /** The shared tail of every serving pipeline: broadcast the bounded
+    * top-k retrieval onto the documents scan (the hint removes the one
+    * AQE replan that could shuffle documents at 100 TB), rerank via the
+    * scorer seam, sigmoid → prob, thresholds → label, optional payload
+    * filters, rank by logit.
     */
-  def search(spark: SparkSession, dir: String, queryText: String,
-      retrieveK: Int = 20, minLogit: Option[Double] = None,
-      lang: Option[String] = None,
-      encoder: TextEncoder = defaultEncoder,
-      scorer: CrossScorer = defaultScorer): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val q = encoder.encodeQuery(spark, queryText)
-    val top = KnnSearch.scored(Tables.embeddings(spark, dir).select("vec_id", "embedding"), q)
-      .orderBy(col("score").desc, col("vec_id").asc)
-      .limit(retrieveK)
-      .select(col("vec_id"), col("score"))
+  private def rerankTail(spark: SparkSession, dir: String, top: DataFrame,
+      queryText: String, minLogit: Option[Double], lang: Option[String],
+      scorer: CrossScorer): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
     val reranked = scorer.score(
-        // top is a bounded retrieval (<= retrieveK rows): broadcast it
-        // onto the documents scan explicitly (AQE picked this plan
-        // anyway; the hint removes the one replan that could shuffle
-        // documents at 100 TB)
         broadcast(top).join(docs, top("vec_id") === docs("doc_id")), queryText, "logit")
       .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
       .withColumn("label", KnnSearch.relevanceLabel(col("logit")))
@@ -88,6 +79,22 @@ object SearchApi {
       .withColumn("rerank_rank",
         row_number().over(graft.functions.VectorFunctions.boundedWindow(col("logit").desc, col("doc_id").asc)).cast("long"))
       .select("doc_id", "score", "logit", "prob", "label", "rerank_rank", "lang", "text")
+  }
+
+  /** Full search pipeline over the corpus embeddings + documents:
+    * returns (doc_id, retrieve_score, logit, prob, label, rerank_rank).
+    */
+  def search(spark: SparkSession, dir: String, queryText: String,
+      retrieveK: Int = 20, minLogit: Option[Double] = None,
+      lang: Option[String] = None,
+      encoder: TextEncoder = defaultEncoder,
+      scorer: CrossScorer = defaultScorer): DataFrame = {
+    val q = encoder.encodeQuery(spark, queryText)
+    val top = KnnSearch.scored(Tables.embeddings(spark, dir).select("vec_id", "embedding"), q)
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(retrieveK)
+      .select(col("vec_id"), col("score"))
+    rerankTail(spark, dir, top, queryText, minLogit, lang, scorer)
   }
 
   /** The serving-scale variant of [[search]]: same surface (encode →
@@ -110,24 +117,7 @@ object SearchApi {
     val top = IvfIndex.searchIndex(spark, indexPath, q, nprobe, retrieveK,
         roundScore = false)
       .select(col("vec_id"), col("score"))
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
-    val reranked = scorer.score(
-        // top is a bounded retrieval (<= retrieveK rows): broadcast it
-        // onto the documents scan explicitly (AQE picked this plan
-        // anyway; the hint removes the one replan that could shuffle
-        // documents at 100 TB)
-        broadcast(top).join(docs, top("vec_id") === docs("doc_id")), queryText, "logit")
-      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
-      .withColumn("label", KnnSearch.relevanceLabel(col("logit")))
-    val filtered = Seq(
-      minLogit.map(m => col("logit") >= m),
-      lang.map(l => col("lang") === l),
-    ).flatten.foldLeft(reranked)((df, p) => df.filter(p))
-    filtered
-      .withColumn("rerank_rank",
-        row_number().over(graft.functions.VectorFunctions.boundedWindow(col("logit").desc, col("doc_id").asc)).cast("long"))
-      .select("doc_id", "score", "logit", "prob", "label", "rerank_rank", "lang", "text")
+    rerankTail(spark, dir, top, queryText, minLogit, lang, scorer)
   }
 
   /** The query-SET serving facade (r12, r11 verdict #8): runs the full
@@ -228,24 +218,7 @@ object SearchApi {
     val top = PqIndex.searchIndex(spark, indexPath, q, nprobe, candidates,
         k = retrieveK, roundScore = false)
       .select(col("vec_id"), col("score"))
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
-    val reranked = scorer.score(
-        // top is a bounded retrieval (<= retrieveK rows): broadcast it
-        // onto the documents scan explicitly (AQE picked this plan
-        // anyway; the hint removes the one replan that could shuffle
-        // documents at 100 TB)
-        broadcast(top).join(docs, top("vec_id") === docs("doc_id")), queryText, "logit")
-      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
-      .withColumn("label", KnnSearch.relevanceLabel(col("logit")))
-    val filtered = Seq(
-      minLogit.map(m => col("logit") >= m),
-      lang.map(l => col("lang") === l),
-    ).flatten.foldLeft(reranked)((df, p) => df.filter(p))
-    filtered
-      .withColumn("rerank_rank",
-        row_number().over(graft.functions.VectorFunctions.boundedWindow(col("logit").desc, col("doc_id").asc)).cast("long"))
-      .select("doc_id", "score", "logit", "prob", "label", "rerank_rank", "lang", "text")
+    rerankTail(spark, dir, top, queryText, minLogit, lang, scorer)
   }
 
   /** Diversified search: encode the query text, retrieve a candidate
@@ -330,6 +303,97 @@ object SearchApi {
     * production tightens nprobe and trades recall for the pruned scan,
     * exactly the searchIndexed trajectory.
     */
+  /** The query-SET twin of [[searchHybridIndexed]] (r12): both arms of
+    * a whole (query_id, query_text) frame served in ONE plan each —
+    * the vector arm is the [[searchManyIndexed]] retrieval (one
+    * partition-pruned IVF scan joined to the broadcast probe table),
+    * the lexical arm is one bucket-pruned posting scan over the UNION
+    * of all queries' term buckets, equi-joined to the broadcast
+    * (query_id, term) table so each posting row scores only against
+    * the queries carrying its term (per-term dfs are global posting
+    * properties, computed once off the same pruned scan), then the
+    * same per-query RRF fusion. Per query this is row-identical to the
+    * [[searchHybridIndexed]] loop (SearchManySpec); the plan scans
+    * each layout once for the whole set.
+    */
+  def searchManyHybridIndexed(spark: SparkSession, dir: String,
+      vecIndexPath: String, lexIndexPath: String, queries: DataFrame,
+      nprobe: Int = 3, perList: Int = 20, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = queries.select(col("query_id"), col("query_text"))
+      .withColumn("qvec", embedText(col("query_text")))
+      .transform(graft.plans.ScanShare.shared)
+    // ---- vector arm: the searchManyIndexed retrieval shape ----
+    val probe = spark.read.parquet(s"$vecIndexPath/centroids")
+      .crossJoin(broadcast(qs.select(col("query_id"), col("qvec"))))
+      .withColumn("cd2", dist2(col("cvec"), col("qvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cd2").asc, col("cluster_id").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cluster_id"), col("qvec"))
+      .transform(graft.plans.ScanShare.shared)
+    val probedClusters = probe.select(col("cluster_id")).distinct()
+      .collect().map(_.getLong(0)).sorted // index metadata, ≤ nlist ids
+    val vecHits = IndexMaintenance.vectorsDf(spark, vecIndexPath)
+      .withColumn("cluster_id", col("cluster_id").cast("long"))
+      .filter(col("cluster_id").isin(probedClusters.toIndexedSeq: _*))
+      .join(broadcast(probe), Seq("cluster_id"))
+      .withColumn("score", dot(col("embedding"), col("qvec")))
+      .select(col("query_id"), col("vec_id"), col("score"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val vecTop = graft.plans.PartialTopK(vecHits, "query_id", "score", "vec_id", perList)
+      .withColumn("rank_vec", row_number().over(wv).cast("long"))
+      .filter(col("rank_vec") <= perList)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank_vec"))
+    // ---- lexical arm: one pruned posting scan for every query ----
+    // per-query terms: first 8 distinct whitespace tokens (the
+    // searchHybridIndexed rule), collected driver-side — request-scale
+    // metadata that also yields the bucket prune list
+    val qtermRows = qs
+      .select(col("query_id"),
+        explode(slice(array_distinct(split(trim(col("query_text")), "\\s+")), 1, 8)).as("term"))
+      .filter(col("term") =!= "")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    import spark.implicits._
+    val qterms = qtermRows.toSeq.toDF("query_id", "term")
+    val allTerms = qtermRows.map(_._2).distinct.toSeq
+    val buckets = allTerms.map(LexIndex.bucketOfTerm).distinct
+    val p = IndexMaintenance.vectorsDf(spark, lexIndexPath)
+      .withColumn("bucket", col("bucket").cast("long"))
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(allTerms: _*))
+      .transform(graft.plans.ScanShare.shared)
+    // df is a global property of a term's posting list — one aggregate
+    // off the shared pruned scan serves every query carrying the term
+    val termDf = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = spark.read.parquet(s"$lexIndexPath/stats")
+    val lexScores = p
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(termDf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c_e6", LexicalSearch.contributionE6(col("tf"), col("df"),
+        col("dl"), col("n_docs"), col("sum_dl")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_e6")).as("score_e6"))
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+    val lexTop = lexScores.filter(col("score_e6") > 0)
+      .withColumn("rank_lex", row_number().over(wl).cast("long"))
+      .filter(col("rank_lex") <= perList)
+      .select(col("query_id"), col("doc_id"), col("rank_lex"))
+    // ---- fusion (per query, the searchHybridIndexed tail) ----
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    vecTop.join(lexTop, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
   def searchHybridIndexed(spark: SparkSession, dir: String,
       vecIndexPath: String, lexIndexPath: String, queryText: String,
       nprobe: Int = 3, perList: Int = 20, k: Int = 10): DataFrame = {

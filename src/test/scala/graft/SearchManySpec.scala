@@ -69,6 +69,51 @@ class SearchManySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  private lazy val lexIndexPath = {
+    val p = java.nio.file.Files.createTempDirectory("graft-many-lex").toString
+    graft.operators.LexIndex.writeIndex(spark, Sf, p)
+    p
+  }
+
+  test("hybrid batch facade == per-query searchHybridIndexed loop") {
+    val got = SearchApi.searchManyHybridIndexed(spark, Sf, indexPath,
+        lexIndexPath, queriesDf, nprobe = 2)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+        r.getDouble(4)))
+      .sortBy(t => (t._1, -t._5, t._2))
+    val want = queryTexts.zipWithIndex.flatMap { case (t, i) =>
+      SearchApi.searchHybridIndexed(spark, Sf, indexPath, lexIndexPath, t,
+          nprobe = 2)
+        .collect().toSeq
+        .map(r => (i.toLong, r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+          r.getDouble(3)))
+    }.sortBy(t => (t._1, -t._5, t._2))
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("hybrid batch scans each layout once for the whole query set") {
+    // start from a clean shared-scan registry: leftover enrollments
+    // from earlier tests otherwise evict this plan's postings cache
+    // mid-build and the printed plan double-counts the raw scan
+    graft.plans.ScanShare.drain()
+    val df = SearchApi.searchManyHybridIndexed(spark, Sf, indexPath,
+      lexIndexPath, queriesDf, nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the centroid metadata table lives under the same index dir —
+    // count only the vectors layout's scans
+    val vecScans = plan.split("\n").count(l =>
+      l.contains("Scan parquet") && l.contains("graft-many-idx") &&
+        l.contains("vectors"))
+    val lexScans = plan.split("\n").count(l =>
+      l.contains("Scan parquet") && l.contains("graft-many-lex") &&
+        l.contains("vectors"))
+    assert(vecScans === 1, s"expected 1 IVF vectors scan, got $vecScans")
+    assert(lexScans <= 1, s"expected <=1 postings scan, got $lexScans")
+  }
+
   test("one pruned vectors scan serves the whole query set") {
     val df = SearchApi.searchManyIndexed(spark, Sf, indexPath, queriesDf,
       nprobe = 2)
