@@ -119,12 +119,24 @@ object DedupIndex {
     * touching an incoming doc (what the incremental path must
     * reproduce), with the same 60-bit md5-prefix intersection.
     */
-  def incrementalQuery(spark: SparkSession, dir: String): DataFrame = {
-    val incoming = graft.Tables.fanOut(graft.Tables.documents(spark, dir))
-      .select(col("doc_id"), col("text"))
-      .filter(pmod(col("doc_id"), lit(3)) === 2)
-    newNearDups(spark, bandIndexFor(spark, dir), incoming, knownDocs(spark, dir))
-  }
+  def incrementalQuery(spark: SparkSession, dir: String): DataFrame =
+    incrementalPairs(spark, dir)
+
+  /** The per-ingest verified-pair table (the incoming slice against
+    * the persisted band index, full jaccard range) — the artifact a
+    * production pipeline writes between stages: `dedup_incremental`
+    * grades it, the drop-ledger fold consumes it. Session-cached via
+    * [[DedupChain]] exactly like the batch chain's verified pairs
+    * (first consumer materializes and is measured doing so; later
+    * consumers file-scan).
+    */
+  private[graft] def incrementalPairs(spark: SparkSession, dir: String): DataFrame =
+    DedupChain.cached("incr_pairs", dir, spark) {
+      val incoming = graft.Tables.fanOut(graft.Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text"))
+        .filter(pmod(col("doc_id"), lit(3)) === 2)
+      newNearDups(spark, bandIndexFor(spark, dir), incoming, knownDocs(spark, dir))
+    }
 
   /** Candidates + exact n-gram Jaccard verify, on candidates only.
     * `corpusDocs` supplies (doc_id, text) for the already-indexed side
@@ -246,11 +258,11 @@ object DedupIndex {
     */
   def dropIncrementalQuery(spark: SparkSession, dir: String): DataFrame = synchronized {
     val state = dropStateFor(spark, dir)
-    val pairs = newNearDups(spark, bandIndexFor(spark, dir),
-        graft.Tables.fanOut(graft.Tables.documents(spark, dir))
-          .select(col("doc_id"), col("text"))
-          .filter(pmod(col("doc_id"), lit(3)) === 2),
-        knownDocs(spark, dir), DropThreshold)
+    // the fold consumes the SAME per-ingest pair table dedup_incremental
+    // grades (≥ threshold slice) — in a session running the family the
+    // chain cache serves it as a file scan, the production shape
+    val pairs = incrementalPairs(spark, dir)
+      .filter(col("jaccard") >= DropThreshold)
       .select(col("doc_a"), col("doc_b"))
     DedupGroups.foldPairs(spark, state, pairs)
     DedupGroups.groupsDf(spark, state)
