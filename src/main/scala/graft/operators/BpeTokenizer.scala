@@ -116,11 +116,10 @@ class BpeTokenizer(val merges: Array[(String, String)]) extends Serializable {
   }
 
   /** The separator-string reference apply — the EXACT semantics the
-    * DuckDB oracle mirrors (single-pattern `replace` per step). Kept as
-    * the contract definition and the fallback for the degenerate
-    * separator-containing word (where the string encoding is not a
-    * bijection of the token list); BpeSpec pins the fast path against
-    * it.
+    * DuckDB oracle mirrors (single-pattern `replace` per step).
+    * Defined for SEPARATOR-FREE words only (the string encoding is not
+    * a bijection of the token list otherwise); BpeSpec pins the fast
+    * path against it on that domain.
     */
   private[graft] def encodeStateReference(word: String): String = {
     var state = stateOf(word)
@@ -137,9 +136,20 @@ class BpeTokenizer(val merges: Array[(String, String)]) extends Serializable {
     state
   }
 
-  /** Final separator-state of a word after all applicable merges. */
+  /** Final separator-state of a word after all applicable merges —
+    * the oracle-facing STRING encoding, defined for separator-free
+    * words only (r13, ADVICE r12: the old fallback returned a corrupt
+    * state where the word's own separators merged into token
+    * boundaries; fail loudly instead — [[encodeWord]]/[[countWord]]
+    * stay total via the token-list path).
+    */
   def encodeState(word: String): String =
-    if (word.indexOf(Sep.toInt) >= 0) encodeStateReference(word)
+    if (word.indexOf(Sep.toInt) >= 0)
+      throw new IllegalArgumentException(
+        "encodeState is undefined for separator-containing words " +
+          "(the \\u0001-delimited string encoding is not a bijection of " +
+          "the token list); use encodeWord/countWord, which treat the " +
+          "separator as an unmergeable single token")
     else {
       val toks = applyMerges(codepointTokens(word))
       val sb = new java.lang.StringBuilder(word.length * 3)
@@ -150,22 +160,31 @@ class BpeTokenizer(val merges: Array[(String, String)]) extends Serializable {
       sb.toString
     }
 
-  /** The word's BPE tokens. */
+  /** The word's BPE tokens. Total over ALL words (r13, ADVICE r12): a
+    * `␁` codepoint in the input is an UNMERGEABLE SINGLE TOKEN — the
+    * trainer skips separator-containing words, so no merge part ever
+    * contains `␁` and no rank key matches a pair touching one (a key
+    * `a␁b` has exactly one `␁` iff a, b are separator-free; a pair
+    * with a `␁` token probes a ≥2-separator key). The token-list fast
+    * path therefore IS the textbook semantics for these words, where
+    * the r12 string-state fallback corrupted them (the word's own
+    * separators merged into the state's boundary runs — countWord
+    * miscounted, encodeWord silently dropped them). Only
+    * [[encodeState]]'s STRING encoding remains separator-free-only,
+    * because `␁a␁` is not a bijection of the token list there — the
+    * oracle's recursive CTE shares that precondition and the corpora
+    * satisfy it (whitespace tokenization never emits `␁`-bearing
+    * words from the committed test tables).
+    */
   def encodeWord(word: String): Seq[String] =
     if (word.isEmpty) Seq.empty
-    else if (word.indexOf(Sep.toInt) >= 0)
-      encodeStateReference(word).split(Sep).filter(_.nonEmpty).toSeq
     else applyMerges(codepointTokens(word)).toSeq
 
-  /** Token count of one word (0 for the empty word). */
+  /** Token count of one word (0 for the empty word). Total — see
+    * [[encodeWord]] for the separator-token rule.
+    */
   def countWord(word: String): Long =
-    if (word.isEmpty) 0L
-    else if (word.indexOf(Sep.toInt) >= 0) {
-      val s = encodeStateReference(word)
-      var seps = 0L; var i = 0
-      while (i < s.length) { if (s.charAt(i) == Sep) seps += 1; i += 1 }
-      seps / 2
-    } else applyMerges(codepointTokens(word)).length.toLong
+    if (word.isEmpty) 0L else applyMerges(codepointTokens(word)).length.toLong
 }
 
 object BpeTokenizer {

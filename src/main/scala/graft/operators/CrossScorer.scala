@@ -42,21 +42,42 @@ trait CrossScorer extends Serializable {
       textCol: String = "text", scoreCol: String = "score",
       nCharsCol: String = "n_chars"): DataFrame
 
+  /** True iff [[score]] ignores `queryText` entirely (the logit is a
+    * pure function of the row's features). Only such scorers may
+    * inherit the default [[scoreMany]]; a query-SENSITIVE
+    * implementation must override scoreMany itself (r13, ADVICE r12:
+    * the unconditional default silently discarded each row's query
+    * text through the batch facade).
+    */
+  def queryAgnostic: Boolean = false
+
   /** The query-SET variant (r12, r11 verdict #8): rows carry their OWN
     * query text in `queryTextCol` — the batch serving facade scores
     * every (query, doc) pair in one pass instead of a per-query loop.
-    * Default: per-row delegation semantics (the stub ignores the query
-    * text, so the column expression is reused verbatim); the batched
-    * real-model slot overrides with per-query sub-batching.
+    * Default: per-row delegation, VALID ONLY for scorers declaring
+    * [[queryAgnostic]] (the stub ignores the query text, so the column
+    * expression is reused verbatim) — anything else fails loudly
+    * instead of producing wrong logits; the batched real-model slot
+    * overrides with per-query sub-batching.
     */
   def scoreMany(df: DataFrame, queryTextCol: String, outCol: String,
       textCol: String = "text", scoreCol: String = "score",
-      nCharsCol: String = "n_chars"): DataFrame =
+      nCharsCol: String = "n_chars"): DataFrame = {
+    require(queryAgnostic,
+      s"${getClass.getName}: the default scoreMany delegates to " +
+        "score(df, \"\", ...) and would discard each row's query text; " +
+        "override scoreMany (the BatchedScorer per-query sub-batching " +
+        "pattern) or declare queryAgnostic = true if score() provably " +
+        "ignores the query")
     score(df, "", outCol, textCol, scoreCol, nCharsCol)
+  }
 }
 
-/** Column-expression scorer (the graded stub). */
+/** Column-expression scorer (the graded stub — query-agnostic by
+  * construction: the logit reads only retrieval score and doc length).
+  */
 final class ColumnScorer extends CrossScorer {
+  override def queryAgnostic: Boolean = true
   override def score(df: DataFrame, queryText: String, outCol: String,
       textCol: String, scoreCol: String, nCharsCol: String): DataFrame =
     df.withColumn(outCol, KnnSearch.rerankLogit(col(scoreCol), col(nCharsCol)))

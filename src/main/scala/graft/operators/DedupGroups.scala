@@ -33,6 +33,16 @@ import org.apache.spark.sql.functions._
   * share labels, the quotient graph is empty, and the rewrite
   * reproduces the same rows — exactly-once without a log
   * (DedupGroupsSpec pins it, the DedupIndexSpec re-delivery pattern).
+  *
+  * Crash/concurrency contract (r13, ADVICE r12): a fold that dies
+  * inside its swap is rolled forward (or back) by the next read or
+  * fold via [[IndexMaintenance.reconcileSwap]] — the keep-dir manifest
+  * staged with the rewrite makes the repair deterministic — so an
+  * installed `_complete`-marked state can never serve with a missing
+  * groups dir; and the whole read-compute-swap span holds a
+  * cross-process lock ([[IndexMaintenance.withSwapLock]]) so two
+  * maintainers cannot fold from the same base state and silently drop
+  * one fold's merges (DedupGroupsSpec pins both).
   * Because labels merge to the group minimum, incremental state after
   * any sequence of appends equals the batch [[Dedup.components]] on
   * the grown corpus — spec-enforced after EVERY append, not asserted.
@@ -54,9 +64,24 @@ object DedupGroups {
     pmod(conv(substring(md5(docId.cast("string")), 1, 8), 16, 10).cast("long"),
       lit(NumBuckets.toLong))
 
-  /** Current group rows (doc_id, component). */
-  def groupsDf(spark: SparkSession, indexPath: String): DataFrame =
+  /** Current group rows (doc_id, component). Reads reconcile first
+    * (r13, ADVICE r12): a fold that died inside its swap — after
+    * `groups` was renamed aside, before the staged dir was renamed in
+    * — otherwise leaves a `_complete`-certified layout with no groups
+    * dir, and every later session serves a broken state.
+    */
+  def groupsDf(spark: SparkSession, indexPath: String): DataFrame = {
+    reconcile(spark, indexPath)
     spark.read.parquet(s"$indexPath/groups").select(col("doc_id"), col("component"))
+  }
+
+  /** Roll a crashed fold's swap forward/back (see groupsDf). */
+  private def reconcile(spark: SparkSession, indexPath: String): Unit = {
+    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (IndexMaintenance.reconcileSwap(fs, new Path(s"$indexPath/groups_staging"),
+        new Path(s"$indexPath/groups")))
+      spark.catalog.refreshByPath(s"$indexPath/groups")
+  }
 
   /** Initialize the groups table from the verified pairs of the
     * indexed corpus (one batch components run — the offline build
@@ -95,6 +120,20 @@ object DedupGroups {
     */
   def foldPairs(spark: SparkSession, indexPath: String,
       verifiedPairs: DataFrame): Unit = {
+    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // cross-process single-maintainer guard over the whole
+    // read-compute-swap span (r13, ADVICE r12: synchronized is
+    // per-JVM; two processes folding from the same base state would
+    // silently lose one fold's merges), with crash-reconcile first so
+    // a predecessor that died mid-swap never blocks or corrupts us
+    IndexMaintenance.withSwapLock(fs, new Path(s"$indexPath/_groups_fold_lock")) {
+      reconcile(spark, indexPath)
+      foldPairsLocked(spark, indexPath, verifiedPairs, fs)
+    }
+  }
+
+  private def foldPairsLocked(spark: SparkSession, indexPath: String,
+      verifiedPairs: DataFrame, fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val g = spark.read.parquet(s"$indexPath/groups")
       .select(col("doc_id"), col("component"), col("gb").cast("long").as("gb"))
     // endpoints carry their CURRENT label (or themselves if unseen)
@@ -138,7 +177,6 @@ object DedupGroups {
     folded.write.mode("overwrite").partitionBy("gb").parquet(staged)
     val untouchedDirs = (0L until NumBuckets.toLong)
       .filterNot(touched.contains).map(b => s"gb=$b")
-    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     IndexMaintenance.swapKeepingDirs(fs, new Path(staged),
       new Path(s"$indexPath/groups"), untouchedDirs)
     // invalidate the session's cached file listing (see initGroups)

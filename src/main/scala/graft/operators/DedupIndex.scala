@@ -255,6 +255,13 @@ object DedupIndex {
     * non-min member — the group-transitive ledger the pairwise
     * dedup_drop rule approximates (A~B, B~C ⇒ C's keeper is A here,
     * not B).
+    *
+    * The fold mutates the installed, `_complete`-marked layout in
+    * place — safe since r13 (ADVICE r12): a fold that crashes mid-swap
+    * is reconciled by the next read/fold (roll forward/back via the
+    * staged keep-dir manifest), and cross-process folds serialize on
+    * the layout's lock — see [[DedupGroups]]'s crash/concurrency
+    * contract.
     */
   def dropIncrementalQuery(spark: SparkSession, dir: String): DataFrame = synchronized {
     val state = dropStateFor(spark, dir)

@@ -610,10 +610,33 @@ object IndexMaintenance {
     */
   private[graft] def swapKeepingDirs(fs: FileSystem, staged: Path, dst: Path,
       keepDirs: Seq[String]): Unit = {
+    // the keep list is persisted INSIDE the staged dir before anything
+    // destructive happens (r13, ADVICE r12): a crash mid-swap otherwise
+    // leaves dst missing with no way to tell keep dirs (which must
+    // cross from the aside copy) from touched dirs (whose rewritten
+    // rows live in staged) — [[reconcileSwap]] reads it to roll the
+    // swap forward. The underscore name keeps it invisible to parquet
+    // readers if it ever rides along.
+    val mf = fs.create(new Path(staged, KeepManifest), true)
+    try mf.write(keepDirs.mkString("\n").getBytes("UTF-8")) finally mf.close()
     val aside = new Path(dst.toString + "_old")
     fs.delete(aside, true)
     if (fs.exists(dst) && !fs.rename(dst, aside))
       throw new java.io.IOException(s"could not move $dst aside")
+    moveKeepDirs(fs, aside, staged, keepDirs)
+    if (!fs.rename(staged, dst))
+      throw new java.io.IOException(s"could not move $staged into place")
+    fs.delete(aside, true)
+    // completed: the manifest (now under dst) is no longer a
+    // roll-forward signal
+    fs.delete(new Path(dst, KeepManifest), false)
+  }
+
+  /** Keep-dir manifest name ([[swapKeepingDirs]]/[[reconcileSwap]]). */
+  private val KeepManifest = "_graft_keep_dirs"
+
+  private def moveKeepDirs(fs: FileSystem, aside: Path, staged: Path,
+      keepDirs: Seq[String]): Unit =
     keepDirs.foreach { name =>
       val from = new Path(aside, name)
       if (fs.exists(from)) {
@@ -627,9 +650,82 @@ object IndexMaintenance {
         }
       }
     }
-    if (!fs.rename(staged, dst))
-      throw new java.io.IOException(s"could not move $staged into place")
-    fs.delete(aside, true)
+
+  /** Crash-reconcile for the swap disciplines (r13, ADVICE r12 — the
+    * groups fold could die inside [[swapKeepingDirs]] after `dst` was
+    * renamed aside, leaving a layout with NO serving dir that a
+    * `_complete` marker still certified). Called on the read/maintain
+    * path BEFORE `dst` is read: when `dst` is missing, the swap that
+    * broke is finished or undone deterministically —
+    *
+    *  - staged present WITH a [[KeepManifest]]: a partition-selective
+    *    swap died mid-flight. Roll FORWARD: finish moving the
+    *    manifest's keep dirs from the aside copy, rename staged in,
+    *    drop aside + manifest (the staged dir was fully written before
+    *    the swap began — the swap contract).
+    *  - staged present, no manifest: an [[atomicSwap]] died between its
+    *    two renames. Roll forward: rename staged in, drop aside.
+    *  - only the aside copy present: roll BACK to the pre-swap state.
+    *
+    * When `dst` exists the state is already serving; nothing is
+    * touched (a healthy concurrent swap may hold the siblings — see
+    * [[withSwapLock]] for the cross-process contract). Returns true if
+    * anything changed (the caller refreshes its cached file listing).
+    */
+  private[graft] def reconcileSwap(fs: FileSystem, staged: Path, dst: Path): Boolean = {
+    if (fs.exists(dst)) return false
+    val aside = new Path(dst.toString + "_old")
+    if (fs.exists(staged)) {
+      val mf = new Path(staged, KeepManifest)
+      if (fs.exists(mf)) {
+        val in = fs.open(mf)
+        val keeps = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).toList
+          finally in.close()
+        moveKeepDirs(fs, aside, staged, keeps)
+      }
+      if (!fs.rename(staged, dst))
+        throw new java.io.IOException(s"reconcile: could not move $staged into place")
+      fs.delete(aside, true)
+      fs.delete(new Path(dst, KeepManifest), false)
+      true
+    } else if (fs.exists(aside)) {
+      if (!fs.rename(aside, dst))
+        throw new java.io.IOException(s"reconcile: could not roll back $aside")
+      true
+    } else false
+  }
+
+  /** Best-effort cross-process mutual exclusion for a maintenance
+    * fold's whole read-compute-swap span (r13, ADVICE r12: the
+    * per-JVM `synchronized` did not stop two PROCESSES from folding
+    * concurrently — the later swap would silently drop the earlier
+    * fold's merges). Exclusive-create of a lock file; a holder crash
+    * is bounded by [[reconcileSwap]] plus the stale takeover (a lock
+    * older than `staleMs` is presumed dead and broken). On stores
+    * without atomic create-exclusive this degrades to advisory — the
+    * layouts' single-maintainer deployment contract (one cron/stream
+    * owner per index) is the real guarantee, as for every lakehouse
+    * table format without a lock service.
+    */
+  private[graft] def withSwapLock[T](fs: FileSystem, lock: Path,
+      staleMs: Long = 15L * 60 * 1000)(body: => T): T = {
+    def tryAcquire(): Boolean =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val heldSince =
+        try fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.FileNotFoundException => 0L }
+      if (System.currentTimeMillis() - heldSince <= staleMs)
+        throw new IllegalStateException(
+          s"another maintainer holds $lock; concurrent folds on one " +
+            "layout are not coordinated — retry after it completes")
+      fs.delete(lock, false) // presumed-dead holder: break the lock
+      if (!tryAcquire())
+        throw new IllegalStateException(s"lost the takeover race on $lock")
+    }
+    try body finally fs.delete(lock, false)
   }
 
   /** Recursive .parquet part-file count under a directory. */

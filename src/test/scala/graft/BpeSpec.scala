@@ -130,6 +130,29 @@ class BpeSpec extends AnyFunSuite {
     assert(t.merges.length >= 1024, s"merge table too small: ${t.merges.length}")
   }
 
+  test("r13 (ADVICE r12): separator-containing words tokenize as textbook BPE") {
+    // the trainer skips -bearing words, so no merge part contains
+    // the separator and it can never merge — the token-list fast path is
+    // exactly the textbook semantics for these words (the r12 string-
+    // state fallback corrupted them: countWord halved separator runs,
+    // encodeWord dropped them)
+    val t = BpeTokenizer.default
+    val sep = BpeTokenizer.Sep.toString
+    val words = Seq(sep, sep * 4, s"ab${sep}cd", s"${sep}MACHINERY$sep",
+      s"Customer#${sep}000012", s"a$sep$sep b".replace(" ", ""),
+      corpusWords.headOption.map(w => w + sep + w).getOrElse(s"x${sep}x"))
+    words.foreach { w =>
+      val want = referenceEncode(t.merges, w)
+      assert(t.encodeWord(w) === want, s"tokens of '${w.replace(sep, "<SEP>")}'")
+      assert(t.countWord(w) === want.size.toLong,
+        s"count of '${w.replace(sep, "<SEP>")}'")
+      // every input separator survives as its own token
+      assert(t.encodeWord(w).count(_ == sep) === w.count(_ == BpeTokenizer.Sep))
+    }
+    // the string encoding is honestly partial now, not silently corrupt
+    assertThrows[IllegalArgumentException](t.encodeState(s"ab${sep}cd"))
+  }
+
   test("bytes round-trip; every byte flip fails the CRC load") {
     val t = BpeTokenizer.default
     val bytes = BpeTokenizer.toBytes(t)

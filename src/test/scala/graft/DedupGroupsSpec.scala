@@ -142,6 +142,94 @@ class DedupGroupsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === got)
   }
 
+  test("r13 (ADVICE r12): a fold that crashes mid-swap reconciles on the next read") {
+    import spark.implicits._
+    def initAt(idx: String): Unit = DedupGroups.initGroups(spark, idx,
+      Seq((1L, 2L), (1001L, 1002L), (5003L, 5004L)).toDF("doc_a", "doc_b"))
+    def rows(idx: String): Seq[(Long, Long)] =
+      DedupGroups.groupsDf(spark, idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    // reference run: the fold completing normally
+    val ref = tmp("graft-groups-crashref")
+    initAt(ref)
+    val preFold = rows(ref)
+    DedupGroups.foldPairs(spark, ref, Seq((2L, 1001L)).toDF("doc_a", "doc_b"))
+    val want = rows(ref)
+    assert(want !== preFold)
+
+    // crash window 1 (the ADVICE scenario): groups renamed aside, the
+    // fully-written staged dir (touched buckets + keep manifest) never
+    // renamed in — dst is GONE while _complete still certifies the
+    // layout. Manufacture it from the reference run's staged content:
+    // the touched bucket dirs of the completed fold ARE what the
+    // crashed fold had staged.
+    val idx = tmp("graft-groups-crash")
+    initAt(idx)
+    val gDir = new java.io.File(s"$idx/groups")
+    val preDirNames = gDir.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    // the fold of (2, 1001) touches exactly the buckets of the merged
+    // groups' members {1, 2, 1001, 1002} (the r12 blast-radius pin) —
+    // those dirs of the completed reference run ARE its staged content
+    val touched = Seq(1L, 2L, 1001L, 1002L).toDF("doc_id")
+      .select(DedupGroups.bucketOf(col("doc_id")).as("gb"))
+      .collect().map(r => s"gb=${r.getLong(0)}").toSet
+    val keeps = preDirNames -- touched
+    assert(touched.nonEmpty && keeps.nonEmpty, "degenerate split — pin is vacuous")
+    val staged = new java.io.File(s"$idx/groups_staging"); staged.mkdirs()
+    touched.foreach { name =>
+      val dstDir = new java.io.File(staged, name); dstDir.mkdirs()
+      new java.io.File(s"$ref/groups/$name").listFiles().foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dstDir, f.getName).toPath)
+      }
+    }
+    java.nio.file.Files.write(
+      new java.io.File(staged, "_graft_keep_dirs").toPath,
+      keeps.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    assert(gDir.renameTo(new java.io.File(s"$idx/groups_old")))
+    spark.catalog.refreshByPath(s"$idx/groups")
+    // the read path must roll the swap FORWARD and serve the folded state
+    assert(rows(idx) === want)
+    assert(!new java.io.File(s"$idx/groups_old").exists())
+    assert(!new java.io.File(s"$idx/groups_staging").exists())
+    assert(!new java.io.File(s"$idx/groups/_graft_keep_dirs").exists())
+    // and a follow-up fold of the same pair is the usual no-op
+    DedupGroups.foldPairs(spark, idx, Seq((2L, 1001L)).toDF("doc_a", "doc_b"))
+    assert(rows(idx) === want)
+
+    // crash window 2: aside renamed, staged LOST (or never written) —
+    // roll BACK to the pre-swap state
+    val idx2 = tmp("graft-groups-crash2")
+    initAt(idx2)
+    val pre2 = rows(idx2)
+    assert(new java.io.File(s"$idx2/groups")
+      .renameTo(new java.io.File(s"$idx2/groups_old")))
+    spark.catalog.refreshByPath(s"$idx2/groups")
+    assert(rows(idx2) === pre2)
+    assert(!new java.io.File(s"$idx2/groups_old").exists())
+  }
+
+  test("r13 (ADVICE r12): concurrent folds serialize on the layout lock") {
+    import spark.implicits._
+    val idx = tmp("graft-groups-lock")
+    DedupGroups.initGroups(spark, idx, Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+    val lock = new java.io.File(s"$idx/_groups_fold_lock")
+    // a live holder (fresh mtime) blocks the fold loudly
+    assert(lock.createNewFile())
+    val ex = intercept[IllegalStateException](
+      DedupGroups.foldPairs(spark, idx, Seq((2L, 3L)).toDF("doc_a", "doc_b")))
+    assert(ex.getMessage.contains("lock"))
+    // a stale lock (presumed-dead holder) is broken and the fold runs
+    assert(lock.setLastModified(System.currentTimeMillis() - 16L * 60 * 1000))
+    DedupGroups.foldPairs(spark, idx, Seq((2L, 3L)).toDF("doc_a", "doc_b"))
+    assert(DedupGroups.groupsDf(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    // the lock is released after a successful fold
+    assert(!lock.exists())
+  }
+
   test("final incremental state == the graded batch components labeling") {
     val idx = tmp("graft-groups-graded")
     DedupIndex.writeBandIndex(base, idx)

@@ -59,4 +59,26 @@ class RerankSeamSpec extends AnyFunSuite {
     val byRank = out.sortBy(_.getLong(5))
     assert(byRank.map(_.getDouble(2)).toSeq === byRank.map(_.getDouble(2)).sortBy(-(_: Double)).toSeq)
   }
+
+  test("r13 (ADVICE r12): a query-sensitive scorer cannot inherit the default scoreMany") {
+    // a scorer whose score() USES the query text but forgot to override
+    // scoreMany must fail loudly through the batch facade, not silently
+    // score every row with the empty query
+    class QuerySensitive extends graft.operators.CrossScorer {
+      override def score(df: org.apache.spark.sql.DataFrame, queryText: String,
+          outCol: String, textCol: String, scoreCol: String,
+          nCharsCol: String): org.apache.spark.sql.DataFrame =
+        df.withColumn(outCol, org.apache.spark.sql.functions.lit(queryText.length.toDouble))
+    }
+    val df = spark.range(1).selectExpr("'t' AS text", "CAST(0.5 AS DOUBLE) AS score",
+      "CAST(10 AS BIGINT) AS n_chars", "'q' AS query_text")
+    val ex = intercept[IllegalArgumentException](
+      new QuerySensitive().scoreMany(df, "query_text", "logit"))
+    assert(ex.getMessage.contains("scoreMany"))
+    // the declared-agnostic stub and the overriding batched scorer both pass
+    assert(new graft.operators.ColumnScorer().scoreMany(df, "query_text", "logit")
+      .collect().length === 1)
+    assert(new BatchedScorer().scoreMany(df, "query_text", "logit")
+      .collect().length === 1)
+  }
 }
