@@ -436,6 +436,52 @@ object OracleSql {
        |  CAST(row_number() OVER (ORDER BY logit DESC, doc_id) AS BIGINT) AS rerank_rank
        |FROM j""".stripMargin
 
+  // vs_search_many (r13, r12 verdict #4): the batch serving facade,
+  // re-derived end to end — including the hashing ENCODER
+  // (SearchApi.embedText): per token, bucket = first 4 md5 nibbles mod
+  // 64 and sign = parity of nibble 5; per dimension the signed hit sum
+  // (±1 integers — exact in double under any summation order), then
+  // L2-normalize and cast each component to REAL exactly as Spark casts
+  // to float. The dot, top-k, rerank logit/prob/label and per-query
+  // rank mirror the vs_rerank chain with PARTITION BY query_id. The
+  // Spark side serves from the IVF layout at FULL coverage, where
+  // indexed retrieval provably equals this brute top-k.
+  val vsSearchMany: String = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substring(m, $i, 1)) - 1)"
+    val qvalues = graft.operators.SearchApi.GradedQuerySet
+      .map { case (i, t) => s"(CAST($i AS BIGINT), '${t.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""WITH qt(query_id, query_text) AS (SELECT * FROM (VALUES $qvalues) t(query_id, query_text)),
+       |qw AS (SELECT query_id, md5(w) AS m FROM (SELECT query_id,
+       |    unnest(string_split_regex(trim(query_text), '\\s+')) AS w FROM qt)
+       |  WHERE w <> ''),
+       |tv AS (SELECT query_id,
+       |  (4096 * ${nib(1)} + 256 * ${nib(2)} + 16 * ${nib(3)} + ${nib(4)}) % 64 AS b,
+       |  CASE WHEN ${nib(5)} % 2 = 0 THEN (1.0)::DOUBLE ELSE (-1.0)::DOUBLE END AS v
+       |  FROM qw),
+       |dims AS (SELECT unnest(generate_series(0, 63)) AS pos),
+       |rawv AS (SELECT q.query_id, d.pos, coalesce(sum(t.v), (0.0)::DOUBLE) AS r
+       |  FROM qt q CROSS JOIN dims d
+       |  LEFT JOIN tv t ON t.query_id = q.query_id AND t.b = d.pos
+       |  GROUP BY 1, 2),
+       |nr AS (SELECT query_id, sqrt(sum(r * r)) AS n FROM rawv GROUP BY 1),
+       |qv AS (SELECT r.query_id, list(CAST(r.r / nr.n AS REAL) ORDER BY r.pos) AS qvec
+       |  FROM rawv r JOIN nr USING (query_id) GROUP BY r.query_id),
+       |s AS (SELECT q.query_id, e.vec_id, ${dot("e.embedding", "q.qvec")} AS sc
+       |  FROM embeddings e, qv q),
+       |rk AS (SELECT query_id, vec_id, sc,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id) AS rnk FROM s),
+       |top AS (SELECT query_id, vec_id, sc FROM rk WHERE rnk <= 20),
+       |j AS (SELECT t.query_id, d.doc_id, t.sc, $logitExpr AS logit
+       |  FROM top t JOIN documents d ON d.doc_id = t.vec_id)
+       |SELECT query_id, doc_id, ${r6("sc")} AS retrieve_score, ${r6("logit")} AS logit,
+       |  ${r6("1.0 / (1.0 + exp(-logit))")} AS prob,
+       |  $labelExpr AS label,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY logit DESC, doc_id)
+       |    AS BIGINT) AS rerank_rank
+       |FROM j""".stripMargin
+  }
+
   val vsFilteredSearch: String =
     s"""WITH $qVec0, $scoredAll,
        |top AS (SELECT vec_id, sc FROM s ORDER BY sc DESC, vec_id LIMIT 50),
@@ -836,6 +882,31 @@ object OracleSql {
        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1, 2""".stripMargin
+
+  // q_pack_bpe (r13, r12 verdict #3): the cumulative-sum packer joined
+  // onto the recursive-CTE BPE fold — shards budget by the committed
+  // tokenizer artifact's counts, over the identifier-shaped
+  // customer-name corpus where the artifact has subword structure to
+  // find (the documents Zipf head fully merges, so whitespace ≡ BPE
+  // there; the text_bpe_ids precedent and slice).
+  val qPackBpe: String =
+    s"""WITH RECURSIVE
+       |cs AS (SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 11 = 0),
+       |w1 AS (SELECT c_custkey, w
+       |  FROM (SELECT c_custkey,
+       |    unnest(string_split_regex(trim(c_name), '\\s+')) AS w FROM cs) WHERE w <> ''),
+       |$bpeFoldCtes,
+       |agg AS (SELECT c_custkey, CAST(sum(n_bpe_w) AS BIGINT) AS n_tok
+       |  FROM w1 JOIN fin USING (w) GROUP BY 1),
+       |d AS (SELECT c.c_custkey, c.c_mktsegment, coalesce(a.n_tok, 0) AS n_tok
+       |  FROM cs c LEFT JOIN agg a USING (c_custkey)),
+       |cum AS (SELECT c_custkey, c_mktsegment, n_tok,
+       |  coalesce(sum(n_tok) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM d)
+       |SELECT c_mktsegment, CAST(floor(cum_before / (8.0)::DOUBLE) AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  min(c_custkey) AS first_doc, max(c_custkey) AS last_doc
+       |FROM cum GROUP BY 1, 2""".stripMargin
 
   val qMixWeighted: String =
     s"""WITH k AS (SELECT doc_id, source,
@@ -3283,6 +3354,8 @@ object OracleSql {
     "vs_bm25_idx" -> vsBm25,
     "vs_hybrid_rrf" -> vsHybridRrf,
     "vs_hybrid_idx" -> vsHybridRrf,
+    "vs_search_many" -> vsSearchMany,
+    "q_pack_bpe" -> qPackBpe,
     "text_pii" -> textPii,
     "q_pack_sequences" -> qPackSequences,
     "q_mix_weighted" -> qMixWeighted,

@@ -96,9 +96,14 @@ object SparkEntry {
     "vs_hybrid_rrf" -> ((s, d) => LexicalSearch.hybridRrf(s, d)),
     // fully-indexed twin: both arms off persisted layouts, same oracle
     "vs_hybrid_idx" -> ((s, d) => LexIndex.hybridIndexedQuery(s, d)),
+    // batch serving facade: a query SET through searchManyIndexed in
+    // one plan, oracle re-derives encode → top-k → rerank — r13
+    "vs_search_many" -> ((s, d) => SearchApi.searchManyQuery(s, d)),
     // C+. training-set assembly
     "text_pii" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "q_pack_sequences" -> ((s, d) => TrainingMix.packSequences(s, d)),
+    // tokenizer-budget packing under the committed BPE artifact — r13
+    "q_pack_bpe" -> ((s, d) => TrainingMix.packSequencesBpe(s, d)),
     "q_mix_weighted" -> ((s, d) => TrainingMix.mixWeighted(s, d)),
     "pipeline_filter" -> ((s, d) => TrainingMix.corpusFilter(s, d)),
     // A++. quantized / truncated / composed search modes

@@ -27,19 +27,28 @@ object Pipeline {
     * token count, quality sigmoid, predicted language, Gopher keep,
     * and the consistent-hash mix decision, all per-row column math.
     */
-  def scanDecisions(spark: SparkSession, dir: String): DataFrame = {
+  def scanDecisions(spark: SparkSession, dir: String): DataFrame =
+    scanWith(spark, dir, keepToks = false)
+
+  /** The decision scan, optionally carrying the token array through so
+    * a downstream budget pass (the BPE packer) stays in the SAME
+    * single scan instead of re-reading the corpus.
+    */
+  private def scanWith(spark: SparkSession, dir: String,
+      keepToks: Boolean): DataFrame = {
     val wIdx = pmod(substring(col("source"), 4, 16).cast("int"), lit(4))
     val thr = element_at(
       array(lit("40000000"), lit("80000000"), lit("c0000000"), lit("zzzzzzzz")),
       wIdx + 1)
-    Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("lang"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_toks"),
-        TextAnalysis.predLang(col("text")).as("pred_lang"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.gopherStats(col("text")).getField("keep").as("gopher_keep"),
-        (substring(md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))),
-          1, 8) < thr).as("mix_kept"))
+    val cols = Seq(col("doc_id"), col("lang"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_toks"),
+      TextAnalysis.predLang(col("text")).as("pred_lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.gopherStats(col("text")).getField("keep").as("gopher_keep"),
+      (substring(md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))),
+        1, 8) < thr).as("mix_kept"))
+    val selected = if (keepToks) cols :+ tokens(col("text")).as("toks") else cols
+    Tables.fanOut(Tables.documents(spark, dir)).select(selected: _*)
   }
 
   /** The composed keep decision per document: quality ≥ threshold ∧
@@ -48,11 +57,29 @@ object Pipeline {
     * broadcasts the left join.
     */
   def docDecisions(spark: SparkSession, dir: String,
-      minQuality: Double = 0.4): DataFrame = {
+      minQuality: Double = 0.4): DataFrame =
+    decisionsTok(spark, dir, minQuality, bpeBudget = false)
+
+  /** The composed keep decision with the packing token counter
+    * selectable: whitespace (`bpeBudget = false`, the graded default)
+    * or the committed BPE artifact (r13, r12 verdict #3 — the trainer
+    * consumes TOKENIZER tokens; the keep decision itself is identical,
+    * only what n_toks COUNTS switches). The BPE pass rides the same
+    * single decision scan (the token array is carried through, never a
+    * second corpus read).
+    */
+  private def decisionsTok(spark: SparkSession, dir: String,
+      minQuality: Double, bpeBudget: Boolean): DataFrame = {
     // single-pass consumer: skip the chain's eager barrier (the r5
     // unconditional barrier doubled pipeline_filter under the driver)
     val drops = Dedup.dropDecisions(spark, dir, eagerCand = false).select(col("drop_doc"))
-    scanDecisions(spark, dir)
+    val scan =
+      if (!bpeBudget) scanWith(spark, dir, keepToks = false)
+      else TextAnalysis.addBpeTokenCount(scanWith(spark, dir, keepToks = true),
+          "toks", "n_bpe")
+        .drop("toks", "n_toks")
+        .withColumnRenamed("n_bpe", "n_toks")
+    scan
       .join(drops, col("doc_id") === col("drop_doc"), "left")
       .withColumn("kept",
         when(col("quality") >= minQuality && col("pred_lang") === col("lang")
@@ -69,10 +96,11 @@ object Pipeline {
     * plus the broadcast drop list.
     */
   def run(spark: SparkSession, dir: String, minQuality: Double = 0.4,
-      budget: Long = TrainingMix.ShardBudget): DataFrame = {
+      budget: Long = TrainingMix.ShardBudget,
+      bpeBudget: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docDecisions(spark, dir, minQuality)
+    decisionsTok(spark, dir, minQuality, bpeBudget)
       .filter(col("kept") === 1)
       .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
       .withColumn("shard", floor(col("cum_before") / lit(budget.toDouble)).cast("long"))
@@ -85,10 +113,12 @@ object Pipeline {
     * (source=…/shard=…) so the trainer's reader prunes by directory.
     */
   def writeShards(spark: SparkSession, dir: String, outPath: String,
-      minQuality: Double = 0.4, budget: Long = TrainingMix.ShardBudget): Unit = {
+      minQuality: Double = 0.4, budget: Long = TrainingMix.ShardBudget,
+      bpeBudget: Boolean = false): Unit = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val kept = docDecisions(spark, dir, minQuality).filter(col("kept") === 1)
+    val kept = decisionsTok(spark, dir, minQuality, bpeBudget)
+      .filter(col("kept") === 1)
       .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
       .withColumn("shard", floor(col("cum_before") / lit(budget.toDouble)).cast("long"))
       .select("doc_id", "source", "shard", "n_toks")

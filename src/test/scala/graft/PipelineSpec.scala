@@ -44,6 +44,32 @@ class PipelineSpec extends AnyFunSuite {
     decisions.unpersist(); shards.unpersist()
   }
 
+  test("r13: the BPE-budget flag switches the packing counter, not the decisions") {
+    val ws = Pipeline.run(spark, Sf)
+    val bpe = Pipeline.run(spark, Sf, bpeBudget = true)
+    // decisions are identical: both pack exactly the kept docs
+    assert(ws.agg(sum("n_docs")).head().getLong(0) ===
+      bpe.agg(sum("n_docs")).head().getLong(0))
+    // the committed documents head fully merges under the artifact
+    // (BpeSpec pins that), so on THIS corpus the budgets coincide —
+    // the flag's counter is proven live on the identifier corpus by
+    // q_pack_bpe's graded divergence; here we pin the plumbing: the
+    // materialized layout equals the reported stats under the flag
+    val out = java.nio.file.Files.createTempDirectory("graft-shards-bpe").toString
+    Pipeline.writeShards(spark, Sf, out, bpeBudget = true)
+    val written = spark.read.parquet(out)
+      .withColumn("shard", col("shard").cast("long"))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val stats = bpe
+      .select(col("source"), col("shard"), col("n_docs"), col("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(written === stats)
+  }
+
   test("composed decision agrees with the standalone stages") {
     val d = Pipeline.docDecisions(spark, Sf)
     val q = TextAnalysis.quality(spark, Sf).select(col("doc_id"), col("quality"))

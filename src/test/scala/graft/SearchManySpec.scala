@@ -114,6 +114,70 @@ class SearchManySpec extends AnyFunSuite {
     assert(lexScans <= 1, s"expected <=1 postings scan, got $lexScans")
   }
 
+  test("r13: the lexical arm is distributed — no term literals in the plan, " +
+      "PartialTopK under BOTH rank shuffles") {
+    import spark.implicits._
+    graft.plans.ScanShare.drain()
+    // a term that exists nowhere else: if it shows up in the executed
+    // plan text, it got there as an isin/equality LITERAL (the r12
+    // driver-mediated shape); the distributed arm ships it only as
+    // broadcast-relation DATA, which the plan string never inlines
+    val marker = "zzqxmarkerterm"
+    val df = SearchApi.searchManyHybridIndexed(spark, Sf, indexPath,
+      lexIndexPath, Seq((0L, s"vector $marker"), (1L, "distributed joins"))
+        .toDF("query_id", "query_text"), nprobe = 2)
+    val qe = df.queryExecution
+    // the r12 isin filter lived INSIDE the ScanShare-persisted postings
+    // frame, so the cached plans must be searched too, not just the
+    // top-level tree (whose string a cached adaptive subplan truncates)
+    val cachedStrs = qe.optimizedPlan.collect {
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        imr.cachedPlan.toString
+    }
+    val all = (qe.executedPlan.toString +: cachedStrs).mkString("\n")
+    assert(!all.contains(marker),
+      "a query term reached the plan as a literal — the lexical arm is driver-mediated again")
+    // the per-query scored set is bounded before BOTH rank Exchanges:
+    // the vector arm's PartialTopK (r12) and the lexical arm's (r13) —
+    // counted structurally off the logical plan (string counting
+    // double-counts adaptive Final/Initial sections)
+    val nTopK = qe.optimizedPlan.collect {
+      case p: graft.plans.PartialTopKNode => p
+    }.size
+    assert(nTopK === 2, s"expected 2 PartialTopK bounds (vector + lexical), got $nTopK in:\n$all")
+  }
+
+  test("r13: stop-word-heavy query set stays row-identical to the per-query loop") {
+    import spark.implicits._
+    // the corpus Zipf head = the highest-df terms there are; every
+    // query is all stop-words, the regime where an unbounded lexical
+    // rank shuffle would carry a corpus-scale scored set
+    val head = Tables.fanOut(Tables.documents(spark, Sf))
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .orderBy(col("count").desc, col("w")).limit(6)
+      .collect().map(_.getString(0))
+    val texts = Seq(head.take(3).mkString(" "), head.drop(3).mkString(" "),
+      head.take(2).reverse.mkString(" "))
+    val queriesDf2 = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("query_id", "query_text")
+    val got = SearchApi.searchManyHybridIndexed(spark, Sf, indexPath,
+        lexIndexPath, queriesDf2, nprobe = 2)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+        r.getDouble(4)))
+      .sortBy(t => (t._1, -t._5, t._2))
+    val want = texts.zipWithIndex.flatMap { case (t, i) =>
+      SearchApi.searchHybridIndexed(spark, Sf, indexPath, lexIndexPath, t,
+          nprobe = 2)
+        .collect().toSeq
+        .map(r => (i.toLong, r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+          r.getDouble(3)))
+    }.sortBy(t => (t._1, -t._5, t._2))
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("one pruned vectors scan serves the whole query set") {
     val df = SearchApi.searchManyIndexed(spark, Sf, indexPath, queriesDf,
       nprobe = 2)
