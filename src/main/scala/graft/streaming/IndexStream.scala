@@ -208,6 +208,69 @@ object IndexStream {
         .withColumn("bucket", graft.operators.LshAnn.bucketOf(col("embedding"))),
       checkpoint, sinkDir, "bucket")
 
+  /** Streaming maintenance of the DROP-LEDGER groups (r13, r12 verdict
+    * #5 — the last dedup stage that still required a batch
+    * [[graft.operators.DedupGroups.foldPairs]] call): per micro-batch
+    * of newly-ingested (doc_id, text) documents,
+    *
+    *  1. adjudicate the batch's near-dup pairs against the persisted
+    *     band index AND among the batch itself
+    *     ([[graft.operators.DedupIndex.newNearDups]] — candidate
+    *     generation touches the index, never the corpus; exact
+    *     hashed-shingle verify on candidates only, at the drop
+    *     threshold),
+    *  2. fold the verified pairs into the persisted groups table
+    *     (touched buckets only — the bucketed blast radius is
+    *     preserved, fold contract unchanged), and
+    *  3. append the batch's own signatures into a band-index EPOCH dir
+    *     (`batch=<id>` overwrite subdirs — the idempotent foreachBatch
+    *     layout) so later batches see these docs as known.
+    *
+    * This completes "ingest to drop-ledger with no batch jobs":
+    * [[graft.operators.DedupIndex.dropIncrementalQuery]]'s serve
+    * becomes a pure read of state this stream maintains. Exactly-once
+    * under micro-batch REPLAY without a sink log: the fold is
+    * idempotent by the groups contract (re-delivered pairs merge
+    * nothing); a replay that finds its own signatures already appended
+    * (crash between 3 and the checkpoint commit) re-derives the SAME
+    * verified pair set — batch-vs-batch pairs are re-found through the
+    * index instead of the self-join, and verification is text-jaccard,
+    * not band-count — so the fold is again a no-op; and the signature
+    * append overwrites its own `batch=<id>` subdir.
+    *
+    * `corpusDocs` must lazily cover (doc_id, text) of every
+    * already-indexed document INCLUDING earlier micro-batches (the
+    * ingest sink this pipeline feeds — evaluated per batch, so growth
+    * is seen); the batch's own text rides its own frame. Fold ordering
+    * per batch is pairs-then-signatures: signing first would make the
+    * batch's docs "known" and double-count their own bands.
+    */
+  def foldGroupsFromStream(spark: SparkSession, indexPath: String,
+      groupsPath: String, newDocs: DataFrame, corpusDocs: () => DataFrame,
+      checkpoint: String,
+      minJaccard: Double = graft.operators.DedupIndex.DropThreshold): StreamingQuery = {
+    val epochDir = IndexMaintenance.nextEpochDir(spark, indexPath)
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.select(col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val pairs = graft.operators.DedupIndex
+            .newNearDups(spark, indexPath, b, corpusDocs(), minJaccard)
+            .select(col("doc_a"), col("doc_b"))
+          graft.operators.DedupGroups.foldPairs(spark, groupsPath, pairs)
+          graft.operators.Dedup.bandSignaturesOf(b)
+            .write.mode("overwrite").partitionBy("band")
+            .parquet(s"$epochDir/batch=$id")
+          // the epoch dir grew under a possibly-read path
+          spark.catalog.refreshByPath(epochDir)
+        } finally b.unpersist(false)
+      }
+      .start()
+  }
+
   /** Lexical posting-index twin (r11): stream (doc_id, text) documents
     * into the persisted BM25 index ([[graft.operators.LexIndex]]). The
     * posting projection is the same stateless map-side pass the batch
