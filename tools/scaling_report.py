@@ -8,11 +8,15 @@ records (the r9 verdict re-derived these by hand).
 """
 import json, sys, statistics
 
-tag = sys.argv[1] if len(sys.argv) > 1 else "best_r10"
+tag = sys.argv[1] if len(sys.argv) > 1 else "r13"
 recs = {}
 for sf, name in [("sf0.1", "01"), ("sf1", "1"), ("sf3", "3")]:
+    # checksum_<tag> = a pin that cleared the steal bar; best_<tag> = the
+    # lowest-steal attempt of a round whose windows never cleared it (r12 sf1/
+    # sf3) — fall back so every round's tag resolves to its honest record.
     for pattern in (f"tools/bench_sf{name}_checksum_{tag}.json",
-                    f"tools/bench_sf{name}_{tag}.json"):
+                    f"tools/bench_sf{name}_{tag}.json",
+                    f"tools/bench_sf{name}_best_{tag}.json"):
         try:
             with open(pattern) as f:
                 recs[sf] = json.load(f)
