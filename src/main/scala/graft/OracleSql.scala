@@ -2326,16 +2326,24 @@ object OracleSql {
        |SELECT doc_id, rnk, token, tf, df, score_e6 / (1000000.0)::DOUBLE AS tfidf
        |FROM r WHERE rnk <= 3""".stripMargin
 
-  val textLmScore: String =
-    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
-       |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
-       |tot AS (SELECT count(*) AS n_total FROM tok),
-       |c AS (SELECT doc_id, ${cents("ln(cnt / ((1.0)::DOUBLE * n_total))", "1000000.0")} AS lp_e6
-       |  FROM tok JOIN freq USING(token) CROSS JOIN tot),
+  /** Unigram LM score (TextAnalysis.lmScore): the r14 bucketed model —
+    * the LM is trained over the DSIR hashed-bucket feature space (md5
+    * 2-hex-char prefix → 0..255, same ladder as textDsir), per-bucket
+    * log-probs integerized before the per-doc sum.
+    */
+  val textLmScore: String = {
+    val hexv = (i: Int) => s"(instr('0123456789abcdef', substring(md5(token), $i, 1)) - 1)"
+    s"""WITH tb AS (SELECT doc_id, ${hexv(1)} * 16 + ${hexv(2)} AS b
+       |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents)),
+       |freq AS (SELECT b, count(*) AS cnt FROM tb GROUP BY 1),
+       |tot AS (SELECT sum(cnt) AS n_total FROM freq),
+       |lut AS (SELECT b, ${cents("ln(cnt / ((1.0)::DOUBLE * n_total))", "1000000.0")} AS lp_e6
+       |  FROM freq CROSS JOIN tot),
        |d AS (SELECT doc_id, CAST(sum(lp_e6) AS BIGINT) AS sum_lp_e6, count(*) AS n_toks
-       |  FROM c GROUP BY 1)
+       |  FROM tb JOIN lut USING(b) GROUP BY 1)
        |SELECT doc_id, n_toks, ${r6("sum_lp_e6 / ((1000000.0)::DOUBLE * n_toks)")} AS avg_logprob
        |FROM d ORDER BY avg_logprob, doc_id LIMIT 10""".stripMargin
+  }
 
   /** DSIR importance weights (TextAnalysis.dsirWeights): same hashed
     * unigram buckets (md5 2-hex-char prefix → 0..255), add-one-smoothed

@@ -184,7 +184,7 @@ object TextAnalysis {
     // 0.85 → 0.62 s at sf0.1). The k=1 substitution is kept ONLY where
     // it deletes a corpus shuffle like here: for the plain
     // explode→count family (heavy_hitters, zipf, hapax, js_divergence,
-    // vocab_overlap, lm_score, heaps) it was tried and REVERTED — the
+    // vocab_overlap, heaps) it was tried and REVERTED — the
     // codegen'd split+explode beats the CodegenFallback expression when
     // there is no shuffle to remove (lm_score 0.64 → 1.17 s measured;
     // k≥2 grams are different: their HOF construction is interpreted,
@@ -212,33 +212,56 @@ object TextAnalysis {
 
   /** Unigram language-model quality scoring (the CCNet-style perplexity
     * filter with the LM trained on the corpus itself): each document is
-    * scored by its mean token log-probability under corpus unigram
-    * frequencies; the lowest-scoring documents are the most improbable
-    * (boilerplate / noise candidates). Per-token contributions are
-    * integerized before the per-doc sum, so the distributed sum is
-    * order-independent and the ranking exact.
+    * scored by its mean token log-probability under the corpus unigram
+    * distribution over HASHED-BUCKET features (the DSIR feature space,
+    * [[dsirBucket]] — 256 buckets at the default resolution); the
+    * lowest-scoring documents are the most improbable (boilerplate /
+    * noise candidates). Bucketing keeps the model bounded by
+    * construction, which is what lets the scorer run join-free at any
+    * corpus size (see the in-body plan notes).
     */
-  def lmScore(spark: SparkSession, dir: String, worstK: Int = 10): DataFrame = {
-    // r10 (the 10.4×-at-30× outlier the r9 verdict flagged): the token
-    // fan-out fed freq, tot AND the probe join — three corpus
-    // scan+explodes. Sharing the VOCAB-sized freq table instead of the
-    // corpus-sized tok (pplBuckets persists tok, but lm_score has no
-    // third consumer to amortize it: measured +0.4 s at sf0.1) cuts
-    // the passes to two, and tot folds off the persisted vocab for
-    // free. AQE sees freq's true (tiny) materialized size and turns
-    // the probe join into a broadcast — no token-keyed shuffle of the
-    // fan-out at any scale.
-    val tok = graft.Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val tot = freq.agg(sum(col("cnt")).as("n_total"))
-    tok.join(freq, "token")
-      .crossJoin(broadcast(tot))
-      .withColumn("lp_e6",
-        graft.functions.VectorFunctions.cents(
-          log(col("cnt") / (lit(1.0) * col("n_total"))), 1e6))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("lp_e6")).as("sum_lp_e6"), count(lit(1)).as("n_toks"))
+  def lmScore(spark: SparkSession, dir: String, worstK: Int = 10,
+      bucketChars: Int = 2): DataFrame = {
+    // r14 (the r13 verdict's #1): the unigram LM is trained over the
+    // HASHED-BUCKET vocabulary ([[dsirBucket]], 16^bucketChars buckets)
+    // instead of raw tokens. The executed-plan audit showed the old
+    // token-keyed probe join WAS broadcast at sf3 (no SMJ flip), but
+    // only because AQE measured the materialized vocab under the
+    // threshold — a corpus whose vocabulary outgrows the adaptive
+    // broadcast cap would flip the probe into a full token-keyed
+    // shuffle of the fan-out. Bucketing bounds the model BY
+    // CONSTRUCTION (≤256 rows at the default resolution — the same
+    // guarantee the DSIR scorer relies on), so the serving pass needs
+    // no join at all: the LUT folds into a MapType literal and each
+    // document scores map-side via a higher-order fold, exactly like
+    // the streaming scorer (DocStream.dsirScore). Plan shape: one
+    // bounded-agg pass (partial agg collapses to ≤256 rows per task
+    // before the only exchange) + one scan→project→TakeOrdered scoring
+    // pass with ZERO exchanges — survives any vocabulary growth.
+    // Per-token log-probs stay integerized (1e6) before the per-doc
+    // sum, so the fold is order-independent and the ranking exact.
+    val nBuckets = math.pow(16, bucketChars).toInt
+    val docs = graft.Tables.fanOut(Tables.documents(spark, dir))
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(dsirBucket(col("token"), bucketChars).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val lut: Array[(Long, Long)] = counts
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("n_total"))))
+      .select(col("b"), graft.functions.VectorFunctions.cents(
+        log(col("cnt") / (lit(1.0) * col("n_total"))), 1e6).as("lp_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(lut.nonEmpty && lut.length <= nBuckets,
+      s"lmScore LUT has ${lut.length} entries for $nBuckets buckets")
+    // every scored token's bucket exists in the LUT (trained on the
+    // same corpus), so a null lookup is a logic error — left to
+    // propagate loudly into the output rather than coalesced away
+    val m = typedlit(lut.toMap)
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"),
+        aggregate(transform(toks, t => element_at(m, dsirBucket(t, bucketChars))),
+          lit(0L), (acc, x) => acc + x).as("sum_lp_e6"),
+        size(toks).cast("long").as("n_toks"))
       .withColumn("avg_logprob", r6(col("sum_lp_e6") / (lit(1e6) * col("n_toks"))))
       .orderBy(col("avg_logprob").asc, col("doc_id").asc)
       .limit(worstK)

@@ -207,6 +207,43 @@ object Scratch {
           "CODEGEN_CONTAINS_ANNEXPRS_STATIC_CALL"
         else "NO_ANNEXPRS_IN_CODEGEN\n" + s.take(2000))
       },
+      // r14: text_lm_score 30x-ratio root-cause (the r13 verdict #1).
+      // lm_plan dumps the EXECUTED (post-AQE) plan: is the vocab join a
+      // broadcast or did it flip to SMJ? lm_stages times the two corpus
+      // passes separately. lm_gc / lm_pin are candidate fixes.
+      "lm_plan" -> { () =>
+        val df = graft.operators.TextAnalysis.lmScore(spark, sfDir)
+        df.collect()
+        val s = df.queryExecution.executedPlan.toString
+        val smj = "SortMergeJoin".r.findAllIn(s).length
+        val bhj = "BroadcastHashJoin".r.findAllIn(s).length
+        val exch = "Exchange hashpartitioning".r.findAllIn(s).length
+        println(s"  lm_plan SMJ=$smj BHJ=$bhj hashExchanges=$exch")
+        println(s)
+      },
+      "lm_cur" -> (() => {
+        graft.operators.TextAnalysis.lmScore(spark, sfDir).collect(); ()
+      }),
+      "lm_stages" -> { () =>
+        import graft.functions.TextFunctions.tokens
+        val t0 = System.nanoTime()
+        val tok = graft.Tables.fanOut(graft.Tables.documents(spark, sfDir))
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        val nf = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt")).count()
+        val t1 = System.nanoTime()
+        val nd = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).count()
+        val t2 = System.nanoTime()
+        println(f"  lm_stages vocab=$nf freqPass=${(t1 - t0) / 1e9}%.2f docAggPass=${(t2 - t1) / 1e9}%.2f")
+      },
+      "lm_gc" -> (() => { lmScoreGc(spark, sfDir).collect(); () }),
+      "lm_gc_plan" -> { () =>
+        val df = lmScoreGc(spark, sfDir)
+        df.collect()
+        val s = df.queryExecution.executedPlan.toString
+        println(s"  lm_gc_plan SMJ=${"SortMergeJoin".r.findAllIn(s).length} " +
+          s"BHJ=${"BroadcastHashJoin".r.findAllIn(s).length} " +
+          s"hashExchanges=${"Exchange hashpartitioning".r.findAllIn(s).length}")
+      },
       "tri_diag" -> { () =>
         val t0 = System.nanoTime()
         val pairs = graft.operators.GraphOps.frequentPairs(spark, sfDir, 2)
@@ -575,6 +612,36 @@ object Scratch {
       }
     }
     spark.stop()
+  }
+
+  /** lm_score candidate: per-doc (token, tf) via the native gramCounts
+    * expression instead of the raw per-token explode — the probe side
+    * shrinks from one row per TOKEN OCCURRENCE to one row per (doc,
+    * distinct token), and the per-doc agg sums tf-weighted logprobs.
+    * Same exact result (integerized per-token contribution × tf).
+    */
+  def lmScoreGc(spark: SparkSession, dir: String, worstK: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import graft.functions.VectorFunctions.r6
+    val tf = graft.Tables.fanOut(graft.Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.gramCounts(tokens(col("text")), 1)).as("gc"))
+      .select(col("doc_id"), col("gc.g").as("token"), col("gc.c").as("tf"))
+    val freq = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("n_total"))
+    tf.join(freq, "token")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp_e6",
+        graft.functions.VectorFunctions.cents(
+          log(col("cnt") / (lit(1.0) * col("n_total"))), 1e6))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp_e6") * col("tf")).as("sum_lp_e6"),
+        sum(col("tf")).as("n_toks"))
+      .withColumn("avg_logprob", r6(col("sum_lp_e6") / (lit(1e6) * col("n_toks"))))
+      .orderBy(col("avg_logprob").asc, col("doc_id").asc)
+      .limit(worstK)
+      .select(col("doc_id"), col("n_toks"), col("avg_logprob"))
   }
 
   def ngramJacVariant(spark: SparkSession, dir: String,

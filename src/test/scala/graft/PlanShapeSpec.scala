@@ -364,6 +364,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("lm score serves join-free off the literal bucket LUT: zero key exchanges") {
+    val p = planOf("text_lm_score")
+    // the r13 verdict's #1: the scoring pass must never be able to
+    // key-shuffle the corpus token fan-out. With the LUT folded into a
+    // MapType literal there is NO join (broadcast or otherwise) and NO
+    // hash exchange in the serving plan at all — the only exchange
+    // allowed is fanOut's round-robin split shim, and top-k is a
+    // TakeOrdered (driver merges one k-row block per partition)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("ppl buckets: tercile thresholds join broadcast; no corpus-sized window") {
     val p = planOf("text_ppl_buckets")
     // the only range partitioning allowed is the final orderBy on the
