@@ -71,16 +71,49 @@ object DedupGroups {
     * dir, and every later session serves a broken state.
     */
   def groupsDf(spark: SparkSession, indexPath: String): DataFrame = {
-    reconcile(spark, indexPath)
+    reconcileForRead(spark, indexPath)
     spark.read.parquet(s"$indexPath/groups").select(col("doc_id"), col("component"))
   }
 
-  /** Roll a crashed fold's swap forward/back (see groupsDf). */
+  /** Roll a crashed fold's swap forward/back (see groupsDf). Assumes
+    * the caller holds the fold lock (or is initializing a fresh path).
+    */
   private def reconcile(spark: SparkSession, indexPath: String): Unit = {
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (IndexMaintenance.reconcileSwap(fs, new Path(s"$indexPath/groups_staging"),
         new Path(s"$indexPath/groups")))
       spark.catalog.refreshByPath(s"$indexPath/groups")
+  }
+
+  /** Read-path reconcile (r14, ADVICE r13): a reader that lands in a
+    * HEALTHY fold's swap window — dst briefly missing between the
+    * aside and staged renames — must not roll the swap "forward"
+    * concurrently with the folder (racing renames make one side throw
+    * a spurious IOException). Fast path: dst present → nothing to do,
+    * lock-free (the overwhelmingly common case). dst missing → heal
+    * only under the same `_groups_fold_lock` the folder holds; while a
+    * live folder holds it, wait for its swap to land instead.
+    */
+  private def reconcileForRead(spark: SparkSession, indexPath: String): Unit = {
+    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(s"$indexPath/groups")
+    if (fs.exists(dst)) return
+    val lock = new Path(s"$indexPath/_groups_fold_lock")
+    val deadline = System.currentTimeMillis() + 60L * 1000
+    while (true) {
+      IndexMaintenance.tryWithSwapLock(fs, lock) {
+        reconcile(spark, indexPath)
+      } match {
+        case Some(_) => return
+        case None => // live folder mid-swap: its rename lands momentarily
+          if (fs.exists(dst)) return
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"$dst missing and $lock held for the whole wait window — " +
+                "a fold appears wedged inside its swap")
+          Thread.sleep(100)
+      }
+    }
   }
 
   /** Initialize the groups table from the verified pairs of the

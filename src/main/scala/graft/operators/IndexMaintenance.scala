@@ -57,10 +57,20 @@ object IndexMaintenance {
     * resume may use, plus the epoch numbers the LAST compaction folded
     * into the base dir (so a crash between the base swap and the
     * epoch-dir deletions never double-serves those rows — [[epochDirs]]
-    * skips them and the next compaction deletes the leftovers).
-    * Format: line 1 = epoch int; line 2 (optional) = `folded=1,2,3`.
+    * skips them and the next compaction deletes the leftovers), plus
+    * (r14, verdict #4) the per-partition-value SIZE MANIFEST of the
+    * base layout the marker certifies: `(partCol, value → (rows,
+    * files))`. The manifest is written by the same rename that
+    * installs the rewritten base, so marker-present ⇒ manifest
+    * describes exactly the base's current contents (streamed deltas go
+    * to epoch dirs, never the base) — [[maintain]] decides off it with
+    * ONE metadata read instead of a footer open per file. Markers from
+    * before r14 parse with `manifest = None` (footer fallback).
+    * Format: line 1 = epoch int; then optional `folded=1,2,3`,
+    * `partcol=<name>`, and `part=<value>:<rows>:<files>` lines.
     */
-  private case class MarkerInfo(nextEpoch: Int, folded: Set[Int])
+  private[graft] case class MarkerInfo(nextEpoch: Int, folded: Set[Int],
+      manifest: Option[(String, Map[Long, (Long, Long)])])
 
   private def readMarker(spark: SparkSession, indexPath: String): Option[MarkerInfo] = {
     val fs = fsOf(spark, indexPath)
@@ -73,14 +83,64 @@ object IndexMaintenance {
       val folded = lines.collectFirst { case s if s.startsWith("folded=") =>
         s.stripPrefix("folded=").split(",").filter(_.nonEmpty).map(_.trim.toInt).toSet
       }.getOrElse(Set.empty[Int])
-      Some(MarkerInfo(lines.head.trim.toInt, folded))
+      val manifest = lines.collectFirst {
+        case s if s.startsWith("partcol=") => s.stripPrefix("partcol=").trim
+      }.map { pc =>
+        val parts = lines.collect { case s if s.startsWith("part=") =>
+          val Array(v, r, f) = s.stripPrefix("part=").split(":")
+          v.toLong -> (r.toLong, f.toLong)
+        }
+        pc -> parts.toMap
+      }
+      Some(MarkerInfo(lines.head.trim.toInt, folded, manifest))
     }
   }
 
-  private def markerBytes(epoch: Int, folded: Seq[Int]): Array[Byte] = {
-    val body = if (folded.isEmpty) s"$epoch\n"
-               else s"$epoch\nfolded=${folded.sorted.mkString(",")}\n"
-    body.getBytes("UTF-8")
+  private def markerBytes(epoch: Int, folded: Seq[Int],
+      manifest: Option[(String, Map[Long, (Long, Long)])] = None): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(epoch).append('\n')
+    if (folded.nonEmpty) sb.append(s"folded=${folded.sorted.mkString(",")}\n")
+    manifest.foreach { case (pc, m) =>
+      sb.append(s"partcol=$pc\n")
+      m.toSeq.sortBy(_._1).foreach { case (v, (r, f)) =>
+        sb.append(s"part=$v:$r:$f\n")
+      }
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** Per-partition-value (rows, files) of a freshly-staged layout —
+    * the manifest the installing rename carries. Rows come from the
+    * staged files' parquet footers (metadata the compaction already
+    * paid to write), files from the listing. Values that do not parse
+    * as integers (a string-partitioned layout, a null-key
+    * `__HIVE_DEFAULT_PARTITION__`) are skipped — they are not
+    * size-managed (same contract as [[maintain]]'s fallback).
+    */
+  private def manifestOf(spark: SparkSession, dir: String)
+      : Map[Long, (Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(spark, dir)
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val it = fs.listFiles(new Path(dir), true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) {
+        val dirName = p.getParent.getName
+        val eq = dirName.indexOf('=')
+        val v = if (eq > 0)
+          scala.util.Try(dirName.substring(eq + 1).toLong).toOption else None
+        v.foreach { value =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          val rows = try rd.getRecordCount finally rd.close()
+          val (r0, f0) = acc.getOrElse(value, (0L, 0L))
+          acc.update(value, (r0 + rows, f0 + 1))
+        }
+      }
+    }
+    acc.toMap
   }
 
   /** True once the index has been compacted at least once — the point
@@ -120,6 +180,24 @@ object IndexMaintenance {
       .filter(s => s.isDirectory && s.getPath.getName.matches("vectors_e\\d+"))
       .map(_.getPath.toString)
       .sortBy(epochOf)
+  }
+
+  /** The epoch dir that already holds a `batch=<id>` subdir, if any
+    * (r14, ADVICE r13): a replayed micro-batch must overwrite ITS OWN
+    * prior append even across process RESTARTS — a restart resolves a
+    * fresh epoch dir, and without this lookup the pre-crash
+    * `batch=<id>` survives in the old epoch while the replay writes a
+    * duplicate into the new one, permanently double-serving those
+    * rows. Folded leftovers count too: a replay of a batch whose
+    * epoch was already compacted overwrites the skip-listed leftover
+    * (its rows live in the base), keeping the replay invisible
+    * instead of doubled.
+    */
+  private[graft] def epochDirHoldingBatch(spark: SparkSession,
+      indexPath: String, batchId: Long): Option[String] = {
+    val fs = fsOf(spark, indexPath)
+    allEpochDirs(spark, indexPath)
+      .find(d => fs.exists(new Path(s"$d/batch=$batchId")))
   }
 
   /** Epoch dirs that SERVE: contain data files and are not declared
@@ -240,8 +318,12 @@ object IndexMaintenance {
     // e.g. a transient object-store error), the leftover must stay
     // skip-listed — epoch numbers are never reused, so stale entries for
     // long-deleted dirs are harmless
+    // the size manifest rides the same marker (r14, verdict #4): rows
+    // from the staged footers the rewrite just produced, files from
+    // the listing — maintain() then decides with one read
     val preMarker = fs.create(new Path(tmp, "_graft_compacted"), true)
-    try preMarker.write(markerBytes(epoch, (prevFolded ++ epochs.map(epochOf)).toSeq))
+    try preMarker.write(markerBytes(epoch, (prevFolded ++ epochs.map(epochOf)).toSeq,
+      Some(partCol -> manifestOf(spark, tmp))))
     finally preMarker.close()
     val dst = new Path(vecDir)
     val aside = new Path(vecDir + "_old")
@@ -518,19 +600,29 @@ object IndexMaintenance {
       .option("maxRecordsPerFile", rowsPerFile)
       .partitionBy("cluster_id").parquet(tmp)
     splitSrc.unpersist(false)
-    val preMarker = fs.create(new Path(tmp, "_graft_compacted"), true)
-    try preMarker.write(markerBytes(epoch, (prevFolded ++ epochs.map(epochOf)).toSeq))
-    finally preMarker.close()
     // after-sizes from the staged files' parquet FOOTERS + the size
-    // metadata above — no data pages are re-read (ADVICE r11)
-    val stagedCounts = partitionRowCounts(spark, tmp)
+    // metadata above — no data pages are re-read (ADVICE r11). The
+    // same numbers become the marker's size manifest (r14, verdict
+    // #4): keep partitions cross by rename unchanged, so their
+    // post-swap size = base contribution + staged epoch arrivals, and
+    // their file count = base files + staged files for that value.
+    val stagedManifest = manifestOf(spark, tmp)
+    val manifest: Map[Long, (Long, Long)] =
+      (keepIds ++ stagedManifest.keySet).iterator.map { c =>
+        val (sr, sf) = stagedManifest.getOrElse(c, (0L, 0L))
+        if (keepIds.contains(c))
+          c -> (baseSizes.getOrElse(c, 0L) + sr,
+            parquetFileCount(spark, s"$vecDir/cluster_id=$c") + sf)
+        else c -> (sr, sf)
+      }.toMap
+    val preMarker = fs.create(new Path(tmp, "_graft_compacted"), true)
+    try preMarker.write(markerBytes(epoch, (prevFolded ++ epochs.map(epochOf)).toSeq,
+      Some("cluster_id" -> manifest)))
+    finally preMarker.close()
     val stagedBytes = bytesUnder(fs, new Path(tmp))
     val movedBytes = keepIds.toSeq.map(c =>
       bytesUnder(fs, new Path(vecDir, s"cluster_id=$c"))).sum
-    val afterSizes: Map[Long, Long] =
-      (keepIds.iterator.map(c =>
-        c -> (baseSizes.getOrElse(c, 0L) + stagedCounts.getOrElse(c, 0L))) ++
-       (stagedCounts.keySet -- keepIds).iterator.map(c => c -> stagedCounts(c))).toMap
+    val afterSizes: Map[Long, Long] = manifest.map { case (v, (r, _)) => v -> r }
     swapKeepingDirs(fs, new Path(tmp), new Path(vecDir),
       keepIds.toSeq.sorted.map(c => s"cluster_id=$c"))
     epochs.foreach(e => fs.delete(new Path(e), true))
@@ -547,7 +639,8 @@ object IndexMaintenance {
     */
   case class MaintainReport(action: String, filesBefore: Long,
       filesAfter: Long, maxRows: Long, meanRows: Double,
-      rebalance: Option[RebalanceReport])
+      rebalance: Option[RebalanceReport],
+      footerReads: Long = 0L)
 
   /** Per-value file-count ceiling before [[maintain]] compacts. */
   val MaxFilesPerValue = 8L
@@ -571,10 +664,18 @@ object IndexMaintenance {
     *  - **none** otherwise — the call cost is the metadata read
     *    (MaintainSpec pins that the layout's files are untouched).
     *
-    * 100 TB note: footer reads are per-file metadata requests; a
-    * deployment at that scale runs maintain() from the same manifest
-    * the epoch markers already model (one pointer read), not a
-    * per-file listing — the DECISION rule is what this pins.
+    * 100 TB shape (r14, verdict #4): a compacted base carries its own
+    * per-partition-value size manifest inside the `_graft_compacted`
+    * marker (written by the same rename that installs the rewritten
+    * base, so it is exactly current — the base only ever changes
+    * through compact/rebalance, which rewrite it). maintain() decides
+    * off that ONE read; parquet footers are opened only for
+    * un-manifested state — epoch deltas, or a base never compacted —
+    * and the report counts them (`footerReads`; MaintainSpec pins 0 on
+    * a compacted layout). Partition values that do not parse as
+    * integers (string-partitioned layouts, `__HIVE_DEFAULT_PARTITION__`
+    * from a null key) are counted as files but not size-managed
+    * (ADVICE r13: the decider must not crash on them).
     * Idempotent-converging like its passes: a heated layout reaches
     * "none" within the rebalance round budget (spec-pinned).
     */
@@ -589,7 +690,18 @@ object IndexMaintenance {
     val files = scala.collection.mutable.Map.empty[Long, Long]
     var partCol: String = null
     var filesBefore = 0L
-    (vecDir +: epochs).foreach { d =>
+    var footerReads = 0L
+    val manifest = readMarker(spark, indexPath).flatMap(_.manifest)
+    manifest.foreach { case (pc, m) =>
+      partCol = pc
+      m.foreach { case (v, (r, f)) =>
+        rows.update(v, r)
+        files.update(v, f)
+        filesBefore += f
+      }
+    }
+    val scanDirs = if (manifest.isDefined) epochs else vecDir +: epochs
+    scanDirs.foreach { d =>
       val it = fs.listFiles(new Path(d), true)
       while (it.hasNext) {
         val p = it.next().getPath
@@ -597,13 +709,15 @@ object IndexMaintenance {
           filesBefore += 1
           val dirName = p.getParent.getName
           val eq = dirName.indexOf('=')
-          if (eq > 0) {
-            if (partCol == null) partCol = dirName.substring(0, eq)
-            val v = dirName.substring(eq + 1).toLong
-            files.update(v, files.getOrElse(v, 0L) + 1)
+          val v = if (eq > 0)
+            scala.util.Try(dirName.substring(eq + 1).toLong).toOption else None
+          if (eq > 0 && partCol == null) partCol = dirName.substring(0, eq)
+          v.foreach { value =>
+            files.update(value, files.getOrElse(value, 0L) + 1)
             val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
               org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-            try rows.update(v, rows.getOrElse(v, 0L) + rd.getRecordCount)
+            footerReads += 1
+            try rows.update(value, rows.getOrElse(value, 0L) + rd.getRecordCount)
             finally rd.close()
           }
         }
@@ -619,37 +733,12 @@ object IndexMaintenance {
     if (needsRebalance) {
       val rep = rebalanceIndex(spark, indexPath, rowsPerFile)
       MaintainReport("rebalance", filesBefore, parquetFileCount(spark, vecDir),
-        maxRows, mean, Some(rep))
+        maxRows, mean, Some(rep), footerReads)
     } else if (fragmented) {
       val after = compactIndex(spark, indexPath, rowsPerFile)
-      MaintainReport("compact", filesBefore, after, maxRows, mean, None)
+      MaintainReport("compact", filesBefore, after, maxRows, mean, None, footerReads)
     } else
-      MaintainReport("none", filesBefore, filesBefore, maxRows, mean, None)
-  }
-
-  /** Per-partition-value row counts of a `cluster_id=<v>`-partitioned
-    * parquet dir, read from the file FOOTERS only — row-group metadata,
-    * never data pages.
-    */
-  private def partitionRowCounts(spark: SparkSession, dir: String): Map[Long, Long] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = fsOf(spark, dir)
-    val root = new Path(dir)
-    val counts = scala.collection.mutable.Map.empty[Long, Long]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      if (p.getName.endsWith(".parquet")) {
-        val dirName = p.getParent.getName
-        val c = dirName.substring(dirName.indexOf('=') + 1).toLong
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-        try counts.update(c, counts.getOrElse(c, 0L) + rd.getRecordCount)
-        finally rd.close()
-      }
-    }
-    counts.toMap
+      MaintainReport("none", filesBefore, filesBefore, maxRows, mean, None, footerReads)
   }
 
   /** Total data-file bytes under a directory (file-status metadata). */
@@ -787,30 +876,79 @@ object IndexMaintenance {
     * concurrently — the later swap would silently drop the earlier
     * fold's merges). Exclusive-create of a lock file; a holder crash
     * is bounded by [[reconcileSwap]] plus the stale takeover (a lock
-    * older than `staleMs` is presumed dead and broken). On stores
-    * without atomic create-exclusive this degrades to advisory — the
-    * layouts' single-maintainer deployment contract (one cron/stream
-    * owner per index) is the real guarantee, as for every lakehouse
-    * table format without a lock service.
+    * older than `staleMs` is presumed dead and broken).
+    *
+    * Liveness vs takeover (r14, ADVICE r13): the lock file carries a
+    * unique HOLDER TOKEN, and
+    *  - a heartbeat thread refreshes the lock's mtime every staleMs/3
+    *    for the whole fold, so a live-but-slow holder is never
+    *    presumed dead — staleness now means "no heartbeat", not "fold
+    *    slower than staleMs";
+    *  - release deletes the lock ONLY when it still carries the
+    *    holder's own token, so a holder that WAS usurped (crash-long
+    *    GC pause, suspended VM) can no longer delete the usurper's
+    *    lock from its `finally` and let a third maintainer in.
+    *
+    * On stores without atomic create-exclusive this degrades to
+    * advisory — the layouts' single-maintainer deployment contract
+    * (one cron/stream owner per index) is the real guarantee, as for
+    * every lakehouse table format without a lock service.
     */
   private[graft] def withSwapLock[T](fs: FileSystem, lock: Path,
-      staleMs: Long = 15L * 60 * 1000)(body: => T): T = {
+      staleMs: Long = 15L * 60 * 1000)(body: => T): T =
+    tryWithSwapLock(fs, lock, staleMs)(body).getOrElse(
+      throw new IllegalStateException(
+        s"another maintainer holds $lock; concurrent folds on one " +
+          "layout are not coordinated — retry after it completes"))
+
+  /** Non-throwing variant of [[withSwapLock]]: None when a live holder
+    * has the lock (the read path's reconcile uses this to WAIT for a
+    * healthy fold's swap instead of racing its renames — ADVICE r13).
+    */
+  private[graft] def tryWithSwapLock[T](fs: FileSystem, lock: Path,
+      staleMs: Long = 15L * 60 * 1000)(body: => T): Option[T] = {
+    val token = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val out = fs.create(lock, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def holderToken(): String =
+      try {
+        val in = fs.open(lock)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } catch { case _: java.io.IOException => "" }
     if (!tryAcquire()) {
       val heldSince =
         try fs.getFileStatus(lock).getModificationTime
         catch { case _: java.io.FileNotFoundException => 0L }
-      if (System.currentTimeMillis() - heldSince <= staleMs)
-        throw new IllegalStateException(
-          s"another maintainer holds $lock; concurrent folds on one " +
-            "layout are not coordinated — retry after it completes")
-      fs.delete(lock, false) // presumed-dead holder: break the lock
+      if (System.currentTimeMillis() - heldSince <= staleMs) return None
+      // presumed dead (no heartbeat for staleMs): break the lock. The
+      // read-then-delete is best-effort — with heartbeats a LIVE
+      // holder never reaches here, and the token-guarded release
+      // below bounds the damage even if two takeovers race.
+      fs.delete(lock, false)
       if (!tryAcquire())
         throw new IllegalStateException(s"lost the takeover race on $lock")
     }
-    try body finally fs.delete(lock, false)
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(1000L, staleMs / 3))
+          try fs.setTimes(lock, System.currentTimeMillis(), -1)
+          catch { case _: Exception => () } // missing file / RO store: advisory
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-swap-lock-heartbeat-${lock.getName}")
+    hb.setDaemon(true)
+    hb.start()
+    try Some(body) finally {
+      hb.interrupt()
+      hb.join(2000)
+      if (holderToken() == token) fs.delete(lock, false)
+    }
   }
 
   /** Recursive .parquet part-file count under a directory. */

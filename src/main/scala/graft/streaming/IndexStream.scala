@@ -96,15 +96,28 @@ object IndexStream {
         .partitionBy(partCol)
         .outputMode("append")
         .start()
-    else
+    else {
+      // overwrite-idempotency must hold across RESTARTS, not just
+      // within one run (r14, ADVICE r13): when the sink is one of this
+      // index's epoch dirs, a replayed batch id is redirected to the
+      // epoch that already holds its subdir — a restart that resolved
+      // a fresh epoch would otherwise duplicate the pre-crash append
+      val isEpochOfIndex = new org.apache.hadoop.fs.Path(resolved)
+        .getName.matches("vectors_e\\d+")
       assigned.writeStream
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .foreachBatch { (df: DataFrame, id: Long) =>
+          val target =
+            if (isEpochOfIndex)
+              IndexMaintenance.epochDirHoldingBatch(spark, indexPath, id)
+                .getOrElse(resolved)
+            else resolved
           df.write.mode("overwrite").partitionBy(partCol)
-            .parquet(s"$resolved/batch=$id")
+            .parquet(s"$target/batch=$id")
         }
         .start()
+    }
   }
 
   /** Attach cluster assignments to a (possibly streaming) embedding
@@ -261,11 +274,19 @@ object IndexStream {
             .newNearDups(spark, indexPath, b, corpusDocs(), minJaccard)
             .select(col("doc_a"), col("doc_b"))
           graft.operators.DedupGroups.foldPairs(spark, groupsPath, pairs)
+          // signature target derived per BATCH, not per start() (r14,
+          // ADVICE r13): a crash between this append and the
+          // checkpoint commit replays the batch after a restart that
+          // resolved a FRESH epoch — the replay must overwrite the
+          // pre-crash `batch=<id>` in the old epoch, or its band
+          // signatures fold in twice permanently
+          val target = IndexMaintenance.epochDirHoldingBatch(spark, indexPath, id)
+            .getOrElse(epochDir)
           graft.operators.Dedup.bandSignaturesOf(b)
             .write.mode("overwrite").partitionBy("band")
-            .parquet(s"$epochDir/batch=$id")
+            .parquet(s"$target/batch=$id")
           // the epoch dir grew under a possibly-read path
-          spark.catalog.refreshByPath(epochDir)
+          spark.catalog.refreshByPath(target)
         } finally b.unpersist(false)
       }
       .start()

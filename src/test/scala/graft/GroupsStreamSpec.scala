@@ -130,4 +130,47 @@ class GroupsStreamSpec extends AnyFunSuite {
     try q2.processAllAvailable() finally q2.stop()
     assert(gotGroups() === before)
   }
+
+  test("a batch replayed across a RESTART overwrites its pre-crash epoch subdir " +
+      "— band signatures are never folded in twice (ADVICE r13)") {
+    import graft.operators.IndexMaintenance
+    val idx = tmp("graft-greplay-idx")
+    val groups = tmp("graft-greplay-g")
+    val ckpt = tmp("graft-greplay-ckpt")
+    val staging = tmp("graft-greplay-src")
+    val corpusDir = tmp("graft-greplay-corpus")
+    DedupIndex.writeBandIndex(base, idx)
+    DedupGroups.initGroups(spark, groups, batchVerifiedPairs(base))
+    base.write.mode("overwrite").parquet(s"$corpusDir/docs")
+    // pre-crash state: a prior run appended batch 0's signatures into
+    // vectors_e1, then died BEFORE the checkpoint commit — the restart
+    // resolves a fresh epoch (e2) and replays batch 0
+    Dedup.bandSignaturesOf(wave1).write.mode("overwrite").partitionBy("band")
+      .parquet(s"${IndexMaintenance.nextEpochDir(spark, idx)}/batch=0")
+    val sigCount = Dedup.bandSignaturesOf(wave1).count()
+    wave1.coalesce(1).write.parquet(s"$staging/w0")
+    val q = IndexStream.foldGroupsFromStream(spark, idx, groups,
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$staging/w*"),
+      () => spark.read.parquet(s"$corpusDir/docs"), ckpt, minJaccard = 0.5)
+    try q.processAllAvailable() finally q.stop()
+    // the fold itself is idempotent — stream ≡ batch still holds
+    assert(DedupGroups.groupsDf(spark, groups)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === refGroups(base.unionByName(wave1)))
+    // the replay's signatures OVERWROTE vectors_e1/batch=0 — exactly
+    // one epoch holds the batch, and the served signature rows for the
+    // wave's docs are one copy, not two
+    val holders = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("vectors_e\\d+"))
+      .filter(e => new java.io.File(e, "batch=0").exists())
+      .map(_.getName).toSeq.sorted
+    assert(holders === Seq("vectors_e1"),
+      s"replay landed in $holders instead of overwriting vectors_e1")
+    val waveIds = wave1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val served = IndexMaintenance.vectorsDf(spark, idx)
+      .filter(col("doc_id").isin(waveIds.toSeq: _*)).count()
+    assert(served === sigCount,
+      s"expected $sigCount signature rows for the replayed wave, served $served")
+  }
 }
