@@ -446,12 +446,15 @@ object OracleSql {
   // rank mirror the vs_rerank chain with PARTITION BY query_id. The
   // Spark side serves from the IVF layout at FULL coverage, where
   // indexed retrieval provably equals this brute top-k.
-  val vsSearchMany: String = {
+  /** The vs_search_many hashing-encoder + brute-score CTE chain
+    * (qt → qv → s), shared with the hybrid batch facade's oracle.
+    */
+  private val searchManyEncoderCtes: String = {
     def nib(i: Int) = s"(instr('0123456789abcdef', substring(m, $i, 1)) - 1)"
     val qvalues = graft.operators.SearchApi.GradedQuerySet
       .map { case (i, t) => s"(CAST($i AS BIGINT), '${t.replace("'", "''")}')" }
       .mkString(", ")
-    s"""WITH qt(query_id, query_text) AS (SELECT * FROM (VALUES $qvalues) t(query_id, query_text)),
+    s"""qt(query_id, query_text) AS (SELECT * FROM (VALUES $qvalues) t(query_id, query_text)),
        |qw AS (SELECT query_id, md5(w) AS m FROM (SELECT query_id,
        |    unnest(string_split_regex(trim(query_text), '\\s+')) AS w FROM qt)
        |  WHERE w <> ''),
@@ -468,7 +471,11 @@ object OracleSql {
        |qv AS (SELECT r.query_id, list(CAST(r.r / nr.n AS REAL) ORDER BY r.pos) AS qvec
        |  FROM rawv r JOIN nr USING (query_id) GROUP BY r.query_id),
        |s AS (SELECT q.query_id, e.vec_id, ${dot("e.embedding", "q.qvec")} AS sc
-       |  FROM embeddings e, qv q),
+       |  FROM embeddings e, qv q)""".stripMargin
+  }
+
+  val vsSearchMany: String =
+    s"""WITH $searchManyEncoderCtes,
        |rk AS (SELECT query_id, vec_id, sc,
        |  row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id) AS rnk FROM s),
        |top AS (SELECT query_id, vec_id, sc FROM rk WHERE rnk <= 20),
@@ -480,7 +487,60 @@ object OracleSql {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY logit DESC, doc_id)
        |    AS BIGINT) AS rerank_rank
        |FROM j""".stripMargin
-  }
+
+  // vs_search_many_hybrid (r14, r13 verdict #2): the hybrid batch
+  // facade, re-derived end to end — the vs_search_many encoder chain
+  // feeds per-query brute vector ranks (the facade serves at full IVF
+  // coverage where indexed == brute); the lexical arm generalizes the
+  // vs_bm25 Okapi contribution to per-query terms (whitespace-distinct,
+  // the facade's 8-term cap is irrelevant at ≤5-word queries) over a
+  // full posting derivation with per-term df and the index's corpus
+  // stats; fusion is the vs_hybrid_idx per-query RRF with the same
+  // 1e9 integerization and (rrf desc, doc_id) rank.
+  val vsSearchManyHybrid: String =
+    s"""WITH $searchManyEncoderCtes,
+       |vr AS (SELECT query_id, vec_id AS doc_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id)
+       |    AS BIGINT) AS rank_vec FROM s),
+       |vt AS (SELECT query_id, doc_id, rank_vec FROM vr WHERE rank_vec <= 20),
+       |dt AS (SELECT doc_id, $toks AS toks FROM documents),
+       |dlen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM dt),
+       |post AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS w FROM dt) GROUP BY 1, 2),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dlen),
+       |qterm AS (SELECT DISTINCT query_id, w AS term
+       |  FROM (SELECT query_id, unnest(string_split_regex(trim(query_text), '\\s+')) AS w
+       |        FROM qt) WHERE w <> ''),
+       |tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+       |  WHERE term IN (SELECT term FROM qterm) GROUP BY 1),
+       |contrib AS (SELECT q.query_id, p.doc_id,
+       |  ${cents(
+            "ln((1.0)::DOUBLE + (n_docs - df + (0.5)::DOUBLE) / (df + (0.5)::DOUBLE))" +
+              " * (tf * (2.2)::DOUBLE)" +
+              " / (tf + (1.2)::DOUBLE * ((1.0)::DOUBLE - (0.75)::DOUBLE + (0.75)::DOUBLE * dl * n_docs / sum_dl))",
+            "1000000.0")} AS c_e6
+       |  FROM post p JOIN qterm q USING (term) JOIN tdf USING (term)
+       |  JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN st),
+       |lsc AS (SELECT query_id, doc_id, CAST(sum(c_e6) AS BIGINT) AS score_e6
+       |  FROM contrib GROUP BY 1, 2),
+       |lrk AS (SELECT query_id, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, doc_id)
+       |    AS BIGINT) AS rank_lex FROM lsc WHERE score_e6 > 0),
+       |lt AS (SELECT query_id, doc_id, rank_lex FROM lrk WHERE rank_lex <= 20),
+       |f AS (SELECT coalesce(vt.query_id, lt.query_id) AS query_id,
+       |  coalesce(vt.doc_id, lt.doc_id) AS doc_id, rank_vec, rank_lex
+       |  FROM vt FULL OUTER JOIN lt ON vt.query_id = lt.query_id AND vt.doc_id = lt.doc_id),
+       |rr AS (SELECT query_id, doc_id, rank_vec, rank_lex,
+       |  ${cents("coalesce((1.0)::DOUBLE / (60 + rank_vec), (0.0)::DOUBLE) + " +
+              "coalesce((1.0)::DOUBLE / (60 + rank_lex), (0.0)::DOUBLE)", "1000000000.0")} AS rrf_e9
+       |  FROM f),
+       |fr AS (SELECT query_id, doc_id, rank_vec, rank_lex, rrf_e9,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_e9 DESC, doc_id) AS rk
+       |  FROM rr)
+       |SELECT query_id, doc_id, rank_vec, rank_lex,
+       |  rrf_e9 / (1000000000.0)::DOUBLE AS rrf
+       |FROM fr WHERE rk <= 10""".stripMargin
 
   val vsFilteredSearch: String =
     s"""WITH $qVec0, $scoredAll,
@@ -3363,6 +3423,7 @@ object OracleSql {
     "vs_hybrid_rrf" -> vsHybridRrf,
     "vs_hybrid_idx" -> vsHybridRrf,
     "vs_search_many" -> vsSearchMany,
+    "vs_search_many_hybrid" -> vsSearchManyHybrid,
     "q_pack_bpe" -> qPackBpe,
     "text_pii" -> textPii,
     "q_pack_sequences" -> qPackSequences,

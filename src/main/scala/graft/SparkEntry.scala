@@ -99,6 +99,7 @@ object SparkEntry {
     // batch serving facade: a query SET through searchManyIndexed in
     // one plan, oracle re-derives encode → top-k → rerank — r13
     "vs_search_many" -> ((s, d) => SearchApi.searchManyQuery(s, d)),
+    "vs_search_many_hybrid" -> ((s, d) => SearchApi.searchManyHybridQuery(s, d)),
     // C+. training-set assembly
     "text_pii" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "q_pack_sequences" -> ((s, d) => TrainingMix.packSequences(s, d)),

@@ -233,6 +233,30 @@ object SearchApi {
         col("label"), col("rerank_rank"))
   }
 
+  /** Graded hybrid batch facade (vs_search_many_hybrid, r14 — r13
+    * verdict #2, the last spec-only serving path): the fixed query SET
+    * through [[searchManyHybridIndexed]] off BOTH fingerprint-cached
+    * layouts (IVF vectors + lexical postings) at FULL vector coverage —
+    * the regime where the vector arm provably equals the brute
+    * top-perList, so the oracle re-derives the whole fused chain
+    * independently: the vs_search_many hashing-encoder SQL per query,
+    * per-query brute vector ranks, the vs_bm25 Okapi contribution per
+    * (query term, doc) summed off a full posting derivation, and the
+    * per-query RRF fusion with the vs_hybrid_idx integerization. This
+    * hash-enforces the r13 distributed lexical arm per round
+    * (SearchManySpec only spec-asserts it); production tightens nprobe.
+    */
+  def searchManyHybridQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.cents
+    val queries = GradedQuerySet.toDF("query_id", "query_text")
+    searchManyHybridIndexed(spark, dir,
+        IvfIndex.ivfIndexFor(spark, dir), LexIndex.lexIndexFor(spark, dir),
+        queries, nprobe = Int.MaxValue, perList = 20, k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank_vec"), col("rank_lex"),
+        (cents(col("rrf"), 1e9) / lit(1e9)).as("rrf"))
+  }
+
   /** Quantized serving — [[searchIndexed]]'s PQ sibling (the
     * reference's Qdrant-with-quantization mode): retrieval runs over
     * the persisted PQ index ([[PqIndex.writeIndex]]), so stage one
