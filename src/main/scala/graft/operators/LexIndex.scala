@@ -77,12 +77,33 @@ object LexIndex {
       .select(col("doc_id"), col("tc.g").as("term"), col("tc.c").as("tf"),
         col("dl"), bucketOf(col("tc.g")).as("bucket"))
 
+  /** Document-frequency tier (r14, r13 verdict #5): a term whose
+    * posting list covers more than this fraction of the corpus is a
+    * stop-term — its list is corpus-scale, lands WHOLE in one hash
+    * bucket, and at 100 TB that one bucket dominates every scan
+    * touching a common term while BM25's own IDF makes the term a
+    * near-zero contributor (df → N ⇒ idf → ln(1+0.5/N)). Tiered terms
+    * are EXCLUDED from the posting layout and recorded (term, df) in
+    * the `stopterms` metadata table; scoring needs no special case — a
+    * tiered query term simply has no postings and contributes zero
+    * (the dedup_substring boilerplate-cap precedent). The stop set is
+    * bounded BY CONSTRUCTION: at most avg_dl / maxDfFraction terms can
+    * each cover > maxDfFraction of docs, so the driver-side collect is
+    * index metadata, not data.
+    */
+  val MaxDfFraction = 0.9
+
   /** Build/rebuild the index from a (doc_id, text) frame: postings +
     * the one-row corpus stats (counted over ALL docs — zero-token docs
     * produce no postings but DO count toward n_docs, exactly as the
-    * brute scorer's corpus aggregate does).
+    * brute scorer's corpus aggregate does). Stop-terms above
+    * `maxDfFraction` are tiered out of the layout ([[MaxDfFraction]]);
+    * corpus stats (n_docs, Σdl) are computed PRE-tier, so every
+    * surviving term scores with exactly the brute operator's
+    * statistics.
     */
-  def writeIndexOf(docs: DataFrame, indexPath: String): Unit = {
+  def writeIndexOf(docs: DataFrame, indexPath: String,
+      maxDfFraction: Double = MaxDfFraction): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -101,15 +122,58 @@ object LexIndex {
       .agg(sum(col("dl")).as("sum_dl")).head()
     val sumDl = if (posted.isNullAt(0)) 0L else posted.getAs[Long]("sum_dl")
     val nDocs = docs.agg(count(lit(1))).head().getLong(0)
+    // df-tier the staged layout BEFORE it serves (r14, verdict #5):
+    // stop-terms' buckets are rewritten partition-selectively —
+    // untouched buckets never re-read or re-written
+    val tiered = tierStagedBuckets(spark, vecStaged, nDocs, maxDfFraction)
+    val stopStaged = s"$indexPath/stopterms_staging"
+    tiered.toSeq.sortBy(_._1).toDF("term", "df")
+      .coalesce(1).write.mode("overwrite").parquet(stopStaged)
     val statsStaged = s"$indexPath/stats_staging"
     Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
       .write.mode("overwrite").parquet(statsStaged)
     IndexMaintenance.atomicSwap(fs, new Path(vecStaged), new Path(s"$indexPath/vectors"))
+    IndexMaintenance.atomicSwap(fs, new Path(stopStaged), new Path(s"$indexPath/stopterms"))
     IndexMaintenance.atomicSwap(fs, new Path(statsStaged), new Path(s"$indexPath/stats"))
     // a rebuild over an already-read path must drop the session's
     // cached file listings, or the next read serves stale part-files
     spark.catalog.refreshByPath(s"$indexPath/vectors")
     spark.catalog.refreshByPath(s"$indexPath/stats")
+  }
+
+  /** Tier stop-terms out of a STAGED (not-yet-serving) posting layout:
+    * one column-pruned df aggregate finds terms above the fraction,
+    * and only THEIR hash buckets are rewritten (read → anti-filter →
+    * atomic dir swap); every other bucket is untouched. Returns the
+    * tiered (term, df) set — bounded by avg_dl / maxDfFraction.
+    * Lifecycle: the tier applies at BUILD, like centroid training —
+    * streamed appends grow postings untier'd between rebuilds (the
+    * stats table's documented "centroids between retrainings" model),
+    * and the next rebuild re-tiers at the grown corpus's df.
+    */
+  private def tierStagedBuckets(spark: SparkSession, vecStaged: String,
+      nDocs: Long, maxDfFraction: Double): Map[String, Long] = {
+    val capDf = math.floor(maxDfFraction * nDocs).toLong
+    val stop = spark.read.parquet(vecStaged)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > capDf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (stop.nonEmpty) {
+      val fs = new Path(vecStaged).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      stop.keys.map(bucketOfTerm).toSeq.distinct.sorted.foreach { b =>
+        val bdir = s"$vecStaged/bucket=$b"
+        val tmp = s"${vecStaged}/bucket_tiering_$b"
+        spark.read.parquet(bdir)
+          .filter(!col("term").isin(stop.keys.toSeq: _*))
+          .write.mode("overwrite").parquet(tmp)
+        // tmp would ride along as a bogus partition dir if it lived
+        // beside the bucket dirs under a partitioned read — swap then
+        // delete before anything reads the staged root again
+        IndexMaintenance.atomicSwap(fs, new Path(tmp), new Path(bdir))
+      }
+      spark.catalog.refreshByPath(vecStaged)
+    }
+    stop
   }
 
   /** Convenience: build from a testdata corpus dir. */
@@ -194,9 +258,13 @@ object LexIndex {
     * files plus the layout parameters, so a corpus refresh or a
     * NumBuckets change invalidates automatically.
     */
+  /** Tiered-out stop-terms of a built index: (term, df) rows. */
+  def stopTerms(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/stopterms")
+
   def lexIndexFor(spark: SparkSession, dir: String): String = synchronized {
     IndexMaintenance.cachedLayout(spark, "lexidx",
-      s"lexidx:v1:nb=$NumBuckets:${IndexMaintenance.corpusSig(spark, dir)}")(
+      s"lexidx:v2:nb=$NumBuckets:tier=$MaxDfFraction:${IndexMaintenance.corpusSig(spark, dir)}")(
       staging => writeIndex(spark, dir, staging))
   }
 

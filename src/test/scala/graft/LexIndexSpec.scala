@@ -103,6 +103,57 @@ class LexIndexSpec extends AnyFunSuite {
       .findFirstIn(served.queryExecution.executedPlan.toString).isDefined)
   }
 
+  test("df-tiering bounds the hot bucket on a Zipf corpus; " +
+      "non-degenerate top-k row-identical (r13 verdict #5)") {
+    import spark.implicits._
+    val n = 600
+    val docs = (0 until n)
+      .map(i => (i.toLong, s"the w${i % 17} u${i % 5} unique$i"))
+      .toDF("doc_id", "text").repartition(8)
+    val tiered = tmp("graft-lex-tier")
+    val untiered = tmp("graft-lex-notier")
+    LexIndex.writeIndexOf(docs, tiered) // default MaxDfFraction = 0.9
+    LexIndex.writeIndexOf(docs, untiered, maxDfFraction = 1.0) // df > N never: off
+    // the universal term is recorded (term, df) and absent from the layout
+    assert(LexIndex.stopTerms(spark, tiered).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("the", n.toLong)))
+    def bucketMax(p: String): (Long, Long) = {
+      val per = IndexMaintenance.vectorsDf(spark, p)
+        .groupBy(col("bucket").cast("long").as("b")).agg(count(lit(1)).as("n"))
+        .collect().map(_.getLong(1))
+      (per.max, per.sum)
+    }
+    val (hotU, totU) = bucketMax(untiered)
+    val (hotT, totT) = bucketMax(tiered)
+    // untiered: the stop-term's corpus-scale list lands WHOLE in one
+    // bucket; tiered: exactly those n postings are gone and no bucket
+    // dominates the layout
+    assert(hotU >= n, s"hot bucket $hotU — the Zipf pathology did not manifest")
+    assert(totT === totU - n, s"tiered $totT vs untiered $totU")
+    assert(hotT <= hotU / 2, s"hot bucket still $hotT of $hotU after tiering")
+    // non-degenerate query (no tiered term): row-identical to untiered
+    assert(rows(LexIndex.searchTerms(spark, tiered, Seq("w3", "u2"))) ===
+      rows(LexIndex.searchTerms(spark, untiered, Seq("w3", "u2"))))
+    // a query CONTAINING the tiered term still serves — the stop-term
+    // simply has no postings and contributes zero
+    val withStop = LexIndex.searchTerms(spark, tiered, Seq("the", "w3")).collect()
+    assert(withStop.nonEmpty)
+    assert(withStop.forall(_.getAs[Long]("tf_the") === 0L))
+    // the graded corpora sit BELOW the tier (max df fraction ~0.83 at
+    // sf0.001/sf0.01), so every lexical graded query stays hash-exact
+    // against its untiered brute oracle — pinned here so a corpus
+    // refresh that crosses the tier fails loudly in one place
+    val corpusDocs = Tables.documents(spark, Sf)
+    val nd = corpusDocs.count()
+    val maxDf = corpusDocs
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextFunctions.tokens(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head().getLong(0)
+    assert(maxDf <= LexIndex.MaxDfFraction * nd,
+      s"graded corpus max df $maxDf/$nd crossed the ${LexIndex.MaxDfFraction} tier")
+  }
+
   test("hybrid over persisted indexes == brute searchHybrid at full coverage") {
     val vecIdx = tmp("graft-hybrid-vec")
     val lexIdx = tmp("graft-hybrid-lex")
