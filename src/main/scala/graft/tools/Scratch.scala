@@ -235,6 +235,12 @@ object Scratch {
         val t2 = System.nanoTime()
         println(f"  lm_stages vocab=$nf freqPass=${(t1 - t0) / 1e9}%.2f docAggPass=${(t2 - t1) / 1e9}%.2f")
       },
+      // r14 verdict #6 watch item: vs_multivec quadrupled at sf3 on a
+      // clean r13 window with no plan change — adjudicate by direct
+      // measurement
+      "mv_cur" -> (() => {
+        graft.operators.KnnSearch.multivecSearch(spark, sfDir).collect(); ()
+      }),
       "lm_gc" -> (() => { lmScoreGc(spark, sfDir).collect(); () }),
       "lm_gc_plan" -> { () =>
         val df = lmScoreGc(spark, sfDir)
