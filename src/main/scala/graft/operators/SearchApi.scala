@@ -387,10 +387,15 @@ object SearchApi {
     */
   def searchManyHybridIndexed(spark: SparkSession, dir: String,
       vecIndexPath: String, lexIndexPath: String, queries: DataFrame,
-      nprobe: Int = 3, perList: Int = 20, k: Int = 10): DataFrame = {
+      nprobe: Int = 3, perList: Int = 20, k: Int = 10,
+      encoder: TextEncoder = defaultEncoder): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qs = queries.select(col("query_id"), col("query_text"))
-      .withColumn("qvec", embedText(col("query_text")))
+    // the vector arm rides the same pluggable encoder seam as
+    // searchManyIndexed (r14 — the hybrid facade previously hard-coded
+    // the hashing encoder, so a real-model TextEncoder could serve the
+    // vector facade but not the hybrid one)
+    val qs = encoder.encode(
+        queries.select(col("query_id"), col("query_text")), "query_text", "qvec")
       .transform(graft.plans.ScanShare.shared)
     // ---- vector arm: the searchManyIndexed retrieval shape ----
     val probe = spark.read.parquet(s"$vecIndexPath/centroids")

@@ -93,6 +93,23 @@ class SearchManySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("the hybrid facade rides the encoder seam: batched encoder ≡ default") {
+    // r14: the hybrid facade previously hard-coded the hashing
+    // expression; a real-model TextEncoder must be able to serve BOTH
+    // batch facades. The batched encoder is bit-identical to the
+    // column expression (its documented contract), so rows must match.
+    def rowsOf(enc: graft.operators.TextEncoder) =
+      SearchApi.searchManyHybridIndexed(spark, Sf, indexPath, lexIndexPath,
+          queriesDf, nprobe = 2, encoder = enc)
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          r.getDouble(4)))
+        .sortBy(t => (t._1, -t._5, t._2))
+    val want = rowsOf(SearchApi.defaultEncoder)
+    assert(want.nonEmpty)
+    assert(rowsOf(new BatchedEncoder(batchSize = 3)) === want)
+  }
+
   test("hybrid batch scans each layout once for the whole query set") {
     // start from a clean shared-scan registry: leftover enrollments
     // from earlier tests otherwise evict this plan's postings cache
