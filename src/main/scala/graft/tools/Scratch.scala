@@ -241,6 +241,20 @@ object Scratch {
       "mv_cur" -> (() => {
         graft.operators.KnnSearch.multivecSearch(spark, sfDir).collect(); ()
       }),
+      // r14: where do vs_search_many_hybrid's ~2.5s go? (index cache
+      // resolution vs the fused query itself)
+      "smh_stages" -> { () =>
+        val t0 = System.nanoTime()
+        val vi = graft.operators.IvfIndex.ivfIndexFor(spark, sfDir)
+        val li = graft.operators.LexIndex.lexIndexFor(spark, sfDir)
+        val t1 = System.nanoTime()
+        import spark.implicits._
+        val qs = graft.operators.SearchApi.GradedQuerySet.toDF("query_id", "query_text")
+        graft.operators.SearchApi.searchManyHybridIndexed(spark, sfDir, vi, li,
+          qs, nprobe = Int.MaxValue, perList = 20, k = 10).collect()
+        val t2 = System.nanoTime()
+        println(f"  smh_stages resolve=${(t1 - t0) / 1e9}%.2f query=${(t2 - t1) / 1e9}%.2f")
+      },
       "lm_gc" -> (() => { lmScoreGc(spark, sfDir).collect(); () }),
       "lm_gc_plan" -> { () =>
         val df = lmScoreGc(spark, sfDir)
