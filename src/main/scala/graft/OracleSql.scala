@@ -492,11 +492,15 @@ object OracleSql {
   // facade, re-derived end to end — the vs_search_many encoder chain
   // feeds per-query brute vector ranks (the facade serves at full IVF
   // coverage where indexed == brute); the lexical arm generalizes the
-  // vs_bm25 Okapi contribution to per-query terms (whitespace-distinct,
-  // the facade's 8-term cap is irrelevant at ≤5-word queries) over a
-  // full posting derivation with per-term df and the index's corpus
-  // stats; fusion is the vs_hybrid_idx per-query RRF with the same
-  // 1e9 integerization and (rrf desc, doc_id) rank.
+  // vs_bm25 Okapi contribution to per-query terms over a full posting
+  // derivation with per-term df and the index's corpus stats; fusion
+  // is the vs_hybrid_idx per-query RRF with the same 1e9
+  // integerization and (rrf desc, doc_id) rank. r15 (verdict #5): the
+  // widened query set includes >8-distinct-term texts, so the facade's
+  // term cap — FIRST 8 distinct terms in occurrence order,
+  // slice(array_distinct(split(...)), 1, 8) — is now mirrored exactly:
+  // zipped unnest gives each token its position, min(ord) per term is
+  // the first occurrence, and the rank-8 filter reproduces the slice.
   val vsSearchManyHybrid: String =
     s"""WITH $searchManyEncoderCtes,
        |vr AS (SELECT query_id, vec_id AS doc_id,
@@ -509,9 +513,15 @@ object OracleSql {
        |  FROM (SELECT doc_id, unnest(toks) AS w FROM dt) GROUP BY 1, 2),
        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dlen),
-       |qterm AS (SELECT DISTINCT query_id, w AS term
-       |  FROM (SELECT query_id, unnest(string_split_regex(trim(query_text), '\\s+')) AS w
-       |        FROM qt) WHERE w <> ''),
+       |qtok AS (SELECT query_id, unnest(lst) AS w,
+       |  unnest(generate_series(1, len(lst))) AS ord
+       |  FROM (SELECT query_id, string_split_regex(trim(query_text), '\\s+') AS lst
+       |        FROM qt)),
+       |qdist AS (SELECT query_id, w AS term, min(ord) AS mo
+       |  FROM qtok WHERE w <> '' GROUP BY 1, 2),
+       |qterm AS (SELECT query_id, term FROM (SELECT query_id, term,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY mo) AS rn FROM qdist)
+       |  WHERE rn <= 8),
        |tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
        |  WHERE term IN (SELECT term FROM qterm) GROUP BY 1),
        |contrib AS (SELECT q.query_id, p.doc_id,

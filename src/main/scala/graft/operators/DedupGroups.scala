@@ -99,18 +99,34 @@ object DedupGroups {
     val dst = new Path(s"$indexPath/groups")
     if (fs.exists(dst)) return
     val lock = new Path(s"$indexPath/_groups_fold_lock")
-    val deadline = System.currentTimeMillis() + 60L * 1000
     while (true) {
       IndexMaintenance.tryWithSwapLock(fs, lock) {
         reconcile(spark, indexPath)
       } match {
         case Some(_) => return
-        case None => // live folder mid-swap: its rename lands momentarily
+        case None =>
           if (fs.exists(dst)) return
-          if (System.currentTimeMillis() > deadline)
+          // wait deadline sized to the LOCK'S staleness window, not a
+          // fixed 60 s (r15, ADVICE r14): a crashed (non-heartbeating)
+          // folder's lock only becomes breakable at mtime + staleMs —
+          // a shorter deadline guaranteed up to ~14 min of read
+          // failures after a mid-swap crash even though the takeover
+          // above would eventually succeed and heal. A LIVE folder
+          // keeps refreshing mtime (heartbeat every staleMs/3), so the
+          // deadline keeps moving and the reader waits for its swap to
+          // land — staleness, not a stopwatch, is the liveness oracle.
+          // The throw fires only once the lock has been breakable for
+          // a full grace period and the takeover still failed (a store
+          // where delete/create-exclusive misbehaves).
+          val mtime =
+            try fs.getFileStatus(lock).getModificationTime
+            catch { case _: java.io.FileNotFoundException =>
+              System.currentTimeMillis() } // released between checks: retry now
+          val breakableAt = mtime + IndexMaintenance.SwapLockStaleMs
+          if (System.currentTimeMillis() > breakableAt + 60L * 1000)
             throw new IllegalStateException(
-              s"$dst missing and $lock held for the whole wait window — " +
-                "a fold appears wedged inside its swap")
+              s"$dst missing and $lock stale-but-unbreakable past its " +
+                "staleness window — a fold appears wedged inside its swap")
           Thread.sleep(100)
       }
     }

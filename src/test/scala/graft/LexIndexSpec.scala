@@ -154,6 +154,55 @@ class LexIndexSpec extends AnyFunSuite {
       s"graded corpus max df $maxDf/$nd crossed the ${LexIndex.MaxDfFraction} tier")
   }
 
+  test("r15 (verdict #3): streamed appends are tier-aware — the stop-term's " +
+      "bucket never re-grows — and maintain() routes df drift to retier") {
+    import spark.implicits._
+    // Zipf corpus: "the" universal (tiered at build), "hot" at 89% df —
+    // just under the 0.9 tier, so the drift bound can trip after growth
+    val n = 600
+    val docsZ = (0 until n)
+      .map(i => (i.toLong,
+        (if (i < 534) "the hot " else "the ") + s"w${i % 17} unique$i"))
+      .toDF("doc_id", "text").repartition(8)
+    val idx = tmp("graft-lex-tierstream")
+    LexIndex.writeIndexOf(docsZ, idx)
+    assert(LexIndex.stopTerms(spark, idx).collect()
+      .map(r => r.getString(0)).toSeq === Seq("the"))
+    assert(!LexIndex.needsRetier(spark, idx),
+      "a freshly-built layout must not need a retier")
+    assert(IndexMaintenance.maintain(spark, idx).action !== "retier")
+    // stream 120 docs carrying the stop-term: its postings must be
+    // dropped MAP-SIDE, so no bucket re-accumulates a corpus-scale list
+    val grow = (n until n + 120)
+      .map(i => (i.toLong, s"the the w${i % 17} fresh$i"))
+      .toDF("doc_id", "text")
+    val staging = tmp("graft-lex-tierstream-src")
+    val ckpt = tmp("graft-lex-tierstream-ckpt")
+    grow.coalesce(1).write.parquet(s"$staging/w0")
+    val stream = spark.readStream.schema(grow.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$staging/w*")
+    val q = IndexStream.appendToLexIndex(spark, idx, stream, ckpt,
+      sinkDir = IndexMaintenance.nextEpochDir(spark, idx))
+    try q.processAllAvailable() finally q.stop()
+    LexIndex.addToStats(spark, idx, grow)
+    assert(IndexMaintenance.vectorsDf(spark, idx)
+      .filter(col("term") === "the").count() === 0L,
+      "a tiered term's postings re-grew through the stream")
+    // the grown index serves exactly like a from-scratch rebuild on
+    // the grown corpus (row-identity preserved: stats fold pre-tier,
+    // surviving postings are byte-identical, "the" is tiered by both)
+    val rebuilt = tmp("graft-lex-tierstream-full")
+    LexIndex.writeIndexOf(docsZ.unionByName(grow), rebuilt)
+    assert(rows(LexIndex.searchTerms(spark, idx, Seq("hot", "w3"))) ===
+      rows(LexIndex.searchTerms(spark, rebuilt, Seq("hot", "w3"))))
+    // df drift: "hot" COULD have crossed the tier (534 + 120 appended
+    // > 0.9 × 720) — the metadata-only decider trips and maintain()
+    // routes the layout to a re-tiering rebuild instead of compacting
+    assert(LexIndex.needsRetier(spark, idx))
+    val m = IndexMaintenance.maintain(spark, idx)
+    assert(m.action === "retier", m.toString)
+  }
+
   test("hybrid over persisted indexes == brute searchHybrid at full coverage") {
     val vecIdx = tmp("graft-hybrid-vec")
     val lexIdx = tmp("graft-hybrid-lex")

@@ -103,6 +103,21 @@ class MaintainSpec extends AnyFunSuite {
     val after = IndexMaintenance.maintain(spark, idx) // must not throw
     assert(after.action === "none", after.toString)
     assert(after.filesBefore === base.filesBefore + 1, after.toString)
+    // manifest path (r15, ADVICE r14): compaction rewrites the layout
+    // (null-key rows land back under __HIVE_DEFAULT_PARTITION__) and
+    // the installed marker manifest must report those files in
+    // filesBefore exactly like the footer path above — counted as
+    // files, never size-managed — with ZERO footer opens
+    IndexMaintenance.compactIndex(spark, idx)
+    assert(new java.io.File(
+        s"$idx/vectors/cluster_id=__HIVE_DEFAULT_PARTITION__").exists(),
+      "compaction dropped the null-key partition — pin is vacuous")
+    val manifested = IndexMaintenance.maintain(spark, idx)
+    assert(manifested.action === "none", manifested.toString)
+    assert(manifested.footerReads === 0L, manifested.toString)
+    assert(manifested.filesBefore ===
+      IndexMaintenance.parquetFileCount(spark, s"$idx/vectors"),
+      manifested.toString)
   }
 
   test("fragmentation and resume epochs route to compact, then settle to none") {

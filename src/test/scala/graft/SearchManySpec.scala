@@ -195,6 +195,69 @@ class SearchManySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("r15: query-frame broadcasts are size-gated — both shapes, identical rows") {
+    // BELOW the gate (the default, measured path): the query-derived
+    // tables ride broadcast joins. ABOVE the gate (forced at 0 rows,
+    // runtime broadcast conversion disabled): every hint degrades to
+    // its shuffle shape with bit-identical rows — the no-code-edit
+    // degradation a 1M-query batch relies on (the pagerank/triangles
+    // precedent, PlanShapeSpec).
+    def hybridRows(maxRows: Long) =
+      SearchApi.searchManyHybridIndexed(spark, Sf, indexPath, lexIndexPath,
+          queriesDf, nprobe = 2, maxBroadcastRows = maxRows)
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          r.getDouble(4)))
+        .sortBy(t => (t._1, -t._5, t._2))
+    val wantV = batchRows(nprobe = 2)
+    val wantH = hybridRows(SearchApi.MaxBroadcastQueryRows)
+    val belowPlan = SearchApi.searchManyIndexed(spark, Sf, indexPath, queriesDf,
+        nprobe = 2)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(belowPlan.contains("BroadcastHashJoin"), belowPlan)
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "-1"))
+      // BHJ must be absent from the WHOLE tree including ScanShare's
+      // cached subplans (where the lexical semi-join lives — the r13
+      // truncation gotcha), so search executed + cached plan strings
+      def allPlanText(df: org.apache.spark.sql.DataFrame): String = {
+        val qe = df.queryExecution
+        val cached = qe.optimizedPlan.collect {
+          case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+            imr.cachedPlan.toString
+        }
+        (qe.executedPlan.toString +: cached).mkString("\n")
+      }
+      val dfV = SearchApi.searchManyIndexed(spark, Sf, indexPath, queriesDf,
+        nprobe = 2, minLogit = Some(-5.0), lang = Some("en"),
+        maxBroadcastRows = 0L)
+      assert(dfV.collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(6)))
+        === wantV)
+      val pV = allPlanText(dfV)
+      assert(!pV.contains("BroadcastHashJoin"),
+        s"a query-derived broadcast survived the 0-row gate:\n$pV")
+      graft.plans.ScanShare.drain()
+      val dfH = SearchApi.searchManyHybridIndexed(spark, Sf, indexPath,
+        lexIndexPath, queriesDf, nprobe = 2, maxBroadcastRows = 0L)
+      val gotH = dfH.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          r.getDouble(4)))
+        .sortBy(t => (t._1, -t._5, t._2))
+      assert(gotH === wantH)
+      // the one-row stats table stays broadcast by design (a
+      // BroadcastNestedLoopJoin cross); no query-derived equi join may
+      val pH = allPlanText(dfH)
+      assert(!pH.contains("BroadcastHashJoin"),
+        s"a query-derived broadcast survived the 0-row gate:\n$pH")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("one pruned vectors scan serves the whole query set") {
     val df = SearchApi.searchManyIndexed(spark, Sf, indexPath, queriesDf,
       nprobe = 2)
