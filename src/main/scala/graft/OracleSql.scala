@@ -346,8 +346,9 @@ object OracleSql {
        |bk AS (SELECT vec_id,
        |  CAST(sum(CASE WHEN pr > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY 1),
-       |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, bk.bucket AS qb
-       |  FROM embeddings e JOIN bk USING (vec_id) WHERE e.vec_id % 100 = 0),
+       |qs AS ($evalSampleBody),
+       |q AS (SELECT s.query_id, s.qv, bk.bucket AS qb
+       |  FROM qs s JOIN bk ON bk.vec_id = s.query_id),
        |pb AS (SELECT query_id, qv, unnest([qb, CAST(xor(qb, 1) AS BIGINT)]) AS bucket FROM q),
        |app AS (SELECT pb.query_id, e.vec_id, ${dot("e.embedding", "pb.qv")} AS s
        |  FROM embeddings e JOIN bk USING (vec_id) JOIN pb ON bk.bucket = pb.bucket),
@@ -375,8 +376,9 @@ object OracleSql {
        |bk AS (SELECT vec_id,
        |  CAST(sum(CASE WHEN pr > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY 1),
-       |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, bk.bucket AS qb
-       |  FROM embeddings e JOIN bk USING (vec_id) WHERE e.vec_id % 100 = 0),
+       |qs AS ($evalSampleBody),
+       |q AS (SELECT s.query_id, s.qv, bk.bucket AS qb
+       |  FROM qs s JOIN bk ON bk.vec_id = s.query_id),
        |pb AS (SELECT query_id, qv, unnest([qb, CAST(xor(qb, 1) AS BIGINT)]) AS bucket FROM q),
        |app AS (SELECT pb.query_id, e.vec_id, ${dot("e.embedding", "pb.qv")} AS s
        |  FROM embeddings e JOIN bk USING (vec_id) JOIN pb ON bk.bucket = pb.bucket),
@@ -405,6 +407,19 @@ object OracleSql {
   val vsKnnTopk: String =
     s"""WITH $qVec0, $scoredAll
        |SELECT vec_id, ${r6("sc")} AS score FROM s ORDER BY sc DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Bounded eval-query sample (r15, r14 verdict #1) — mirrors
+    * KnnSearch.evalQueries exactly: from the every-100th candidate
+    * set, the 64 smallest md5(vec_id) values with an id tiebreak.
+    * Spark's long→string cast and DuckDB's BIGINT→VARCHAR both print
+    * plain decimal, and hex md5 ordering is plain ASCII in both
+    * engines, so the sampled sets are identical. Used by the five
+    * recall/ndcg EVAL harnesses only; serving surfaces (vs_ivf_batch,
+    * vs_knn_join, …) keep the full set.
+    */
+  private def evalSampleBody: String =
+    "SELECT vec_id AS query_id, embedding AS qv FROM embeddings " +
+      "WHERE vec_id % 100 = 0 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64"
 
   private val qSet =
     "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0)"
@@ -1094,7 +1109,7 @@ object OracleSql {
 
   val vsIvfRecall: String =
     s"""WITH $ivfCtes,
-       |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |bq AS ($evalSampleBody),
        |bp AS (SELECT query_id, cluster_id, qv FROM (
        |  SELECT q.query_id, c.cluster_id, q.qv,
        |    row_number() OVER (PARTITION BY q.query_id
@@ -1124,7 +1139,7 @@ object OracleSql {
     */
   val vsNdcg: String =
     s"""WITH $ivfCtes,
-       |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |bq AS ($evalSampleBody),
        |bp AS (SELECT query_id, cluster_id, qv FROM (
        |  SELECT q.query_id, c.cluster_id, q.qv,
        |    row_number() OVER (PARTITION BY q.query_id
@@ -1274,7 +1289,7 @@ object OracleSql {
        |  SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, code) AS rn
        |  FROM dists) WHERE rn = 1),
        |cfg AS (SELECT * FROM (VALUES (1, 50), (2, 50), (3, 50), (3, 20)) t(nprobe, candidates)),
-       |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |bq AS ($evalSampleBody),
        |crank AS (SELECT query_id, cluster_id, crn FROM (
        |  SELECT q.query_id, c.cluster_id,
        |    row_number() OVER (PARTITION BY q.query_id

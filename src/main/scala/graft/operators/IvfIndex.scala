@@ -414,10 +414,14 @@ object IvfIndex {
     * partition-local PartialTopK bounds what reaches the rank shuffle.
     */
   def searchBatch(spark: SparkSession, dir: String, nprobe: Int = 3,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, queries: DataFrame = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qs = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // default: the full every-100th serving set (vs_ivf_batch grades
+    // it); the eval harnesses pass their bounded sample instead so the
+    // ANN arm runs on exactly the sampled queries (r15, verdict #1)
+    val qs = if (queries != null) queries
+      else Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val probed = qs.crossJoin(broadcast(centroids(spark, dir)))
       .withColumn("cd2", dist2(col("cvec"), col("qvec")))
       .withColumn("rn", row_number().over(
@@ -446,12 +450,15 @@ object IvfIndex {
   def recallReport(spark: SparkSession, dir: String, nprobe: Int = 3,
       k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ivf = searchBatch(spark, dir, nprobe, k).select("query_id", "vec_id")
+    // bounded deterministic query sample (r15, r14 verdict #1): the
+    // brute truth is |queries| × corpus by construction — see
+    // KnnSearch.evalQueries for the sampling/unbiasedness contract
+    val qs = KnnSearch.evalQueries(spark, dir)
+    val ivf = searchBatch(spark, dir, nprobe, k, queries = qs)
+      .select("query_id", "vec_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
     val brute = KnnSearch.scored(
-        Tables.embeddings(spark, dir).select("vec_id", "embedding"),
-        Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"), qs)
       .select(col("query_id"), col("vec_id"), col("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -480,13 +487,13 @@ object IvfIndex {
   def ndcgReport(spark: SparkSession, dir: String, nprobe: Int = 3,
       k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ivf = searchBatch(spark, dir, nprobe, k)
+    // bounded deterministic query sample — see recallReport (r15)
+    val qs = KnnSearch.evalQueries(spark, dir)
+    val ivf = searchBatch(spark, dir, nprobe, k, queries = qs)
       .select(col("query_id"), col("vec_id"), col("rnk").as("pos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
     val brute = KnnSearch.scored(
-        Tables.embeddings(spark, dir).select("vec_id", "embedding"),
-        Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"), qs)
       .select(col("query_id"), col("vec_id"), col("score"))
       .withColumn("brnk", row_number().over(w).cast("long"))
       .filter(col("brnk") <= k)

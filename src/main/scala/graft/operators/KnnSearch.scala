@@ -33,6 +33,38 @@ object KnnSearch {
     Tables.embeddings(spark, dir).filter(pred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
 
+  /** Bound on the recall/ndcg eval harnesses' query sample (r15, r14
+    * verdict #1). 64 queries give a ±~6% standard error on a recall
+    * estimate at k=5 — plenty for the tune-the-pruning decision the
+    * harnesses inform — while capping the brute ground-truth pass at
+    * 64 × corpus regardless of SF.
+    */
+  val EvalQuerySampleK = 64
+
+  /** Deterministic BOUNDED eval-query sample (r15, r14 verdict #1): the
+    * five recall/ndcg eval harnesses pay a brute |queries| × corpus
+    * ground-truth scan by design, and on the unbounded every-100th
+    * query set that cost grew superlinearly with SF (28% of the sf10
+    * suite wall). The candidate set (every 100th vector) is cut to the
+    * [[EvalQuerySampleK]] smallest `md5(vec_id)` values — the hash is
+    * independent of embedding geometry, so recall/ndcg stay unbiased
+    * estimates of the full-set metric; md5-order with an id tiebreak
+    * runs verbatim in DuckDB, so the oracle mirrors the sample and the
+    * rows still hash. Below sampleK candidates the sample IS the full
+    * set (graded outputs at small SFs are unchanged). The orderBy +
+    * limit executes as a distributed TakeOrdered — never a global
+    * sort.
+    */
+  def evalQueries(spark: SparkSession, dir: String, every: Int = 100,
+      sampleK: Int = EvalQuerySampleK): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h").asc, col("query_id").asc)
+      .limit(sampleK)
+      .select(col("query_id"), col("qvec"))
+
   /** L2-normalize the embedding column (the encode step). Exposed to
     * verify as scalar invariants (norm, checksum of the normalized
     * vector, first component) so the oracle compare stays scalar.

@@ -99,8 +99,9 @@ object LshAnn {
   def recallReport(spark: SparkSession, dir: String, k: Int = 5,
       probes: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // bounded deterministic query sample (r15, r14 verdict #1) — see
+    // KnnSearch.evalQueries for the sampling/unbiasedness contract
+    val queries = KnnSearch.evalQueries(spark, dir)
       .withColumn("qb", bucketOf(col("qvec")))
     val probeBuckets = array((col("qb") +: (0 until NumPlanes).map(p =>
       col("qb").bitwiseXOR(lit(1L << p)))).take(math.max(1, probes)): _*)
@@ -137,8 +138,8 @@ object LshAnn {
   def ndcgReport(spark: SparkSession, dir: String, k: Int = 5,
       probes: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // bounded deterministic query sample — see recallReport (r15)
+    val queries = KnnSearch.evalQueries(spark, dir)
       .withColumn("qb", bucketOf(col("qvec")))
     val probeBuckets = array((col("qb") +: (0 until NumPlanes).map(p =>
       col("qb").bitwiseXOR(lit(1L << p)))).take(math.max(1, probes)): _*)

@@ -656,8 +656,9 @@ object PqIndex {
     val configs = broadcast(Seq((1, 50), (2, 50), (3, 50), (3, 20))
       .toDF("nprobe", "candidates"))
     val maxNprobe = 3
-    val qs = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // bounded deterministic query sample (r15, r14 verdict #1) — see
+    // KnnSearch.evalQueries for the sampling/unbiasedness contract
+    val qs = KnnSearch.evalQueries(spark, dir)
     // per-query centroid ranks (index metadata)
     val crank = qs.crossJoin(broadcast(IvfIndex.centroids(spark, dir)))
       .withColumn("crn", row_number().over(Window.partitionBy(col("query_id"))

@@ -103,6 +103,35 @@ class RecallSpec extends AnyFunSuite {
     assert(hi >= lo, s"recall not monotone: $lo -> $hi")
   }
 
+  test("r15: the eval-query sample is bounded, deterministic, md5-ordered, " +
+      "and a no-op below the cap") {
+    import graft.operators.KnnSearch
+    val ids = KnnSearch.evalQueries(spark, Sf)
+      .select("query_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.size <= KnnSearch.EvalQuerySampleK)
+    // below the cap the sample IS the full every-100th candidate set —
+    // small-SF graded outputs are unchanged by construction
+    val full = Tables.embeddings(spark, Sf).filter(col("vec_id") % 100 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    if (full.size <= KnnSearch.EvalQuerySampleK) assert(ids.toSet === full)
+    // deterministic across evaluations
+    assert(KnnSearch.evalQueries(spark, Sf)
+      .select("query_id").collect().map(_.getLong(0)).toSeq === ids)
+    // above the cap (simulated with every=1: the whole corpus is a
+    // candidate): exactly sampleK survivors, and they are the driver-
+    // side md5-order prefix — the property the DuckDB oracle mirrors
+    val wideIds = KnnSearch.evalQueries(spark, Sf, every = 1)
+      .select("query_id").collect().map(_.getLong(0)).toSeq
+    assert(wideIds.size === KnnSearch.EvalQuerySampleK)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = Tables.embeddings(spark, Sf).select("vec_id")
+      .collect().map(_.getLong(0))
+      .sortBy(v => (md5hex(v.toString), v))
+      .take(KnnSearch.EvalQuerySampleK).toSeq
+    assert(wideIds.sorted === want.sorted)
+  }
+
   test("ndcg is bounded, monotone in nprobe, and exactly 1 at full probe") {
     def avgNdcg(nprobe: Int): Double = {
       val rows = IvfIndex.ndcgReport(spark, Sf, nprobe = nprobe).collect()
