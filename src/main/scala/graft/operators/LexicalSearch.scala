@@ -63,7 +63,7 @@ object LexicalSearch {
     * exactly the operator order the oracle SQL uses, so the doubles
     * agree bitwise across every caller.
     */
-  private[operators] def contributionE6(tf: Column, df: Column, dl: Column,
+  private[graft] def contributionE6(tf: Column, df: Column, dl: Column,
       nDocs: Column, sumDl: Column): Column = {
     val idf = log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5)))
     val denom = tf + lit(K1) * (lit(1.0) - lit(B) +

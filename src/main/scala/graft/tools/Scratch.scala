@@ -255,6 +255,121 @@ object Scratch {
         val t2 = System.nanoTime()
         println(f"  smh_stages resolve=${(t1 - t0) / 1e9}%.2f query=${(t2 - t1) / 1e9}%.2f")
       },
+      // r15: fine-grained stage split for the 16-query hybrid facade —
+      // where do the seconds go among (index resolve, the two metadata
+      // collects, each arm's rank, the fusion)?
+      "smh_diag" -> { () =>
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.{IvfIndex, LexIndex, IndexMaintenance, LexicalSearch}
+        import graft.functions.VectorFunctions.{dist2, dot}
+        val t0 = System.nanoTime()
+        val vi = IvfIndex.ivfIndexFor(spark, sfDir)
+        val li = LexIndex.lexIndexFor(spark, sfDir)
+        val t1 = System.nanoTime()
+        val queries = graft.operators.SearchApi.GradedQuerySet.toDF("query_id", "query_text")
+        val qs = graft.operators.SearchApi.defaultEncoder
+          .encode(queries, "query_text", "qvec")
+          .transform(graft.plans.ScanShare.shared)
+        val probe = spark.read.parquet(s"$vi/centroids")
+          .crossJoin(broadcast(qs.select(col("query_id"), col("qvec"))))
+          .withColumn("cd2", dist2(col("cvec"), col("qvec")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("cd2").asc, col("cluster_id").asc)))
+          .filter(col("rn") <= Int.MaxValue)
+          .select(col("query_id"), col("cluster_id"), col("qvec"))
+          .transform(graft.plans.ScanShare.shared)
+        val probedClusters = probe.select(col("cluster_id")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val t2 = System.nanoTime()
+        val vecHits = IndexMaintenance.vectorsDf(spark, vi)
+          .withColumn("cluster_id", col("cluster_id").cast("long"))
+          .filter(col("cluster_id").isin(probedClusters.toIndexedSeq: _*))
+          .join(broadcast(probe), Seq("cluster_id"))
+          .withColumn("score", dot(col("embedding"), col("qvec")))
+          .select(col("query_id"), col("vec_id"), col("score"))
+        val wv = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+        val vecTop = graft.plans.PartialTopK(vecHits, "query_id", "score", "vec_id", 20)
+          .withColumn("rank_vec", row_number().over(wv).cast("long"))
+          .filter(col("rank_vec") <= 20)
+          .select(col("query_id"), col("vec_id").as("doc_id"), col("rank_vec"))
+        vecTop.write.format("noop").mode("overwrite").save()
+        val t3 = System.nanoTime()
+        val qterms = qs
+          .select(col("query_id"),
+            explode(slice(array_distinct(split(trim(col("query_text")), "\\s+")), 1, 8)).as("term"))
+          .filter(col("term") =!= "")
+          .transform(graft.plans.ScanShare.shared)
+        val buckets = qterms.select(LexIndex.bucketOf(col("term")).as("b"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        val t4 = System.nanoTime()
+        val p = IndexMaintenance.vectorsDf(spark, li)
+          .withColumn("bucket", col("bucket").cast("long"))
+          .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+          .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+          .transform(graft.plans.ScanShare.shared)
+        val termDf = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val stats = spark.read.parquet(s"$li/stats")
+        val lexScores = p
+          .join(broadcast(qterms), Seq("term"))
+          .join(broadcast(termDf), Seq("term"))
+          .crossJoin(broadcast(stats))
+          .withColumn("c_e6", LexicalSearch.contributionE6(col("tf"), col("df"),
+            col("dl"), col("n_docs"), col("sum_dl")))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("c_e6")).as("score_e6"))
+        val wl = Window.partitionBy(col("query_id"))
+          .orderBy(col("score_e6").desc, col("doc_id").asc)
+        val lexTop = graft.plans.PartialTopK(
+            lexScores.filter(col("score_e6") > 0)
+              .withColumn("s", col("score_e6").cast("double")),
+            "query_id", "s", "doc_id", 20)
+          .drop("s")
+          .withColumn("rank_lex", row_number().over(wl).cast("long"))
+          .filter(col("rank_lex") <= 20)
+          .select(col("query_id"), col("doc_id"), col("rank_lex"))
+        lexTop.write.format("noop").mode("overwrite").save()
+        val t5 = System.nanoTime()
+        val wr = Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        val fused = vecTop.join(lexTop, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)))
+          .withColumn("rk", row_number().over(wr))
+          .filter(col("rk") <= 10)
+          .drop("rk")
+        fused.write.format("noop").mode("overwrite").save()
+        val t6 = System.nanoTime()
+        def s(a: Long, b: Long) = f"${(b - a) / 1e9}%.2f"
+        println(s"  smh_diag resolve=${s(t0, t1)} probeCollect=${s(t1, t2)} " +
+          s"vecArm=${s(t2, t3)} bucketCollect=${s(t3, t4)} lexArm=${s(t4, t5)} " +
+          s"fuse=${s(t5, t6)} clusters=${probedClusters.length} buckets=${buckets.length}")
+      },
+      // r15: same split for the vector-only facade (encode→retrieve→
+      // rerank) — rerank tail vs retrieve
+      "sm_diag" -> { () =>
+        import spark.implicits._
+        val t0 = System.nanoTime()
+        val vi = graft.operators.IvfIndex.ivfIndexFor(spark, sfDir)
+        val t1 = System.nanoTime()
+        val queries = graft.operators.SearchApi.GradedQuerySet.toDF("query_id", "query_text")
+        val out = graft.operators.SearchApi.searchManyIndexed(spark, sfDir, vi,
+          queries, nprobe = Int.MaxValue, retrieveK = 20,
+          numQueries = graft.operators.SearchApi.GradedQuerySet.length.toLong)
+        out.write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        def s(a: Long, b: Long) = f"${(b - a) / 1e9}%.2f"
+        println(s"  sm_diag resolve=${s(t0, t1)} query=${s(t1, t2)}")
+      },
+      "smh_cur" -> (() => {
+        graft.operators.SearchApi.searchManyHybridQuery(spark, sfDir).collect(); ()
+      }),
+      "sm_cur" -> (() => {
+        graft.operators.SearchApi.searchManyQuery(spark, sfDir).collect(); ()
+      }),
       "lm_gc" -> (() => { lmScoreGc(spark, sfDir).collect(); () }),
       "lm_gc_plan" -> { () =>
         val df = lmScoreGc(spark, sfDir)
