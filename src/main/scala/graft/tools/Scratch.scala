@@ -348,6 +348,28 @@ object Scratch {
           s"vecArm=${s(t2, t3)} bucketCollect=${s(t3, t4)} lexArm=${s(t4, t5)} " +
           s"fuse=${s(t5, t6)} clusters=${probedClusters.length} buckets=${buckets.length}")
       },
+      // r16: driver-planning vs execution split for the hybrid facade —
+      // each stage timed as (force executedPlan) then (run action)
+      "smh_diag2" -> { () =>
+        import spark.implicits._
+        import org.apache.spark.sql.DataFrame
+        val t0 = System.nanoTime()
+        val vi = graft.operators.IvfIndex.ivfIndexFor(spark, sfDir)
+        val li = graft.operators.LexIndex.lexIndexFor(spark, sfDir)
+        val t1 = System.nanoTime()
+        val queries = graft.operators.SearchApi.GradedQuerySet.toDF("query_id", "query_text")
+        val out = graft.operators.SearchApi.searchManyHybridIndexed(spark, sfDir, vi, li,
+          queries, nprobe = Int.MaxValue, perList = 20, k = 10,
+          numQueries = graft.operators.SearchApi.GradedQuerySet.length.toLong)
+        val t2 = System.nanoTime()
+        out.queryExecution.executedPlan // force analysis+optimization+planning
+        val t3 = System.nanoTime()
+        out.write.format("noop").mode("overwrite").save()
+        val t4 = System.nanoTime()
+        def s(a: Long, b: Long) = f"${(b - a) / 1e9}%.2f"
+        println(s"  smh_diag2 resolve=${s(t0, t1)} build(collects)=${s(t1, t2)} " +
+          s"plan=${s(t2, t3)} exec=${s(t3, t4)}")
+      },
       // r15: same split for the vector-only facade (encode→retrieve→
       // rerank) — rerank tail vs retrieve
       "sm_diag" -> { () =>
