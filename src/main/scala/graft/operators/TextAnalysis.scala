@@ -322,6 +322,12 @@ object TextAnalysis {
 
   private def dsirTok(spark: SparkSession, dir: String, bucketChars: Int): DataFrame =
     dsirTokOf(graft.Tables.fanOut(Tables.documents(spark, dir)), bucketChars)
+      // r16 (guide §2.3, project before the cache): no consumer of the
+      // shared fan-out reads the token STRING — LUT training needs
+      // (lang, b), the scorer needs (doc_id, lang, b) — so the heavy
+      // string column is dropped before the persist instead of being
+      // cached and re-deserialized by every pass
+      .select(col("doc_id"), col("lang"), col("b"))
       .transform(graft.plans.ScanShare.shared)
 
   def dsirLut(spark: SparkSession, dir: String, targetLang: String = "en",
@@ -340,17 +346,19 @@ object TextAnalysis {
 
   private def dsirLutFrom(tok: DataFrame, targetLang: String,
       nBuckets: Int): DataFrame = {
-    val tgt = tok.filter(col("lang") === targetLang)
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val src = tok.groupBy(col("b")).agg(count(lit(1)).as("cs"))
-    // every probe-side bucket exists in src by construction; buckets
-    // absent from the target slice smooth to ct=0
-    val totals = src.agg(sum(col("cs")).as("s_tot")).crossJoin(
-      tgt.agg(sum(col("ct")).as("t_tot")))
-    src.join(tgt, Seq("b"), "left")
-      .crossJoin(totals)
+    // r16 (guide §2.3, one pass): the source and target bucket counts
+    // ride ONE aggregate — `ct` as a conditional count (0 for buckets
+    // absent from the target slice, exactly the old left-join coalesce)
+    // — where the r10–r15 shape ran the token fan-out twice (tgt and
+    // src branches) and joined. Totals fold off the ≤nBuckets counts
+    // table; identical integer counts → bit-identical lr_e6.
+    val counts = tok.groupBy(col("b")).agg(
+      count(lit(1)).as("cs"),
+      count(when(col("lang") === targetLang, 1)).as("ct"))
+    val totals = counts.agg(sum(col("cs")).as("s_tot"), sum(col("ct")).as("t_tot"))
+    counts.crossJoin(broadcast(totals))
       .select(col("b"), graft.functions.VectorFunctions.cents(
-        log(((coalesce(col("ct"), lit(0L)) + lit(1.0)) * (col("s_tot") + lit(nBuckets.toDouble))) /
+        log(((col("ct") + lit(1.0)) * (col("s_tot") + lit(nBuckets.toDouble))) /
           ((col("cs") + lit(1.0)) * (col("t_tot") + lit(nBuckets.toDouble)))), 1e6).as("lr_e6"))
   }
 
