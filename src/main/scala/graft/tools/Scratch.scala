@@ -21,6 +21,11 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // match Bench's session shape (r16): the chain cache is ON in the
+    // driver bench, so graph/dedup A/Bs here must measure the same
+    // shared-stage regime. Opt-out: SPARK_GRAFT_CHAIN_CACHE=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_CHAIN_CACHE", "1") != "0")
+      graft.operators.DedupChain.enable()
     def dropCaches(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
@@ -608,6 +613,76 @@ object Scratch {
         }
         println(f"  comp_diag3 pairs=${(t1 - t0) / 1e9}%.2f (n=$nPairs) rounds=$rounds")
       },
+      // r16 A/B: the iterative loops cut lineage EAGERLY per round —
+      // one serial driver job per cut. The lazy twin folds each cut's
+      // materialization into the first consuming job (guide §2.6: the
+      // scheduler then overlaps what it can).
+      "hits_cur" -> (() => { graft.operators.GraphOps.hits(spark, sfDir).count(); () }),
+      "hits_lazy" -> { () =>
+        import graft.plans.Hints.broadcastIfUnder
+        val ed = graft.operators.GraphOps.sharedEdges(spark, sfDir)
+          .filter(col("src") % 2 === 0)
+        val nNodes = ed.select(col("src")).union(ed.select(col("dst"))).distinct().count()
+        val maxRows = graft.plans.Hints.DefaultMaxBroadcastRows
+        def rescaled(v: org.apache.spark.sql.DataFrame, scoreCol: String) =
+          v.crossJoin(broadcast(v.agg(max(col(scoreCol)).as("_mx"))))
+            .select(col("node"),
+              expr(s"shiftright($scoreCol, greatest(0, length(bin(_mx)) - 30))").as(scoreCol))
+        var hubs = ed.select(col("src").as("node")).distinct()
+          .select(col("node"), lit(1L << 30).as("h"))
+        var auths: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 2) {
+          val hb = broadcastIfUnder(hubs, nNodes, maxRows)
+          auths = rescaled(graft.Checkpointing.cut(
+            ed.join(hb, ed("src") === hb("node"))
+              .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+              .select(col("dst").as("node"), col("a")), eager = false), "a")
+          val ab = broadcastIfUnder(auths, nNodes, maxRows)
+          hubs = rescaled(graft.Checkpointing.cut(
+            ed.join(ab, ed("dst") === ab("node"))
+              .groupBy(col("src")).agg(sum(col("a")).as("h"))
+              .select(col("src").as("node"), col("h")), eager = false), "h")
+        }
+        def top(v: org.apache.spark.sql.DataFrame, scoreCol: String, role: String) =
+          v.crossJoin(broadcast(v.agg(max(col(scoreCol)).as("_mx"))))
+            .select(lit(role).as("role"), col("node").cast("string").as("node"),
+              col(scoreCol).as("raw"), col("_mx"))
+            .orderBy(col("raw").desc, col("node").asc).limit(20)
+            .select(col("role"), col("node"), col("raw"),
+              graft.functions.VectorFunctions.r6(col("raw") / col("_mx").cast("double")).as("score"))
+        top(hubs, "h", "hub").union(top(auths, "a", "authority"))
+          .orderBy(col("role"), col("raw").desc, col("node"))
+          .select(col("role"), col("node"), col("score")).count()
+        ()
+      },
+      "lp_cur" -> (() => { graft.operators.GraphOps.labelProp(spark, sfDir).count(); () }),
+      "lp_lazy" -> { () =>
+        import graft.plans.Hints.broadcastIfUnder
+        val pairs = graft.operators.GraphOps.sharedFrequentPairs(spark, sfDir, 2)
+        val ed = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+          .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+        val nodes = ed.select(col("src").as("node")).distinct()
+        val nNodes = nodes.count()
+        val maxRows = graft.plans.Hints.DefaultMaxBroadcastRows
+        var labels = nodes.select(col("node"), col("node").as("label"))
+        for (_ <- 1 to 3) {
+          val lb = labels
+          val votes = ed.join(broadcastIfUnder(lb, nNodes, maxRows),
+              ed("src") === lb("node"))
+            .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("n"))
+          labels = graft.Checkpointing.cut(
+            votes.groupBy(col("dst"))
+              .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("m"))
+              .select(col("dst").as("node"), (-col("m.neg")).as("label")),
+            eager = false)
+        }
+        labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+          .select(col("label").as("community"), col("n_nodes"))
+          .orderBy(col("n_nodes").desc, col("community")).count()
+        ()
+      },
+      "kcore_cur" -> (() => { graft.operators.GraphOps.kcore(spark, sfDir).count(); () }),
+      "pagerank_cur" -> (() => { graft.operators.GraphOps.pagerank(spark, sfDir).count(); () }),
       // r9 A/B: triangles via the r8 ReusedExchange shape (no cut, no
       // count, unconditional broadcasts) vs the shipped gated shape
       "tri_reuse" -> { () =>
