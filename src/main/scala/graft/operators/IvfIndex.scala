@@ -457,9 +457,13 @@ object IvfIndex {
     val ivf = searchBatch(spark, dir, nprobe, k, queries = qs)
       .select("query_id", "vec_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
-    val brute = KnnSearch.scored(
+    // r16: PartialTopK bounds the corpus×queries brute scored set
+    // BEFORE the rank Exchange (same contract as searchBatch's serving
+    // arm) — without it the ground-truth pass shuffles every scored row
+    val brute = graft.plans.PartialTopK(KnnSearch.scored(
         Tables.embeddings(spark, dir).select("vec_id", "embedding"), qs)
-      .select(col("query_id"), col("vec_id"), col("score"))
+      .select(col("query_id"), col("vec_id"), col("score")),
+        "query_id", "score", "vec_id", k)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "vec_id")
@@ -492,9 +496,11 @@ object IvfIndex {
     val ivf = searchBatch(spark, dir, nprobe, k, queries = qs)
       .select(col("query_id"), col("vec_id"), col("rnk").as("pos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
-    val brute = KnnSearch.scored(
+    // r16: PartialTopK bound before the rank Exchange — see recallReport
+    val brute = graft.plans.PartialTopK(KnnSearch.scored(
         Tables.embeddings(spark, dir).select("vec_id", "embedding"), qs)
-      .select(col("query_id"), col("vec_id"), col("score"))
+      .select(col("query_id"), col("vec_id"), col("score")),
+        "query_id", "score", "vec_id", k)
       .withColumn("brnk", row_number().over(w).cast("long"))
       .filter(col("brnk") <= k)
       .select("query_id", "vec_id", "brnk")

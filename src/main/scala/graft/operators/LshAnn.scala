@@ -109,16 +109,22 @@ object LshAnn {
       explode(probeBuckets).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
-    val approx = bucketed(spark, dir)
+    // r16: PartialTopK bounds both scored sets BEFORE their rank
+    // Exchange (a hot bucket otherwise pushes a corpus-scale set
+    // through the shuffle; the brute side is corpus×queries always)
+    val approx = graft.plans.PartialTopK(bucketed(spark, dir)
       .join(broadcast(probed), "bucket")
       .withColumn("score", dot(col("embedding"), col("qvec")))
+      .select(col("query_id"), col("vec_id"), col("score")),
+        "query_id", "score", "vec_id", k)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id"))
-    val brute = KnnSearch.scored(
+    val brute = graft.plans.PartialTopK(KnnSearch.scored(
         Tables.embeddings(spark, dir).select("vec_id", "embedding"),
         queries.select(col("query_id"), col("qvec")))
-      .select(col("query_id"), col("vec_id"), col("score"))
+      .select(col("query_id"), col("vec_id"), col("score")),
+        "query_id", "score", "vec_id", k)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "vec_id")
@@ -147,16 +153,20 @@ object LshAnn {
       explode(probeBuckets).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
-    val approx = bucketed(spark, dir)
+    // r16: PartialTopK bounds before the rank Exchange — see recallReport
+    val approx = graft.plans.PartialTopK(bucketed(spark, dir)
       .join(broadcast(probed), "bucket")
       .withColumn("score", dot(col("embedding"), col("qvec")))
+      .select(col("query_id"), col("vec_id"), col("score")),
+        "query_id", "score", "vec_id", k)
       .withColumn("pos", row_number().over(w).cast("long"))
       .filter(col("pos") <= k)
       .select(col("query_id"), col("vec_id"), col("pos"))
-    val brute = KnnSearch.scored(
+    val brute = graft.plans.PartialTopK(KnnSearch.scored(
         Tables.embeddings(spark, dir).select("vec_id", "embedding"),
         queries.select(col("query_id"), col("qvec")))
-      .select(col("query_id"), col("vec_id"), col("score"))
+      .select(col("query_id"), col("vec_id"), col("score")),
+        "query_id", "score", "vec_id", k)
       .withColumn("brnk", row_number().over(w).cast("long"))
       .filter(col("brnk") <= k)
       .select("query_id", "vec_id", "brnk")

@@ -693,8 +693,12 @@ object PqIndex {
       .select(col("query_id"), col("nprobe"), col("candidates"), col("vec_id"),
         lit(1L).as("hit"))
     // exact brute-force truth, same tiebreaks
-    val brute = KnnSearch.scored(
+    // r16: PartialTopK bounds the corpus×queries brute truth BEFORE
+    // the rank Exchange (see IvfIndex.recallReport)
+    val brute = graft.plans.PartialTopK(KnnSearch.scored(
         Tables.embeddings(spark, dir).select("vec_id", "embedding"), qs)
+      .select(col("query_id"), col("vec_id"), col("score")),
+        "query_id", "score", "vec_id", k)
       .withColumn("brn", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("vec_id").asc)))
       .filter(col("brn") <= k)
