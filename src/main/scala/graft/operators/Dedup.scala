@@ -311,7 +311,8 @@ object Dedup {
     * graph of touched group labels instead of the whole corpus chain.
     */
   private[graft] def componentsOfPairs(pairs0: DataFrame,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxBroadcastRows: Long = graft.plans.Hints.DefaultMaxBroadcastRows): DataFrame = {
     val spark = pairs0.sparkSession
     // the filtered pair table is materialized by persist + count, NOT
     // by an eager localCheckpoint: the count action goes through AQE
@@ -343,8 +344,15 @@ object Dedup {
     // labels unioned with the current ones, one aggregate — a single
     // join + groupBy per hop (the older prop ⋈ left-join-back shape
     // paid two joins per hop; per-round fixed cost dominates here)
+    // the label table is O(nodes) ≤ 2·nPairs rows — size-gate a
+    // broadcast exactly as labelProp/pagerank do (r16): under the gate
+    // each hop is broadcast-join + one groupBy exchange instead of a
+    // three-exchange sort-merge round; past it the hint drops and the
+    // hop keeps today's shuffle shape (PlanShapeSpec pins the pattern)
+    def bl(l: DataFrame): DataFrame =
+      graft.plans.Hints.broadcastIfUnder(l, 2L * nPairs, maxBroadcastRows)
     def step(l: DataFrame): DataFrame =
-      edges.join(l, col("src") === col("doc"))
+      edges.join(bl(l), col("src") === col("doc"))
         .select(col("dst").as("doc"), col("lbl"))
         .union(l)
         .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
@@ -369,8 +377,8 @@ object Dedup {
       // a fixed point of one step is a fixed point of two
       val next = cut(step(step(labels)))
       val viol = edges
-        .join(next.select(col("doc").as("src"), col("lbl").as("ls")), "src")
-        .join(next.select(col("doc").as("dst"), col("lbl").as("ld")), "dst")
+        .join(bl(next.select(col("doc").as("src"), col("lbl").as("ls"))), "src")
+        .join(bl(next.select(col("doc").as("dst"), col("lbl").as("ld"))), "dst")
         .filter(col("ls") =!= col("ld")).count()
       labels = next
       done = viol == 0L

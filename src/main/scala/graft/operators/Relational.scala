@@ -701,6 +701,17 @@ object Relational {
     val o = Tables.orders(spark, dir)
       .select(md5(col("o_orderkey").cast("string")).as("h"),
         cents(col("o_totalprice"), 100.0).as("vc"))
+      // r16 (per-task work, guide §1.2 step 2): the 64 replicate
+      // conditions each ran a substring + string compare per ROW (128
+      // conditional-agg evals). The 32 used hex chars fold once per row
+      // into four 32-bit masks; each condition is then one shift+mask —
+      // same membership (hex char <= '7' ⟺ nibble high bit 0, md5 hex
+      // is lowercase so '8'..'f' ⟺ high bit 1). Measured 2.22 → 1.76 s
+      // at sf0.1; the oracle re-derives membership from the hex chars
+      // and the outputs are value-identical.
+      .select((0 until 4).map(j =>
+        conv(substring(col("h"), j * 8 + 1, 8), 16, 10).cast("long").as(s"m_$j")) :+
+        col("vc"): _*)
     // ONE corpus pass, zero fan-out (r10): the old shape exploded every
     // order 64× (64·|orders| rows map-side — ~288M at sf3) to group by
     // replicate; replicate membership is a per-row predicate, so all 64
@@ -715,8 +726,9 @@ object Relational {
     // char r/2+1; even rep keeps the low nibbles, odd rep the
     // complementary high ones.
     def repCond(r: Int) = {
-      val c = substring(col("h"), r / 2 + 1, 1)
-      if (r % 2 == 0) c <= "7" else c >= "8"
+      val i = r / 2 // hex char index 0..31 of md5(o_orderkey)
+      val bit = shiftright(col(s"m_${i / 8}"), 28 - 4 * (i % 8)).bitwiseAND(lit(8L))
+      if (r % 2 == 0) bit === 0L else bit =!= 0L
     }
     val aggCols =
       expr("(sum(vc) * 100) div count(*)").as("mbar_raw") +:

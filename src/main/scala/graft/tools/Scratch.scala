@@ -613,6 +613,66 @@ object Scratch {
         }
         println(f"  comp_diag3 pairs=${(t1 - t0) / 1e9}%.2f (n=$nPairs) rounds=$rounds")
       },
+      // r16 A/B: bootstrapCi's 64 replicate conditions each evaluate
+      // substring(h, i, 1) string compares per ROW (128 conditional-agg
+      // evals). The bit variant folds the 32 used hex chars into 4
+      // 32-bit masks once per row; each condition is then a shift+mask.
+      // Same membership: hex char <= '7' ⟺ nibble high bit 0.
+      "bci_cur" -> { () =>
+        val df = graft.operators.Relational.bootstrapCi(spark, sfDir)
+        df.agg(bit_xor(xxhash64(df.columns.map(col).toIndexedSeq: _*))).collect(); ()
+      },
+      "bci_bits" -> { () =>
+        import graft.functions.VectorFunctions.{boundedWindow, cents, r6}
+        val reps = 64
+        val o = graft.Tables.orders(spark, sfDir)
+          .select(md5(col("o_orderkey").cast("string")).as("h"),
+            cents(col("o_totalprice"), 100.0).as("vc"))
+          .select((0 until 4).map(j =>
+            conv(substring(col("h"), j * 8 + 1, 8), 16, 10).cast("long").as(s"m_$j")) :+
+            col("vc"): _*)
+        def repCond(r: Int) = {
+          val i = r / 2 // hex char index 0..31
+          val bit = shiftright(col(s"m_${i / 8}"), 28 - 4 * (i % 8)).bitwiseAND(lit(8L))
+          if (r % 2 == 0) bit === 0L else bit =!= 0L
+        }
+        val aggCols =
+          expr("(sum(vc) * 100) div count(*)").as("mbar_raw") +:
+          count(lit(1)).as("n_orders") +:
+          max(col("vc")).as("max_vc") +:
+          (0 until reps).flatMap(r => Seq(
+            count(when(repCond(r), 1)).as(s"cnt_$r"),
+            sum(when(repCond(r), col("vc"))).as(s"sum_$r")))
+        val one = o.agg(aggCols.head, aggCols.tail: _*)
+        val hrOk = col("n_orders") <=
+          lit(Long.MaxValue / 100L) / greatest(col("max_vc"), lit(1L))
+        val repArr = array((0 until reps).map(r => struct(
+          lit(r).as("rep"),
+          expr(s"(sum_$r * 100) div cnt_$r").as("m_e4"))): _*)
+        val ranked = one
+          .select(
+            (col("mbar_raw") + coalesce(
+              assert_true(hrOk, lit("headroom")).cast("long"), lit(0L))).as("mbar_e4"),
+            col("n_orders"), explode(repArr).as("e"))
+          .filter(col("e.m_e4").isNotNull)
+          .select(col("e.m_e4").as("m_e4"), col("mbar_e4"), col("n_orders"),
+            row_number().over(boundedWindow(col("e.m_e4"), col("e.rep"))).as("rk"))
+        val df = ranked.agg(
+            first(col("n_orders")).as("n_orders"),
+            count(lit(1)).as("n_reps"),
+            first(col("mbar_e4")).as("mbar_e4"),
+            sum((col("m_e4") - col("mbar_e4")) * (col("m_e4") - col("mbar_e4"))).as("ss"),
+            sum(when(col("rk") === math.ceil(0.05 * reps).toInt, col("m_e4"))).as("p05_e4"),
+            sum(when(col("rk") === math.ceil(0.50 * reps).toInt, col("m_e4"))).as("p50_e4"),
+            sum(when(col("rk") === math.ceil(0.95 * reps).toInt, col("m_e4"))).as("p95_e4"))
+          .select(col("n_orders"), col("n_reps"),
+            r6(col("mbar_e4") / 10000.0).as("mean_value"),
+            r6(sqrt(col("ss") / lit(reps.toDouble)) / 10000.0).as("se_brr"),
+            r6(col("p05_e4") / 10000.0).as("ci_lo"),
+            r6(col("p50_e4") / 10000.0).as("ci_mid"),
+            r6(col("p95_e4") / 10000.0).as("ci_hi"))
+        df.agg(bit_xor(xxhash64(df.columns.map(col).toIndexedSeq: _*))).collect(); ()
+      },
       // r16 A/B: the iterative loops cut lineage EAGERLY per round —
       // one serial driver job per cut. The lazy twin folds each cut's
       // materialization into the first consuming job (guide §2.6: the
