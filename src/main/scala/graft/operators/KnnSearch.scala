@@ -411,18 +411,25 @@ object KnnSearch {
     * partial-agg shuffle of (dim, sum, count) rows.
     */
   def driftReport(spark: SparkSession, dir: String): DataFrame = {
-    val halves = Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
-      .withColumn("half", (col("vec_id") % 2).cast("long"))
-      .select(col("half"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("half"), col("pos"))
-      .agg(sum(graft.functions.VectorFunctions.cents(col("v").cast("double"), 1e9)).as("s"),
-        count(lit(1)).as("n"))
-      .withColumn("mean", col("s") / (lit(1e9) * col("n")))
-    val ref = halves.filter(col("half") === 0)
-      .select(col("pos"), col("mean").as("mean_ref"))
-    val cur = halves.filter(col("half") === 1)
-      .select(col("pos").as("pos_c"), col("mean").as("mean_cur"))
-    ref.join(cur, ref("pos") === cur("pos_c"))
+    import graft.functions.VectorFunctions.cents
+    // r16 (guide §2.3, one pass): both halves' sums ride ONE aggregate
+    // as conditional sums/counts on the d-row grid — the old shape
+    // filtered the (half, pos) aggregate into ref/cur branches and
+    // re-joined them on pos (an extra exchange + join for the same
+    // integer sums). The n>0 filters mirror the old inner join exactly
+    // (a pos row existed per half iff that half had rows).
+    val isRef = (col("vec_id") % 2) === 0
+    Tables.fanOut(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .select(isRef.as("is_ref"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(
+        sum(when(col("is_ref"), cents(col("v").cast("double"), 1e9))).as("s_ref"),
+        count(when(col("is_ref"), 1)).as("n_ref"),
+        sum(when(!col("is_ref"), cents(col("v").cast("double"), 1e9))).as("s_cur"),
+        count(when(!col("is_ref"), 1)).as("n_cur"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+      .withColumn("mean_ref", col("s_ref") / (lit(1e9) * col("n_ref")))
+      .withColumn("mean_cur", col("s_cur") / (lit(1e9) * col("n_cur")))
       .select((col("pos") + 1).cast("long").as("dim"),
         r6(col("mean_ref")).as("mean_ref"), r6(col("mean_cur")).as("mean_cur"),
         r6(abs(col("mean_cur") - col("mean_ref"))).as("shift"))

@@ -75,6 +75,41 @@ object Scratch {
         println(s"  cont_docsets docs=$nd")
       }),
       "cont_full" -> (() => graft.operators.Dedup.containment(spark, sfDir).count()),
+      // r16 A/B: docSets derived FROM the posting-stage shingle rows
+      // (one shuffle of (doc_id, hash) longs + collect_set) instead of
+      // re-tokenizing candidate docs — trades a recompute for a shuffle
+      "cont_v2" -> { () =>
+        import graft.operators.Dedup
+        import graft.functions.TextFunctions.tokens
+        val sh = Dedup.docShingles(spark, sfDir)
+        val cand = graft.plans.ScanShare.shared(
+          sh.groupBy(col("shingle"))
+            .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
+            .filter(size(col("docs")).between(2, 10))
+            .select(explode(graft.functions.ArrayExprs.orderedPairs(col("docs"))).as("p"))
+            .select(col("p.pa").as("doc_a"), col("p.pb").as("doc_b")).distinct())
+        val candDocs = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val docSets = sh
+          .join(candDocs, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+          .groupBy(col("doc_id"))
+          .agg(array_sort(collect_set(col("h"))).as("sh"))
+        val df = cand
+          .join(docSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(docSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            graft.functions.ArrayExprs.sortedIntersectCount(col("sh_a"), col("sh_b"))
+              .as("n_inter"),
+            size(col("sh_a")).cast("long").as("n_a"),
+            size(col("sh_b")).cast("long").as("n_b"))
+          .withColumn("containment",
+            graft.functions.VectorFunctions.r6(
+              col("n_inter") / (lit(1.0) * least(col("n_a"), col("n_b")))))
+          .filter(col("containment") >= 0.5)
+        println(s"  cont_v2 n=${df.count()}")
+      },
       "ngram" -> (() => graft.operators.Dedup.ngramJaccard(spark, sfDir).count()),
       "ngram_lazy" -> (() =>
         graft.operators.Dedup.ngramJaccard(spark, sfDir, eagerCand = false).count()),
