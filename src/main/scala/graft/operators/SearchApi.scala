@@ -169,7 +169,7 @@ object SearchApi {
         queries.select(col("query_id"), col("query_text")), "query_text", "qvec")
       .localCheckpoint()
     val nq = if (numQueries >= 0) numQueries else qs.count()
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val centroidsDf = spark.read.parquet(s"$indexPath/centroids")
     // full coverage (nprobe = Int.MaxValue, the graded regime): every
     // query probes every cluster, so the per-query rank over the
     // centroid table is provably a no-op (rank ≤ nlist < 2³¹) — skip
@@ -178,9 +178,9 @@ object SearchApi {
     val fullCoverage = nprobe == Int.MaxValue
     // each query's nprobe nearest clusters off the tiny centroid table
     val probe = (if (fullCoverage)
-        cents.crossJoin(gated(qs.select(col("query_id"), col("qvec")), nq))
+        centroidsDf.crossJoin(gated(qs.select(col("query_id"), col("qvec")), nq))
           .select(col("query_id"), col("cluster_id"), col("qvec"))
-      else cents
+      else centroidsDf
         .crossJoin(gated(qs.select(col("query_id"), col("qvec")), nq))
         .withColumn("cd2", dist2(col("cvec"), col("qvec")))
         .withColumn("rn", row_number().over(
@@ -191,7 +191,7 @@ object SearchApi {
       .transform(graft.plans.ScanShare.shared)
     // union of probed clusters: index metadata (≤ nlist ids) — this is
     // what prunes the vectors scan to the probed partition dirs only
-    val probedClusters = (if (fullCoverage) cents.select(col("cluster_id"))
+    val probedClusters = (if (fullCoverage) centroidsDf.select(col("cluster_id"))
         else probe.select(col("cluster_id")).distinct())
       .collect().map(_.getLong(0)).sorted
     // probe rows ≤ nq × min(nprobe, |probed clusters|) — metadata
@@ -480,16 +480,16 @@ object SearchApi {
         queries.select(col("query_id"), col("query_text")), "query_text", "qvec")
       .localCheckpoint()
     val nq = if (numQueries >= 0) numQueries else qs.count()
-    val cents = spark.read.parquet(s"$vecIndexPath/centroids")
+    val centroidsDf = spark.read.parquet(s"$vecIndexPath/centroids")
     // full coverage (nprobe = Int.MaxValue, the graded regime): the
     // per-query centroid rank is provably a no-op — skip the window
     // (r16; see searchManyIndexed)
     val fullCoverage = nprobe == Int.MaxValue
     // ---- vector arm: the searchManyIndexed retrieval shape ----
     val probe = (if (fullCoverage)
-        cents.crossJoin(gated(qs.select(col("query_id"), col("qvec")), nq))
+        centroidsDf.crossJoin(gated(qs.select(col("query_id"), col("qvec")), nq))
           .select(col("query_id"), col("cluster_id"), col("qvec"))
-      else cents
+      else centroidsDf
         .crossJoin(gated(qs.select(col("query_id"), col("qvec")), nq))
         .withColumn("cd2", dist2(col("cvec"), col("qvec")))
         .withColumn("rn", row_number().over(
@@ -511,7 +511,7 @@ object SearchApi {
         explode(slice(array_distinct(split(trim(col("query_text")), "\\s+")), 1, 8)).as("term"))
       .filter(col("term") =!= "")
       .transform(graft.plans.ScanShare.shared)
-    val meta = (if (fullCoverage) cents.select(col("cluster_id"))
+    val meta = (if (fullCoverage) centroidsDf.select(col("cluster_id"))
         else probe.select(col("cluster_id")).distinct())
       .select(lit(0L).as("t"), col("cluster_id").as("id"))
       .unionByName(qterms.select(LexIndex.bucketOf(col("term")).as("b"))
